@@ -1,0 +1,139 @@
+"""Losses: interlevel (ZipNeRF anti-aliased), distortion, and helpers.
+
+cf. reference nerfstudio/model_components/losses.py. All functions are pure
+and operate on dense [num_rays, num_samples(+1)] arrays.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neuradar_tpu.cameras.rays import RaySamples
+
+EPS = 1e-7
+
+
+def ray_samples_to_sdist(ray_samples: RaySamples) -> jax.Array:
+    """Normalized bin edges [R, S+1] (cf. losses.py:107)."""
+    starts = ray_samples.spacing_starts
+    ends = ray_samples.spacing_ends
+    return jnp.concatenate([starts[..., 0], ends[..., -1:, 0]], axis=-1)
+
+
+def lossfun_distortion(t: jax.Array, w: jax.Array) -> jax.Array:
+    """MipNeRF-360 distortion on normalized bins (cf. losses.py:137)."""
+    ut = (t[..., 1:] + t[..., :-1]) / 2
+    dut = jnp.abs(ut[..., :, None] - ut[..., None, :])
+    loss_inter = jnp.sum(w * jnp.sum(w[..., None, :] * dut, axis=-1), axis=-1)
+    loss_intra = jnp.sum(w**2 * (t[..., 1:] - t[..., :-1]), axis=-1) / 3
+    return loss_inter + loss_intra
+
+
+def distortion_loss(weights_list: Sequence[jax.Array], ray_samples_list: Sequence[RaySamples]) -> jax.Array:
+    """Distortion over the final sample set (cf. losses.py:151)."""
+    c = ray_samples_to_sdist(ray_samples_list[-1])
+    w = weights_list[-1][..., 0]
+    return jnp.mean(lossfun_distortion(c, w))
+
+
+def _blur_stepfun(x: jax.Array, y: jax.Array, r: float) -> Tuple[jax.Array, jax.Array]:
+    """Box-blur a step function (cf. losses.py:645)."""
+    xr, xr_idx = jax.lax.sort_key_val(
+        jnp.concatenate([x - r, x + r], axis=-1),
+        jnp.broadcast_to(
+            jnp.arange(2 * x.shape[-1]), (*x.shape[:-1], 2 * x.shape[-1])
+        ),
+    )
+    y1 = (
+        jnp.concatenate([y, jnp.zeros_like(y[..., :1])], axis=-1)
+        - jnp.concatenate([jnp.zeros_like(y[..., :1]), y], axis=-1)
+    ) / (2 * r)
+    y2 = jnp.take_along_axis(jnp.concatenate([y1, -y1], axis=-1), xr_idx[..., :-1], axis=-1)
+    yr = jnp.clip(jnp.cumsum((xr[..., 1:] - xr[..., :-1]) * jnp.cumsum(y2, axis=-1), axis=-1), 0.0, None)
+    yr = jnp.concatenate([jnp.zeros_like(yr[..., :1]), yr], axis=-1)
+    return xr, yr
+
+
+def _sorted_interp_quad(x: jax.Array, xp: jax.Array, fpdf: jax.Array, fcdf: jax.Array) -> jax.Array:
+    """Piecewise-quadratic CDF interpolation (cf. losses.py:656)."""
+    right_idx = jax.vmap(lambda a, b: jnp.searchsorted(a, b))(xp, x)
+    left_idx = jnp.clip(right_idx - 1, 0, None)
+    right_idx = jnp.clip(right_idx, None, xp.shape[-1] - 1)
+
+    xp0 = jnp.take_along_axis(xp, left_idx, axis=-1)
+    xp1 = jnp.take_along_axis(xp, right_idx, axis=-1)
+    fpdf0 = jnp.take_along_axis(fpdf, left_idx, axis=-1)
+    fpdf1 = jnp.take_along_axis(fpdf, right_idx, axis=-1)
+    fcdf0 = jnp.take_along_axis(fcdf, left_idx, axis=-1)
+
+    offset = jnp.clip(jnp.nan_to_num((x - xp0) / (xp1 - xp0), nan=0.0), 0, 1)
+    return fcdf0 + (x - xp0) * (fpdf0 + fpdf1 * offset + fpdf0 * (1 - offset)) * 0.5
+
+
+def zipnerf_interlevel_loss(
+    weights_list: Sequence[jax.Array], ray_samples_list: Sequence[RaySamples]
+) -> jax.Array:
+    """Anti-aliased online-distillation interlevel loss (cf. losses.py:671).
+
+    Supervises each proposal histogram against the (blurred) final NeRF
+    histogram; mean-reduced, so pair with the reference's 0.001 multiplier.
+    """
+    pulse_widths = [0.03, 0.003]
+    c = jax.lax.stop_gradient(ray_samples_to_sdist(ray_samples_list[-1]))
+    w = jax.lax.stop_gradient(weights_list[-1][..., 0])
+    accum_w = jnp.sum(w, axis=-1, keepdims=True)
+    w = jnp.concatenate([w[..., :-1], w[..., -1:] + (1 - accum_w)], axis=-1)
+
+    w_norm = w / (c[..., 1:] - c[..., :-1])
+    loss = 0.0
+    for i, (ray_samples, weights) in enumerate(zip(ray_samples_list[:-1], weights_list[:-1])):
+        cp = ray_samples_to_sdist(ray_samples)
+        wp = weights[..., 0]
+        c_, w_ = _blur_stepfun(c, w_norm, pulse_widths[i])
+
+        # piecewise linear pdf -> piecewise quadratic cdf
+        area = 0.5 * (w_[..., 1:] + w_[..., :-1]) * (c_[..., 1:] - c_[..., :-1])
+        cdf = jnp.concatenate([jnp.zeros_like(area[..., :1]), jnp.cumsum(area, axis=-1)], axis=-1)
+
+        c_ = jnp.concatenate([jnp.zeros_like(c_[..., :1]), c_, jnp.ones_like(c_[..., :1])], axis=-1)
+        w_ = jnp.concatenate([jnp.zeros_like(w_[..., :1]), w_, jnp.zeros_like(w_[..., :1])], axis=-1)
+        cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf, jnp.ones_like(cdf[..., :1])], axis=-1)
+
+        cdf_interp = _sorted_interp_quad(cp, c_, w_, cdf)
+        w_s = jnp.diff(cdf_interp, axis=-1)
+        loss += jnp.mean(jnp.sum(jnp.clip(w_s - wp, 0.0, None) ** 2 / (wp + 1e-5), axis=-1))
+    return loss
+
+
+def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Mean of x over elements where mask is True (static-shape safe)."""
+    mask = mask.astype(x.dtype)
+    return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def masked_quantile(x: jax.Array, mask: jax.Array, q: float) -> jax.Array:
+    """Quantile of the masked elements of a flat array.
+
+    Padded entries are pushed to +inf before sorting so they land past the
+    quantile index. Used for the reference's quantile-masked lidar loss
+    (models/neuradar.py:624); the result is detached from gradients there.
+    """
+    x = x.reshape(-1)
+    mask = mask.reshape(-1)
+    big = jnp.asarray(jnp.inf, x.dtype)
+    vals = jnp.sort(jnp.where(mask, x, big))
+    n = jnp.sum(mask)
+    idx = jnp.clip((q * (n - 1)).astype(jnp.int32), 0, x.shape[0] - 1)
+    lo = vals[idx]
+    hi = vals[jnp.clip(idx + 1, 0, x.shape[0] - 1)]
+    frac = q * (n - 1) - idx
+    hi = jnp.where(jnp.isfinite(hi), hi, lo)
+    return lo + (hi - lo) * frac
+
+
+def binary_cross_entropy_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Elementwise BCE-with-logits (cf. torch BCEWithLogitsLoss)."""
+    return jnp.clip(logits, 0, None) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))

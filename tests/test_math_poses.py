@@ -1,0 +1,108 @@
+"""Parity tests for math/pose primitives against closed forms and the
+reference's torch implementations (re-derived, not imported)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuradar_tpu.utils import math as nmath
+from neuradar_tpu.utils import poses
+
+
+def test_power_fn_roundtrip():
+    x = jnp.linspace(0.01, 100.0, 50)
+    for lam in (-1.0, -1.5, 0.5, 2.0):
+        y = nmath.power_fn(x, lam)
+        x2 = nmath.inv_power_fn(y, lam)
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-4)
+
+
+def test_power_fn_special_cases():
+    x = jnp.linspace(0.01, 10.0, 20)
+    np.testing.assert_allclose(np.asarray(nmath.power_fn(x, 1)), np.asarray(x))
+    np.testing.assert_allclose(np.asarray(nmath.power_fn(x, 0)), np.log1p(np.asarray(x)), rtol=1e-6)
+
+
+def test_intersect_aabb():
+    aabb = jnp.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    origins = jnp.array([[0.0, 0.0, -5.0], [0.0, 5.0, 0.0], [10.0, 10.0, 10.0]])
+    dirs = jnp.array([[0.0, 0.0, 1.0], [0.0, -1.0, 0.0], [1.0, 0.0, 0.0]])
+    t_min, t_max = nmath.intersect_aabb(origins, dirs, aabb)
+    np.testing.assert_allclose(np.asarray(t_min[:2]), [4.0, 4.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_max[:2]), [6.0, 6.0], atol=1e-5)
+    assert t_min[2] == 1e10  # miss
+
+
+def test_chamfer_distance_identical():
+    pts = jax.random.normal(jax.random.PRNGKey(0), (32, 3))
+    assert float(nmath.chamfer_distance(pts, pts)) < 1e-5
+
+
+def test_chamfer_distance_masked():
+    gt = jnp.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    pred = jnp.array([[0.0, 0.0, 0.0], [99.0, 0.0, 0.0]])
+    mask = jnp.array([True, False])
+    d = nmath.chamfer_distance(pred, gt, pred_mask=mask)
+    # pred->gt: only first point, dist 0; gt->pred: 0 and 1
+    np.testing.assert_allclose(float(d), 0.5, atol=1e-5)
+
+
+def test_pose_inverse_multiply():
+    rng = np.random.RandomState(0)
+    d6 = jnp.asarray(rng.randn(5, 6), jnp.float32)
+    R = poses.rotation_6d_to_matrix(d6)
+    t = jnp.asarray(rng.randn(5, 3, 1), jnp.float32)
+    pose = jnp.concatenate([R, t], axis=-1)
+    ident = poses.multiply(pose, poses.inverse(pose))
+    expect = np.broadcast_to(np.eye(3, 4, dtype=np.float32), (5, 3, 4))
+    np.testing.assert_allclose(np.asarray(ident), expect, atol=1e-5)
+
+
+def test_rotation_6d_roundtrip():
+    rng = np.random.RandomState(1)
+    d6 = jnp.asarray(rng.randn(10, 6), jnp.float32)
+    R = poses.rotation_6d_to_matrix(d6)
+    # valid rotation matrices
+    RtR = np.einsum("bij,bkj->bik", np.asarray(R), np.asarray(R))
+    np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), (10, 3, 3)), atol=1e-5)
+    d6_back = poses.matrix_to_rotation_6d(R)
+    R2 = poses.rotation_6d_to_matrix(d6_back)
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
+
+
+def test_exp_map_so3xr3_zero():
+    tangent = jnp.zeros((2, 6))
+    p = poses.exp_map_SO3xR3(tangent)
+    np.testing.assert_allclose(np.asarray(p), np.broadcast_to(np.eye(3, 4), (2, 3, 4)), atol=1e-6)
+
+
+def test_exp_map_so3xr3_rotation():
+    # 90 deg about z
+    tangent = jnp.array([[0.0, 0.0, 0.0, 0.0, 0.0, np.pi / 2]])
+    p = poses.exp_map_SO3xR3(tangent)
+    expected_R = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(p[0, :3, :3]), expected_R, atol=1e-5)
+
+
+def test_interpolate_trajectories_6d():
+    # two actors, three times; actor 0 moves linearly along x
+    T, A = 3, 2
+    poses_9d = np.zeros((T, A, 9), np.float32)
+    poses_9d[..., 0] = 1.0  # a1 = x
+    poses_9d[..., 4] = 1.0  # a2 = y
+    poses_9d[:, 0, 6] = [0.0, 1.0, 2.0]  # x position over time
+    times = jnp.array([0.0, 1.0, 2.0])
+    valid = jnp.ones((T, A), bool)
+    query = jnp.array([0.5, 1.5])
+    interp, v = poses.interpolate_trajectories_6d(jnp.asarray(poses_9d), times, query, valid)
+    assert interp.shape == (2, A, 9)
+    np.testing.assert_allclose(np.asarray(interp[:, 0, 6]), [0.5, 1.5], atol=1e-5)
+    assert bool(v.all())
+
+
+def test_transform_points_pairwise():
+    pose = jnp.asarray(np.array([[[0, -1, 0, 1], [1, 0, 0, 2], [0, 0, 1, 3]]], np.float32))
+    pts = jnp.array([[1.0, 0.0, 0.0]])
+    out = poses.transform_points_pairwise(pts, pose[:, :3])
+    np.testing.assert_allclose(np.asarray(out), [[1.0, 3.0, 3.0]], atol=1e-6)
