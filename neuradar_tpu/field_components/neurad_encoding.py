@@ -1,0 +1,179 @@
+"""NeuRAD scene encoding: static world hashgrid + 4D actor hashgrid.
+
+cf. reference nerfstudio/field_components/neurad_encoding.py. TPU re-design:
+the static/actor split is a dense masked computation over per-ray candidate
+actors (see model_components/dynamic_actors.py) instead of `nonzero` index
+lists; the actor grid is always the 4D variant (actor index as 4th coord,
+reference's fast path at :282-293). Gaussian-std feature rescaling and the
+random x-flip augmentation match the reference (:152-189, :218-226).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dataclass_field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from neuradar_tpu.field_components.encodings import HashEncoding
+from neuradar_tpu.field_components.spatial_distortions import ScaledSceneContraction
+from neuradar_tpu.model_components.dynamic_actors import ActorCandidates, assign_samples_to_actors
+from neuradar_tpu.utils.math import GaussiansStd
+from neuradar_tpu.utils.poses import transform_points_pairwise
+
+EPS = 1.0e-7
+
+
+@dataclass
+class StaticSettings:
+    """cf. reference StaticSettings (neurad_encoding.py:37)."""
+
+    hashgrid_dim: int = 4
+    num_levels: int = 8
+    base_res: int = 32
+    max_res: int = 8192
+    log2_hashmap_size: int = 22
+
+
+@dataclass
+class ActorSettings:
+    """cf. reference ActorSettings (neurad_encoding.py:51)."""
+
+    flip_prob: float = 0.5
+    actor_scale: float = 10.0
+    hashgrid_dim: int = 4
+    num_levels: int = 4
+    base_res: int = 64
+    max_res: int = 1024
+    log2_hashmap_size: int = 17
+
+
+@dataclass
+class NeuRADHashEncodingConfig:
+    static: StaticSettings = dataclass_field(default_factory=StaticSettings)
+    actor: ActorSettings = dataclass_field(default_factory=ActorSettings)
+    disable_actors: bool = False
+    require_actor_grad: bool = True
+
+
+def _rescale_grid_features(
+    grid_feats: jax.Array, std: jax.Array, scalings, num_levels: int, features_per_level: int
+) -> jax.Array:
+    """Downweight features whose grid cell is smaller than the sample blob,
+    then average over multisamples (cf. _rescale_grid_features, :309-316).
+
+    grid_feats: [..., M, L*F], std: [..., M, 1] -> [..., L*F].
+    """
+    feats = grid_feats.reshape(*grid_feats.shape[:-1], num_levels, features_per_level)
+    scalings = jnp.asarray(scalings, std.dtype)  # [L]
+    weights = 1.0 / jnp.clip(scalings * 2 * std, 1.0, None)  # [..., M, L]
+    feats = feats * weights[..., None]
+    feats = feats.mean(axis=-3)  # average multisamples
+    return feats.reshape(*feats.shape[:-2], num_levels * features_per_level)
+
+
+class NeuRADHashEncoding(nn.Module):
+    """Joint static + actor-aware hash encoding.
+
+    __call__ takes gaussian sample blobs, per-ray actor candidates and
+    (optionally) per-sample directions; returns [R, S, D] features and
+    actor-space-corrected directions.
+    """
+
+    config: NeuRADHashEncodingConfig
+    static_scale: float
+    n_actors: int
+
+    def setup(self):
+        cfg = self.config
+        self.static_contraction = ScaledSceneContraction(scale=self.static_scale)
+        self.actor_contraction = ScaledSceneContraction(scale=cfg.actor.actor_scale)
+        self.static_grid = HashEncoding(
+            num_levels=cfg.static.num_levels,
+            min_res=cfg.static.base_res,
+            max_res=cfg.static.max_res,
+            log2_hashmap_size=cfg.static.log2_hashmap_size,
+            features_per_level=cfg.static.hashgrid_dim,
+            n_input_dims=3,
+        )
+        if self.has_actors:
+            self.actor_grid = HashEncoding(
+                num_levels=cfg.actor.num_levels,
+                min_res=cfg.actor.base_res,
+                max_res=cfg.actor.max_res,
+                log2_hashmap_size=cfg.actor.log2_hashmap_size,
+                features_per_level=cfg.actor.hashgrid_dim,
+                n_input_dims=4,
+            )
+
+    @property
+    def has_actors(self) -> bool:
+        return self.n_actors > 0 and not self.config.disable_actors
+
+    def get_out_dim(self) -> int:
+        return self.config.static.num_levels * self.config.static.hashgrid_dim
+
+    def __call__(
+        self,
+        positions: GaussiansStd,
+        candidates: Optional[ActorCandidates],
+        directions: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """Args:
+            positions: mean [R, S, M, 3], std [R, S, M, 1].
+            candidates: per-ray actor candidates (None to disable actors).
+            directions: [R, S, 3] per-sample directions or None.
+
+        Returns:
+            features [R, S, static_out_dim], directions [R, S, 3] or None.
+        """
+        cfg = self.config
+        # ---- static world features
+        static_pos = self.static_contraction(positions)
+        static_raw = self.static_grid(static_pos.mean)  # [R, S, M, L*F]
+        static_feats = _rescale_grid_features(
+            static_raw, static_pos.std, self.static_grid.scalings, cfg.static.num_levels, cfg.static.hashgrid_dim
+        )  # [R, S, L*F]
+
+        if not self.has_actors or candidates is None:
+            return static_feats, directions
+
+        if not cfg.require_actor_grad:
+            candidates = candidates.stop_gradient()
+
+        # ---- per-sample actor assignment (dense masked)
+        sample_mean = positions.mean.mean(axis=-2)  # [R, S, 3]
+        sel, has_actor = assign_samples_to_actors(candidates, sample_mean)
+
+        w2b = jnp.take_along_axis(candidates.w2b, sel[..., None, None, None], axis=1)  # [R, S, 3, 4]
+        actor_id = jnp.take_along_axis(candidates.actor_id, sel, axis=1)  # [R, S]
+
+        # transform all sample positions to actor frame (masked later)
+        pos_box = transform_points_pairwise(positions.mean, w2b[:, :, None, :, :])  # [R, S, M, 3]
+        flip = candidates.flip[:, None, None]  # [R, 1, 1]
+        pos_box = pos_box.at[..., 0].multiply(flip)
+
+        actor_pos = self.actor_contraction(GaussiansStd(mean=pos_box, std=positions.std))
+        # 4D query: normalized actor index as the 4th coordinate (:282-293)
+        id4 = (actor_id.astype(pos_box.dtype) / self.n_actors)[..., None, None]  # [R, S, 1, 1]
+        id4 = jnp.broadcast_to(id4, (*actor_pos.mean.shape[:-1], 1))
+        query = jnp.concatenate([actor_pos.mean, id4], axis=-1)
+        actor_raw = self.actor_grid(query)  # [R, S, M, L*F]
+        actor_feats = _rescale_grid_features(
+            actor_raw, actor_pos.std, self.actor_grid.scalings, cfg.actor.num_levels, cfg.actor.hashgrid_dim
+        )
+        pad = self.get_out_dim() - actor_feats.shape[-1]
+        if pad > 0:
+            actor_feats = jnp.pad(actor_feats, [(0, 0)] * (actor_feats.ndim - 1) + [(0, pad)])
+
+        features = jnp.where(has_actor[..., None], actor_feats, static_feats)
+
+        if directions is not None:
+            dirs_box = transform_points_pairwise(directions, w2b, with_translation=False)
+            dirs_box = dirs_box / (jnp.linalg.norm(dirs_box, axis=-1, keepdims=True) + EPS)
+            dirs_box = dirs_box.at[..., 0].multiply(candidates.flip[:, None])
+            directions = jnp.where(has_actor[..., None], dirs_box, directions)
+
+        return features, directions

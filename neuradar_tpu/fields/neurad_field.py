@@ -1,0 +1,174 @@
+"""NeuRAD neural feature field and its proposal variant.
+
+cf. reference nerfstudio/fields/neurad_field.py: hashgrid -> geometry MLP
+(1 + 32 outputs) -> SH direction encoding + residual feature MLP; SDF is
+converted to alpha by a learnable-steepness sigmoid (SigmoidDensity,
+model_components/utils.py:21). Widths (32) are MXU-friendly dot chains.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dataclass_field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from neuradar_tpu.cameras.rays import RaySamples
+from neuradar_tpu.field_components.encodings import SHEncoding
+from neuradar_tpu.field_components.mlp import MLP
+from neuradar_tpu.field_components.neurad_encoding import (
+    ActorSettings,
+    NeuRADHashEncoding,
+    NeuRADHashEncodingConfig,
+    StaticSettings,
+)
+from neuradar_tpu.model_components.dynamic_actors import ActorCandidates
+
+EPS = 1.0e-7
+
+
+@jax.custom_vjp
+def trunc_exp(x):
+    """exp with gradient-safe clamping (cf. field_components/activations.py)."""
+    return jnp.exp(x)
+
+
+def _trunc_exp_fwd(x):
+    return jnp.exp(x), x
+
+
+def _trunc_exp_bwd(x, g):
+    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+
+
+trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
+
+
+class SigmoidDensity(nn.Module):
+    """Learnable sdf -> alpha sigmoid (cf. model_components/utils.py:21)."""
+
+    init_beta: float = 20.0
+    beta_min: float = 1e-4
+    learnable_beta: bool = True
+
+    @nn.compact
+    def __call__(self, sdf: jax.Array) -> jax.Array:
+        beta_param = self.param("beta", lambda key: jnp.asarray([self.init_beta], jnp.float32))
+        if not self.learnable_beta:
+            beta_param = jax.lax.stop_gradient(beta_param)
+        beta = jnp.abs(beta_param) + self.beta_min
+        return jax.nn.sigmoid(-sdf * beta)
+
+    @staticmethod
+    def beta_value(params) -> jax.Array:
+        return jnp.abs(params["beta"])
+
+
+@dataclass
+class NeuRADFieldConfig:
+    """cf. reference NeuRADFieldConfig (neurad_field.py:45)."""
+
+    grid: NeuRADHashEncodingConfig = dataclass_field(
+        default_factory=lambda: NeuRADHashEncodingConfig(require_actor_grad=True, actor=ActorSettings(flip_prob=0.25))
+    )
+    geo_hidden_dim: int = 32
+    geo_num_layers: int = 2
+    nff_hidden_dim: int = 32
+    nff_num_layers: int = 3
+    nff_out_dim: int = 32
+    num_multisamples: int = 1
+    use_sdf: bool = True
+    sdf_beta: float = 20.0
+    learnable_beta: bool = True
+
+
+@dataclass
+class NeuRADProposalFieldConfig:
+    """cf. reference NeuRADProposalFieldConfig (neurad_field.py:156)."""
+
+    grid: NeuRADHashEncodingConfig = dataclass_field(
+        default_factory=lambda: NeuRADHashEncodingConfig(
+            static=StaticSettings(log2_hashmap_size=20, num_levels=6, max_res=4096, base_res=128, hashgrid_dim=1),
+            actor=ActorSettings(log2_hashmap_size=15, num_levels=4, base_res=64, max_res=1024, hashgrid_dim=1),
+            require_actor_grad=False,
+        )
+    )
+    hidden_dim: int = 16
+
+
+def get_normalized_directions(directions: jax.Array) -> jax.Array:
+    """Map directions from [-1, 1] to [0, 1] (cf. fields/base_field.py)."""
+    return (directions + 1.0) / 2.0
+
+
+class NeuRADField(nn.Module):
+    """Main neural feature field (cf. NeuRADField, neurad_field.py:78)."""
+
+    config: NeuRADFieldConfig
+    static_scale: float
+    n_actors: int
+
+    def setup(self):
+        cfg = self.config
+        self.hashgrid = NeuRADHashEncoding(config=cfg.grid, static_scale=self.static_scale, n_actors=self.n_actors)
+        self.mlp_geo = MLP(
+            out_dim=cfg.nff_out_dim + 1,
+            num_layers=cfg.geo_num_layers,
+            layer_width=cfg.geo_hidden_dim,
+        )
+        self.direction_encoding = SHEncoding(levels=4)
+        self.mlp_feature = MLP(
+            out_dim=cfg.nff_out_dim,
+            num_layers=cfg.nff_num_layers,
+            layer_width=cfg.nff_hidden_dim,
+        )
+        if cfg.use_sdf:
+            self.sdf_to_density = SigmoidDensity(init_beta=cfg.sdf_beta, learnable_beta=cfg.learnable_beta)
+
+    def __call__(self, ray_samples: RaySamples, candidates: Optional[ActorCandidates]) -> Dict[str, jax.Array]:
+        """Evaluate the field on [R, S] samples.
+
+        Returns dict with 'feature' [R, S, D] and either 'sdf' + 'alpha' or
+        'density' (cf. neurad_field.py:128-152).
+        """
+        cfg = self.config
+        gaussians = ray_samples.frustums.get_fast_isotropic_gaussian(cfg.num_multisamples)
+        dirs = jnp.broadcast_to(
+            ray_samples.frustums.directions[:, None, :], gaussians.mean[..., 0, :].shape
+        )
+        features, dirs = self.hashgrid(gaussians, candidates, dirs)
+
+        geo = self.mlp_geo(features)  # [R, S, 1 + D]
+        geo_out, geo_embed = geo[..., :1], geo[..., 1:]
+        dir_embed = self.direction_encoding(get_normalized_directions(dirs))
+        feature = geo_embed + self.mlp_feature(jnp.concatenate([geo_embed, dir_embed], axis=-1))
+
+        outputs = {"feature": feature}
+        if cfg.use_sdf:
+            outputs["sdf"] = geo_out
+            outputs["alpha"] = self.sdf_to_density(geo_out)
+        else:
+            outputs["density"] = trunc_exp(geo_out)
+        return outputs
+
+
+class NeuRADProposalField(nn.Module):
+    """Density-only proposal field (cf. NeuRADProposalField, neurad_field.py:185)."""
+
+    config: NeuRADProposalFieldConfig
+    static_scale: float
+    n_actors: int
+
+    def setup(self):
+        self.hashgrid = NeuRADHashEncoding(
+            config=self.config.grid, static_scale=self.static_scale, n_actors=self.n_actors
+        )
+        self.density_decoder = nn.Dense(1, use_bias=False)
+
+    def __call__(self, ray_samples: RaySamples, candidates: Optional[ActorCandidates]) -> jax.Array:
+        gaussians = ray_samples.frustums.get_fast_isotropic_gaussian(num_multisamples=1)
+        features, _ = self.hashgrid(gaussians, candidates, None)
+        density = self.density_decoder(features)
+        return trunc_exp(density)  # [R, S, 1]

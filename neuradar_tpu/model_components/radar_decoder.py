@@ -1,0 +1,157 @@
+"""Radar decoder: transformer encoder over a radar scan's rays, grounded in
+NeRF geometry via a sine positional embedding of the predicted world points.
+
+cf. reference nerfstudio/detr/models/transformer.py:32-67 (1-layer pre-norm
+encoder, d_model=48, nhead=1, ff=64) and
+nerfstudio/detr/models/position_encoding_3d.py:26-99 (sine embedding), plus
+the head assembly at models/neuradar.py:250-278 and :464-492.
+
+Tokens are [num_scans, rays_per_scan, d_model] — batched attention over a few
+thousand tokens per scan, a single fused attention on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from neuradar_tpu.field_components.mlp import MLP
+
+
+def sine_position_embedding(xyz: jax.Array, num_channels: int, temperature: float = 10000.0) -> jax.Array:
+    """Sine/cosine positional embedding of 3D coordinates.
+
+    cf. PositionEmbeddingCoordsSine.get_sine_embeddings
+    (position_encoding_3d.py:56-99) with pos_type="sine", scale=2*pi.
+
+    Args:
+        xyz: [N, nr, 3] coordinates.
+        num_channels: output embedding width (split across the 3 dims).
+
+    Returns:
+        [N, nr, num_channels] embedding (no gradient — positional only).
+    """
+    xyz = jax.lax.stop_gradient(xyz)
+    d_in = xyz.shape[-1]
+    ndim = num_channels // d_in
+    if ndim % 2 != 0:
+        ndim -= 1
+    rems = num_channels - ndim * d_in
+
+    embeds = []
+    for d in range(d_in):
+        cdim = ndim
+        if rems > 0:
+            cdim += 2
+            rems -= 2
+        dim_t = jnp.arange(cdim, dtype=xyz.dtype)
+        dim_t = temperature ** (2 * jnp.floor(dim_t / 2) / cdim)
+        pos = xyz[..., d] * (2 * jnp.pi)
+        pos = pos[..., None] / dim_t  # [N, nr, cdim]
+        interleaved = jnp.stack([jnp.sin(pos[..., 0::2]), jnp.cos(pos[..., 1::2])], axis=-1)
+        embeds.append(interleaved.reshape(*pos.shape[:-1], -1))
+    return jnp.concatenate(embeds, axis=-1)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Pre-norm encoder layer with positional embedding added to q/k only."""
+
+    d_model: int = 48
+    nhead: int = 1
+    dim_feedforward: int = 64
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, src: jax.Array, pos: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.LayerNorm(name="norm1")(src)
+        qk = x + pos
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead,
+            qkv_features=self.d_model,
+            out_features=self.d_model,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+            name="self_attn",
+        )(inputs_q=qk, inputs_k=qk, inputs_v=x)
+        src = src + nn.Dropout(self.dropout, deterministic=not train, name="drop1")(attn)
+
+        x = nn.LayerNorm(name="norm2")(src)
+        h = nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(x))
+        h = nn.Dropout(self.dropout, deterministic=not train, name="drop_ff")(h)
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        src = src + nn.Dropout(self.dropout, deterministic=not train, name="drop2")(h)
+        return src
+
+
+class RadarTransformer(nn.Module):
+    """Encoder stack with a final LayerNorm (normalize_before=True variant)."""
+
+    d_model: int = 48
+    nhead: int = 1
+    num_layers: int = 1
+    dim_feedforward: int = 64
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, src: jax.Array, pos: jax.Array, train: bool = False) -> jax.Array:
+        for i in range(self.num_layers):
+            src = TransformerEncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward, self.dropout, name=f"layer_{i}"
+            )(src, pos, train)
+        return nn.LayerNorm(name="final_norm")(src)
+
+
+class RadarDecoder(nn.Module):
+    """Full radar decoder: pos-embed + transformer + the four heads.
+
+    Heads (cf. models/neuradar.py:251-278, :487-491):
+      * offset: tanh * 1.5, added to the NeRF-geometry point,
+      * existence probability: sigmoid,
+      * uncertainty: softplus (per-axis Laplace scale),
+      * angle: tanh (predicted, unused by the loss — parity with reference).
+
+    Output layout per token: [ep, x, y, z, var_x, var_y, var_z] (+ angles
+    returned separately), matching radar_utils.MultiBernoulli's expectations.
+    """
+
+    d_model: int = 48
+    offset_scale: float = 1.5
+
+    @nn.compact
+    def __call__(
+        self, features: jax.Array, geometry_xyz: jax.Array, train: bool = False
+    ):
+        """Args:
+            features: [N, nr, C] rendered NFF features (+ appearance).
+            geometry_xyz: [N, nr, 3] NeRF-geometry points (depth x direction,
+                radar frame) used for the positional embedding and offsets.
+
+        Returns:
+            radar_output [N, nr, 7] and angles [N, nr, 2].
+        """
+        pos = sine_position_embedding(geometry_xyz, self.d_model)
+        decoded = RadarTransformer(d_model=self.d_model, name="transformer")(features, pos, train)
+
+        offset = self.offset_scale * MLP(out_dim=3, num_layers=3, layer_width=16, out_activation=jnp.tanh,
+                                         name="offset_head")(decoded)
+        xyz = geometry_xyz + offset
+        ep = MLP(out_dim=1, num_layers=3, layer_width=16, out_activation=jax.nn.sigmoid,
+                 name="existence_probability_head")(decoded)
+        unc = MLP(out_dim=3, num_layers=3, layer_width=16, out_activation=jax.nn.softplus,
+                  name="radar_uncertainty_head")(decoded)
+        angles = MLP(out_dim=2, num_layers=3, layer_width=16, out_activation=jnp.tanh,
+                     name="radar_angle_head")(decoded)
+        radar_output = jnp.concatenate([ep, xyz, unc], axis=-1).astype(jnp.float32)
+        return radar_output, angles
+
+
+def spherical_to_cartesian(depth: jax.Array, elevation: jax.Array, azimuth: jax.Array) -> jax.Array:
+    """Radar-frame spherical -> cartesian (cf. _get_cartesian_coords,
+    models/neuradar.py:1025-1029)."""
+    x = depth * jnp.cos(azimuth) * jnp.cos(elevation)
+    y = depth * jnp.sin(azimuth) * jnp.cos(elevation)
+    z = depth * jnp.sin(elevation)
+    return jnp.concatenate([x, y, z], axis=-1)

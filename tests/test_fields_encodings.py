@@ -1,0 +1,203 @@
+"""Hash/SH encoding and field tests (parity with the reference's torch-spec
+hashing and shape behavior)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuradar_tpu.cameras.rays import RayBundle
+from neuradar_tpu.field_components.encodings import HashEncoding, SHEncoding, hash_corners
+from neuradar_tpu.field_components.spatial_distortions import ScaledSceneContraction, contract_points
+from neuradar_tpu.fields.neurad_field import (
+    NeuRADField,
+    NeuRADFieldConfig,
+    NeuRADProposalField,
+    NeuRADProposalFieldConfig,
+    SigmoidDensity,
+    trunc_exp,
+)
+from neuradar_tpu.model_components import ray_samplers
+from neuradar_tpu.model_components.dynamic_actors import (
+    ActorEdits,
+    DynamicActors,
+    DynamicActorsConfig,
+    trajectories_from_dicts,
+)
+from neuradar_tpu.utils.math import GaussiansStd
+
+
+def test_hash_fn_matches_reference_spec():
+    """Bit-parity with the reference torch fallback (encodings.py:406-423):
+    int64 products mod 2^22 == uint32 wraparound mod 2^22."""
+    table_size = 2**19
+    coords = np.random.RandomState(0).randint(0, 5000, size=(64, 2, 3)).astype(np.int32)
+    offsets = jnp.asarray([0, table_size], jnp.int32)
+    got = np.asarray(hash_corners(jnp.asarray(coords), table_size, offsets))
+    primes = np.asarray([1, 2654435761, 805459861], np.int64)
+    prods = coords.astype(np.int64) * primes
+    expect = (prods[..., 0] ^ prods[..., 1] ^ prods[..., 2]) % table_size
+    expect = expect + np.asarray([0, table_size])
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_hash_encoding_shapes_and_continuity():
+    enc = HashEncoding(num_levels=4, min_res=4, max_res=64, log2_hashmap_size=12, features_per_level=2)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (128, 3))
+    params = enc.init(jax.random.PRNGKey(1), x)
+    out = enc.apply(params, x)
+    assert out.shape == (128, 8)
+    # trilinear interp -> continuous: nearby points give nearby features
+    eps_out = enc.apply(params, x + 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(eps_out), atol=1e-2)
+    # corners interpolate exactly: feature at a grid point is table value mix
+    out2 = enc.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_hash_encoding_4d():
+    enc = HashEncoding(num_levels=2, min_res=4, max_res=8, log2_hashmap_size=10, features_per_level=2, n_input_dims=4)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (32, 4))
+    params = enc.init(jax.random.PRNGKey(1), x)
+    assert enc.apply(params, x).shape == (32, 4)
+
+
+def test_sh_encoding_values():
+    enc = SHEncoding(levels=4)
+    dirs = jnp.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    out = enc.apply({}, dirs)
+    assert out.shape == (2, 16)
+    np.testing.assert_allclose(float(out[0, 0]), 0.28209479, rtol=1e-5)
+    np.testing.assert_allclose(float(out[0, 2]), 0.48860251, rtol=1e-5)  # z comp
+    np.testing.assert_allclose(float(out[1, 3]), 0.48860251, rtol=1e-5)  # x comp
+
+
+def test_scene_contraction():
+    # inside unit ball: identity (then normalized)
+    x = jnp.array([[0.5, 0.0, 0.0], [10.0, 0.0, 0.0]])
+    c = contract_points(x)
+    np.testing.assert_allclose(np.asarray(c[0]), [0.5, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c[1]), [2 - 0.1, 0, 0], atol=1e-6)
+    sc = ScaledSceneContraction(scale=2.0)
+    out = sc(x)
+    assert ((np.asarray(out) >= 0) & (np.asarray(out) <= 1)).all()
+    g = sc(GaussiansStd(mean=x, std=jnp.ones((2, 1))))
+    assert ((np.asarray(g.mean) >= 0) & (np.asarray(g.mean) <= 1)).all()
+
+
+def test_trunc_exp_gradient_clamped():
+    g = jax.grad(lambda x: trunc_exp(x))(20.0)
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), np.exp(15.0), rtol=1e-5)
+
+
+def test_sigmoid_density():
+    mod = SigmoidDensity(init_beta=20.0)
+    params = mod.init(jax.random.PRNGKey(0), jnp.zeros((4, 1)))
+    alpha = mod.apply(params, jnp.array([[-1.0], [0.0], [1.0]]))
+    a = np.asarray(alpha)[:, 0]
+    assert a[0] > 0.99 and abs(a[1] - 0.5) < 1e-5 and a[2] < 0.01
+
+
+def _make_actors(n_actors=2):
+    trajs = []
+    for a in range(n_actors):
+        poses = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+        poses[:, 0, 3] = 10.0 * (a + 1) + np.array([0.0, 1.0, 2.0])  # moving along x
+        trajs.append(
+            dict(timestamps=np.array([0.0, 1.0, 2.0]), poses=poses, dims=np.array([4.0, 2.0, 1.5]),
+                 symmetric=True, deformable=False)
+        )
+    return trajectories_from_dicts(trajs)
+
+
+def test_dynamic_actors_interpolation():
+    traj = _make_actors()
+    actors = DynamicActors(trajectories=traj, config=DynamicActorsConfig())
+    params = actors.init(jax.random.PRNGKey(0), jnp.array([0.5]), method=DynamicActors.get_boxes2world)
+    b2w, valid = actors.apply(params, jnp.array([0.5, 1.5]), method=DynamicActors.get_boxes2world)
+    assert b2w.shape == (2, 2, 3, 4)
+    np.testing.assert_allclose(np.asarray(b2w[0, 0, 0, 3]), 10.5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b2w[1, 1, 0, 3]), 21.5, atol=1e-5)
+    assert bool(valid.all())
+
+
+def test_dynamic_actors_edits():
+    traj = _make_actors(1)
+    actors = DynamicActors(trajectories=traj)
+    params = actors.init(jax.random.PRNGKey(0), jnp.array([0.5]), method=DynamicActors.get_boxes2world)
+    edits = ActorEdits(lateral=1.0, index=-1)
+    b2w, _ = actors.apply(params, jnp.array([0.0]), edits, method=DynamicActors.get_boxes2world)
+    np.testing.assert_allclose(np.asarray(b2w[0, 0, 0, 3]), 11.0, atol=1e-5)  # identity rot -> +x lateral
+
+
+def test_ray_candidates_and_assignment():
+    traj = _make_actors(2)
+    actors = DynamicActors(trajectories=traj, config=DynamicActorsConfig(max_actors_per_ray=2))
+    # ray along +x through actor 0 (at x=10, t=0)
+    ray_times = jnp.zeros((3,))
+    pts = jnp.zeros((3, 3))
+    dirs = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [1.0, 0.0, 0.0]])
+    params = actors.init(
+        jax.random.PRNGKey(0), ray_times, pts, dirs, method=DynamicActors.get_ray_candidates
+    )
+    cands = actors.apply(params, ray_times, pts, dirs, method=DynamicActors.get_ray_candidates)
+    # ray 0 and 2 (along x) hit both actors; ray 1 (along y) hits none
+    assert bool(cands.valid[0].any())
+    assert not bool(cands.valid[1].any())
+
+    from neuradar_tpu.model_components.dynamic_actors import assign_samples_to_actors
+
+    sample_pos = jnp.array([
+        [[10.0, 0.0, 0.0], [5.0, 0.0, 0.0], [20.0, 0.0, 0.0]],  # ray 0: in actor0, free, in actor1
+        [[0.0, 10.0, 0.0], [0.0, 5.0, 0.0], [0.0, 20.0, 0.0]],  # ray 1: none
+        [[10.5, 0.0, 0.0], [15.0, 0.0, 0.0], [19.5, 0.0, 0.0]],
+    ])
+    sel, has_actor = assign_samples_to_actors(cands, sample_pos)
+    has = np.asarray(has_actor)
+    assert has[0, 0] and not has[0, 1] and has[0, 2]
+    assert not has[1].any()
+    assert has[2, 0] and not has[2, 1] and has[2, 2]
+    # check selected actor ids differ for the two box hits on ray 0
+    ids = np.asarray(jnp.take_along_axis(cands.actor_id, sel, axis=1))
+    assert ids[0, 0] != ids[0, 2]
+
+
+def _ray_samples(num_rays=4, num_samples=8):
+    key = jax.random.PRNGKey(0)
+    dirs = jax.random.normal(key, (num_rays, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    bundle = RayBundle(
+        origins=jnp.zeros((num_rays, 3)),
+        directions=dirs,
+        pixel_area=jnp.full((num_rays, 1), 1e-4),
+        nears=jnp.full((num_rays, 1), 1.0),
+        fars=jnp.full((num_rays, 1), 50.0),
+        times=jnp.zeros((num_rays, 1)),
+    )
+    return ray_samplers.uniform_sampler(bundle, num_samples)
+
+
+def test_neurad_field_forward():
+    cfg = NeuRADFieldConfig()
+    cfg.grid.static.log2_hashmap_size = 12  # small for test speed
+    cfg.grid.actor.log2_hashmap_size = 10
+    field = NeuRADField(config=cfg, static_scale=50.0, n_actors=0)
+    rs = _ray_samples()
+    params = field.init(jax.random.PRNGKey(0), rs, None)
+    out = field.apply(params, rs, None)
+    assert out["feature"].shape == (4, 8, 32)
+    assert out["sdf"].shape == (4, 8, 1)
+    assert out["alpha"].shape == (4, 8, 1)
+    a = np.asarray(out["alpha"])
+    assert ((a >= 0) & (a <= 1)).all()
+
+
+def test_proposal_field_forward():
+    cfg = NeuRADProposalFieldConfig()
+    cfg.grid.static.log2_hashmap_size = 12
+    field = NeuRADProposalField(config=cfg, static_scale=50.0, n_actors=0)
+    rs = _ray_samples()
+    params = field.init(jax.random.PRNGKey(0), rs, None)
+    density = field.apply(params, rs, None)
+    assert density.shape == (4, 8, 1)
+    assert (np.asarray(density) > 0).all()
