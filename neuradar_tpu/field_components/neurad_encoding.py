@@ -147,7 +147,7 @@ class NeuRADHashEncoding(nn.Module):
         sample_mean = positions.mean.mean(axis=-2)  # [R, S, 3]
         sel, has_actor = assign_samples_to_actors(candidates, sample_mean)
 
-        w2b = jnp.take_along_axis(candidates.w2b, sel[..., None, None, None], axis=1)  # [R, S, 3, 4]
+        w2b = jnp.take_along_axis(candidates.w2b, sel[..., None, None], axis=1)  # [R, S, 3, 4]
         actor_id = jnp.take_along_axis(candidates.actor_id, sel, axis=1)  # [R, S]
 
         # transform all sample positions to actor frame (masked later)

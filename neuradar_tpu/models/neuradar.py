@@ -1,0 +1,543 @@
+"""NeuRadar: joint camera + lidar + radar neural feature field model.
+
+cf. reference nerfstudio/models/neuradar.py. TPU-first re-design:
+
+* One merged ray bundle with a STATIC segment layout
+  [camera | lidar | radar-scans] — modality "masks" are compile-time slices,
+  not boolean gathers (the reference uses is_lidar/is_radar boolean indexing,
+  models/neuradar.py:424-443).
+* The whole forward — proposal sampling, field eval, volume rendering,
+  modality decoders — is one jittable function; volume weights are vectorized
+  scans (replacing nerfacc, :1010-1023).
+* Actor candidates are computed ONCE per bundle and shared by the main and
+  proposal fields (the reference recomputes the actor split per field).
+* Losses are computed inside the module (so the VGG submodule and PRNG
+  streams are available) and returned as a dict, mirroring
+  get_metrics_dict/get_loss_dict (:588-704).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dataclass_field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from neuradar_tpu.cameras.camera_optimizers import CameraOptimizer, CameraOptimizerConfig
+from neuradar_tpu.cameras.rays import RayBundle, RaySamples, render_weights_from_alpha, render_weights_from_density
+from neuradar_tpu.field_components.mlp import MLP
+from neuradar_tpu.fields.neurad_field import (
+    NeuRADField,
+    NeuRADFieldConfig,
+    NeuRADProposalField,
+    NeuRADProposalFieldConfig,
+)
+from neuradar_tpu.model_components import radar_utils
+from neuradar_tpu.model_components.cnns import RGBDecoder
+from neuradar_tpu.model_components.dynamic_actors import (
+    ActorCandidates,
+    ActorEdits,
+    ActorTrajectories,
+    DynamicActors,
+    DynamicActorsConfig,
+)
+from neuradar_tpu.model_components.losses import (
+    binary_cross_entropy_with_logits,
+    distortion_loss,
+    masked_mean,
+    zipnerf_interlevel_loss,
+)
+from neuradar_tpu.model_components.radar_decoder import RadarDecoder, spherical_to_cartesian
+from neuradar_tpu.model_components.renderers import render_depth_simple
+from neuradar_tpu.model_components.vgg import VGGPerceptualLossPix2Pix
+from neuradar_tpu.model_components.ray_samplers import power_sampler, proposal_network_sampler
+
+EPS = 1e-7
+
+
+# ---------------------------------------------------------------------------
+# Configuration (mirrors the reference's dataclass tree)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class LossSettings:
+    """cf. reference LossSettings (models/neuradar.py:80-115)."""
+
+    vgg_mult: float = 0.05
+    rgb_mult: float = 5.0
+    depth_mult: float = 0.01
+    intensity_mult: float = 0.1
+    carving_mult: float = 0.01
+    carving_epsilon: float = 0.1
+    quantile_threshold: float = 0.95
+    interlevel_loss_mult: float = 0.001
+    distortion_loss_mult: float = 0.002
+    non_return_lidar_distance: float = 150.0
+    non_return_loss_mult: float = 0.1
+    ray_drop_loss_mult: float = 0.01
+    prop_lidar_loss_mult: float = 0.1
+    radar_mult: float = 0.02
+    radar_loss_type: str = "nll"  # nll | euclidean
+    radar_assignment: str = "auction"  # auction (on-device) | hungarian (host)
+
+
+@dataclass
+class SamplingSettings:
+    """cf. reference SamplingSettings (models/neuradar.py:118-138)."""
+
+    single_jitter: bool = True
+    proposal_field_1: NeuRADProposalFieldConfig = dataclass_field(default_factory=NeuRADProposalFieldConfig)
+    proposal_field_2: NeuRADProposalFieldConfig = dataclass_field(default_factory=NeuRADProposalFieldConfig)
+    num_proposal_samples: Tuple[int, ...] = (128, 64)
+    num_nerf_samples: int = 32
+    power_lambda: float = -1.0
+    power_scaling: float = 0.1
+    sky_distance: float = 20000.0
+
+
+@dataclass
+class NeuRadarModelConfig:
+    """cf. reference NeuRadarModelConfig (models/neuradar.py:141-186)."""
+
+    loss: LossSettings = dataclass_field(default_factory=LossSettings)
+    sampling: SamplingSettings = dataclass_field(default_factory=SamplingSettings)
+    field: NeuRADFieldConfig = dataclass_field(default_factory=NeuRADFieldConfig)
+    dynamic_actors: DynamicActorsConfig = dataclass_field(default_factory=DynamicActorsConfig)
+    camera_optimizer: CameraOptimizerConfig = dataclass_field(default_factory=CameraOptimizerConfig)
+
+    appearance_dim: int = 16
+    use_temporal_appearance: bool = True
+    temporal_appearance_freq: float = 1.0
+
+    rgb_upsample_factor: int = 3
+    rgb_hidden_dim: int = 32
+
+    compensate_upsampling_when_rendering: bool = True
+    normalize_depth: bool = False
+    existence_probability_threshold: float = 0.5
+    eval_num_rays_per_chunk: int = 1 << 15
+
+    @property
+    def num_proposal_rounds(self) -> int:
+        return len(self.sampling.num_proposal_samples)
+
+
+@dataclass(frozen=True)
+class SegmentLayout:
+    """Static partition of the merged ray bundle (compile-time constants)."""
+
+    num_cam: int = 0
+    num_lidar: int = 0
+    num_radar_scans: int = 0
+    rays_per_scan: int = 0
+    patch_size: Tuple[int, int] = (1, 1)  # rendered (pre-upsample) patch
+
+    @property
+    def num_radar(self) -> int:
+        return self.num_radar_scans * self.rays_per_scan
+
+    @property
+    def total(self) -> int:
+        return self.num_cam + self.num_lidar + self.num_radar
+
+    def cam(self, x):
+        return x[: self.num_cam] if self.num_cam else None
+
+    def lidar(self, x):
+        return x[self.num_cam : self.num_cam + self.num_lidar] if self.num_lidar else None
+
+    def radar(self, x):
+        return x[self.num_cam + self.num_lidar :] if self.num_radar else None
+
+
+@dataclass(frozen=True)
+class SceneMeta:
+    """Static scene constants the model needs at construction."""
+
+    static_scale: float = 100.0  # scene_box.aabb.max()
+    duration: float = 10.0
+    num_sensors: int = 1
+    num_train_frames: int = 1  # camera-optimizer frame count
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+
+class NeuRadarModel(nn.Module):
+    """The joint model as a single flax module.
+
+    PRNG streams: 'sampling' (stratified bins), 'flip' (actor x-flip),
+    'dropout' (radar transformer).
+    """
+
+    config: NeuRadarModelConfig
+    scene: SceneMeta
+    trajectories: ActorTrajectories
+
+    def setup(self):
+        cfg = self.config
+        self.dynamic_actors = DynamicActors(trajectories=self.trajectories, config=cfg.dynamic_actors)
+        self.camera_optimizer = CameraOptimizer(config=cfg.camera_optimizer, num_cameras=self.scene.num_train_frames)
+
+        n_actors = self.trajectories.n_actors
+        self.field = NeuRADField(config=cfg.field, static_scale=self.scene.static_scale, n_actors=n_actors)
+        self.proposal_fields = [
+            NeuRADProposalField(
+                config=c, static_scale=self.scene.static_scale, n_actors=n_actors, name=f"proposal_field_{i}"
+            )
+            for i, c in enumerate((cfg.sampling.proposal_field_1, cfg.sampling.proposal_field_2))
+        ]
+
+        # appearance embedding (cf. models/neuradar.py:210-219)
+        if cfg.use_temporal_appearance:
+            self._embeds_per_sensor = max(1, int(-(-self.scene.duration * cfg.temporal_appearance_freq // 1)))
+        else:
+            self._embeds_per_sensor = 1
+        num_embeds = self.scene.num_sensors * self._embeds_per_sensor
+        self.appearance_embedding = nn.Embed(num_embeds, cfg.appearance_dim)
+
+        n_features = cfg.field.nff_out_dim + cfg.appearance_dim
+        self.rgb_decoder = RGBDecoder(hidden_dim=cfg.rgb_hidden_dim, upsample_factor=cfg.rgb_upsample_factor)
+        self.lidar_decoder = MLP(out_dim=2, num_layers=3, layer_width=32)
+        self.radar_decoder = RadarDecoder(d_model=n_features)
+        self.vgg_loss = VGGPerceptualLossPix2Pix()
+
+    # -- forward ------------------------------------------------------------
+
+    def __call__(self, ray_bundle: RayBundle, layout: SegmentLayout, train: bool = False) -> Dict[str, Any]:
+        return self.get_outputs(ray_bundle, layout, train)
+
+    def get_outputs(
+        self,
+        ray_bundle: RayBundle,
+        layout: SegmentLayout,
+        train: bool = False,
+        actor_edits: Optional[ActorEdits] = None,
+        intensity_for_cam: bool = False,
+    ) -> Dict[str, Any]:
+        cfg = self.config
+        if train and cfg.camera_optimizer.mode != "off":
+            ray_bundle = self.camera_optimizer.apply_to_raybundle(ray_bundle)
+
+        nff = self.get_nff_outputs(ray_bundle, layout, train, actor_edits)
+        features = nff.pop("features")
+
+        outputs = dict(nff)
+        # --- camera decode: patches through the upsampling CNN (:454-461)
+        cam_feats = layout.cam(features)
+        if cam_feats is not None:
+            ph, pw = layout.patch_size
+            patches = cam_feats.reshape(-1, ph, pw, cam_feats.shape[-1])
+            outputs["rgb"] = self.rgb_decoder(patches, train=train)
+
+        # --- lidar decode (:445-452)
+        lidar_feats = features if intensity_for_cam else layout.lidar(features)
+        if lidar_feats is not None:
+            decoded = self.lidar_decoder(lidar_feats)
+            outputs["intensity"] = jax.nn.sigmoid(decoded[..., :1]).astype(jnp.float32)
+            outputs["ray_drop_logits"] = decoded[..., 1:2].astype(jnp.float32)
+
+        # --- radar decode (:464-492)
+        radar_feats = layout.radar(features)
+        if radar_feats is not None:
+            ns, nr = layout.num_radar_scans, layout.rays_per_scan
+            radar_feats = radar_feats.reshape(ns, nr, radar_feats.shape[-1])
+            depth = layout.radar(outputs["depth"]).reshape(ns, nr, 1)
+            spher = layout.radar(ray_bundle.metadata["directions_spher"]).reshape(ns, nr, 2)
+            geometry = spherical_to_cartesian(depth, spher[..., 1:2], spher[..., 0:1])
+            radar_output, radar_angles = self.radar_decoder(radar_feats, geometry, train=train)
+            outputs["radar_output"] = radar_output
+            outputs["radar_angles"] = radar_angles
+
+        return outputs
+
+    def get_nff_outputs(
+        self,
+        ray_bundle: RayBundle,
+        layout: SegmentLayout,
+        train: bool = False,
+        actor_edits: Optional[ActorEdits] = None,
+    ) -> Dict[str, Any]:
+        """Neural-feature-field forward (cf. get_nff_outputs, :495-548)."""
+        cfg = self.config
+        ray_bundle = self._scale_pixel_area(ray_bundle, layout)
+
+        # sky clamp (cf. :570-576)
+        sky = cfg.sampling.sky_distance
+        fars = jnp.minimum(ray_bundle.fars, sky) if ray_bundle.fars is not None else jnp.full_like(
+            ray_bundle.pixel_area, sky
+        )
+        nears = ray_bundle.nears if ray_bundle.nears is not None else jnp.zeros_like(fars)
+        ray_bundle = ray_bundle.replace(nears=nears, fars=fars)
+
+        # actor candidates computed once for the bundle
+        flip_rng = self.make_rng("flip") if (train and cfg.field.grid.actor.flip_prob > EPS) else None
+        times = ray_bundle.times[..., 0] if ray_bundle.times is not None else jnp.zeros(layout.total)
+        candidates = self.dynamic_actors.get_ray_candidates(
+            times,
+            ray_bundle.origins,
+            ray_bundle.directions,
+            flip_rng=flip_rng,
+            flip_prob=cfg.field.grid.actor.flip_prob,
+            edits=actor_edits,
+        ) if self.trajectories.n_actors > 0 else None
+
+        density_fns = [
+            (lambda rs, f=f: f(rs, candidates)) for f in self.proposal_fields
+        ]
+        sampling_rng = self.make_rng("sampling") if train else None
+        ray_samples, weights_list, samples_list = proposal_network_sampler(
+            ray_bundle,
+            density_fns,
+            cfg.sampling.num_proposal_samples,
+            cfg.sampling.num_nerf_samples,
+            rng=sampling_rng,
+            single_jitter=cfg.sampling.single_jitter,
+            initial_sampler=lambda rb, n, rng=None, single_jitter=True: power_sampler(
+                rb, n, rng, single_jitter, lambda_=cfg.sampling.power_lambda, scaling=cfg.sampling.power_scaling
+            ),
+        )
+        ray_samples = _apply_sky_sample(ray_samples, sky)
+
+        field_out = self.field(ray_samples, candidates)
+        weights = self._render_weights(field_out, ray_samples)  # [R, S]
+        accumulation = jnp.sum(weights, axis=-1, keepdims=True)  # [R, 1]
+
+        # dump remaining probability mass on the sky sample (cf. :507-509)
+        weights_sky = jnp.concatenate([weights[..., :-1], weights[..., -1:] + 1 - accumulation], axis=-1)
+        features = jnp.sum(weights_sky[..., None] * field_out["feature"], axis=-2)  # [R, C]
+        if cfg.appearance_dim > 0:
+            appearance = self._get_appearance_embedding(ray_bundle, features)
+            features = jnp.concatenate([features, appearance], axis=-1)
+
+        # discard sky sample for depth / losses (cf. :514-517)
+        weights_main = weights_sky[..., :-1, None]  # [R, S-1, 1]
+        samples_main = _drop_last_sample(ray_samples)
+        depth = render_depth_simple(weights_main, samples_main)
+
+        outputs: Dict[str, Any] = {
+            "features": features,
+            "depth": depth,
+            "accumulation": accumulation,
+        }
+        outputs["weights_list"] = weights_list + [weights_main]
+        outputs["ray_samples_list"] = samples_list + [samples_main]
+
+        # proposal depths (cf. :527-531)
+        for i, (pw, prs) in enumerate(zip(weights_list, samples_list)):
+            outputs[f"prop_depth_{i}"] = render_depth_simple(pw, prs)
+
+        # lidar carving masks (cf. _compute_is_close_to_lidar, :971-994)
+        if train and layout.num_lidar > 0:
+            lidar_dist = layout.lidar(ray_bundle.metadata["directions_norm"])  # [Nl, 1]
+            did_return = layout.lidar(ray_bundle.metadata["did_return"])  # [Nl, 1]
+            for i, (pw, prs) in enumerate(zip(weights_list, samples_list)):
+                mask = self._not_close_to_lidar(layout, prs, lidar_dist, did_return)
+                outputs[f"prop_carving_sq_sum_{i}"] = jnp.sum((layout.lidar(pw[..., 0]) * mask) ** 2)
+            mask = self._not_close_to_lidar(layout, samples_main, lidar_dist, did_return)
+            outputs["carving_sq_sum"] = jnp.sum((layout.lidar(weights_main[..., 0]) * mask) ** 2)
+
+        return outputs
+
+    def _not_close_to_lidar(self, layout, ray_samples, lidar_dist, did_return) -> jax.Array:
+        """[Nl, S] mask of lidar samples NOT near the measured return."""
+        cfg = self.config.loss
+        starts = layout.lidar(ray_samples.frustums.starts[..., 0])  # [Nl, S]
+        ends = layout.lidar(ray_samples.frustums.ends[..., 0])
+        sample_dist = (starts + ends) * 0.5
+        close_to_hit = jnp.abs(lidar_dist - sample_dist) < cfg.carving_epsilon
+        in_range = sample_dist < cfg.non_return_lidar_distance
+        is_close = jnp.where(did_return, close_to_hit, in_range)
+        return ~is_close
+
+    def _render_weights(self, field_out: Dict[str, jax.Array], ray_samples: RaySamples) -> jax.Array:
+        """SDF->alpha or density path (cf. _render_weights, :1010-1023)."""
+        if self.config.field.use_sdf:
+            return render_weights_from_alpha(field_out["alpha"][..., 0])
+        return render_weights_from_density(
+            ray_samples.frustums.starts[..., 0], ray_samples.frustums.ends[..., 0], field_out["density"][..., 0]
+        )
+
+    def _scale_pixel_area(self, ray_bundle: RayBundle, layout: SegmentLayout) -> RayBundle:
+        """Camera rays render at 1/u resolution; grow their footprint by u^2
+        (cf. _scale_pixel_area, :996-1008)."""
+        u2 = float(self.config.rgb_upsample_factor**2)
+        pa = ray_bundle.pixel_area
+        if layout.num_cam == 0:
+            return ray_bundle
+        scaled = jnp.concatenate([pa[: layout.num_cam] * u2, pa[layout.num_cam :]], axis=0)
+        return ray_bundle.replace(pixel_area=scaled)
+
+    def _get_appearance_embedding(self, ray_bundle: RayBundle, features: jax.Array) -> jax.Array:
+        """Temporal-interpolated per-sensor appearance (cf. :550-568)."""
+        cfg = self.config
+        sensor_idx = ray_bundle.metadata.get("sensor_idxs")
+        if sensor_idx is None:
+            sensor_idx = jnp.zeros((features.shape[0], 1), jnp.int32)
+        sensor_idx = sensor_idx[..., 0].astype(jnp.int32)
+        if cfg.use_temporal_appearance:
+            eps_n = self._embeds_per_sensor
+            times = ray_bundle.times[..., 0] if ray_bundle.times is not None else jnp.zeros_like(features[..., 0])
+            time_idx = times / self.scene.duration * eps_n
+            before = jnp.clip(jnp.floor(time_idx), 0, eps_n - 1)
+            after = jnp.clip(before + 1, 0, eps_n - 1)
+            ratio = (time_idx - before)[..., None]
+            before_emb = self.appearance_embedding((before + sensor_idx * eps_n).astype(jnp.int32))
+            after_emb = self.appearance_embedding((after + sensor_idx * eps_n).astype(jnp.int32))
+            return before_emb * (1 - ratio) + after_emb * ratio
+        return self.appearance_embedding(sensor_idx)
+
+    # -- losses ---------------------------------------------------------------
+
+    def loss_and_metrics(
+        self, ray_bundle: RayBundle, batch: Dict[str, jax.Array], layout: SegmentLayout, train: bool = True
+    ):
+        """Forward + full loss dict (cf. get_metrics_dict/get_loss_dict,
+        models/neuradar.py:588-704). Returns (total_loss, (loss_dict,
+        metrics_dict, outputs))."""
+        cfg = self.config
+        conf = cfg.loss
+        outputs = self.get_outputs(ray_bundle, layout, train=train)
+        loss_dict: Dict[str, jax.Array] = {}
+        metrics: Dict[str, jax.Array] = {}
+
+        # ---- rgb
+        if "rgb" in outputs and "image" in batch:
+            image = batch["image"]
+            rgb = outputs["rgb"]
+            loss_dict["rgb_loss"] = jnp.mean((image - rgb) ** 2) * conf.rgb_mult
+            if conf.vgg_mult > 0.0:
+                loss_dict["vgg_loss"] = self.vgg_loss(rgb, image) * conf.vgg_mult
+            mse = jnp.mean((image - jax.lax.stop_gradient(rgb)) ** 2)
+            metrics["psnr"] = -10.0 * jnp.log10(mse)
+
+        # ---- lidar
+        if layout.num_lidar > 0 and "lidar_distance" in batch:
+            did_return = batch["did_return"][..., 0]  # [Nl]
+            term_depth = batch["lidar_distance"]  # [Nl, 1]
+            gt_intensity = batch["lidar_intensity"]  # [Nl, 1]
+            pred_depth = layout.lidar(outputs["depth"])  # [Nl, 1]
+            ray_drop_logits = outputs["ray_drop_logits"]
+            pred_intensity = outputs["intensity"]
+
+            metrics["depth_median_l2"] = _masked_median((pred_depth - term_depth)[..., 0] ** 2, did_return)
+            metrics["depth_mean_rel_l2"] = masked_mean(
+                ((pred_depth - term_depth) / term_depth)[..., 0] ** 2, did_return
+            )
+            metrics["intensity_rmse"] = jnp.sqrt(
+                masked_mean((pred_intensity - gt_intensity)[..., 0] ** 2, did_return)
+            )
+            metrics["ray_drop_accuracy"] = jnp.mean(
+                ((jax.nn.sigmoid(ray_drop_logits[..., 0]) > 0.5) == ~did_return).astype(jnp.float32)
+            )
+
+            if train:
+                nonret = conf.non_return_lidar_distance
+                ur_loss = _depth_l1_with_nonreturns(pred_depth, term_depth, did_return, nonret, conf.non_return_loss_mult)
+                quantile = jnp.quantile(jax.lax.stop_gradient(ur_loss), conf.quantile_threshold)
+                qmask = (ur_loss < quantile)[..., 0]
+                depth_loss = masked_mean(ur_loss[..., 0], qmask)
+                loss_dict["depth_loss"] = conf.depth_mult * depth_loss
+                metrics["depth_loss"] = depth_loss
+
+                qret = qmask & did_return
+                intensity_loss = masked_mean((gt_intensity - pred_intensity)[..., 0] ** 2, qret)
+                loss_dict["intensity_loss"] = conf.intensity_mult * intensity_loss
+
+                ray_drop = jnp.mean(
+                    binary_cross_entropy_with_logits(
+                        ray_drop_logits[..., 0], (~did_return).astype(jnp.float32)
+                    )
+                )
+                loss_dict["ray_drop_loss"] = conf.ray_drop_loss_mult * ray_drop
+
+                n_lidar = float(layout.num_lidar)
+                loss_dict["carving_loss"] = conf.carving_mult * outputs["carving_sq_sum"] / n_lidar
+
+                prop_d_mult = conf.prop_lidar_loss_mult * conf.depth_mult
+                prop_c_mult = conf.prop_lidar_loss_mult * conf.carving_mult
+                for i in range(cfg.num_proposal_rounds):
+                    p_depth = layout.lidar(outputs[f"prop_depth_{i}"])
+                    p_loss = _depth_l1_with_nonreturns(
+                        p_depth, term_depth, did_return, nonret, conf.non_return_loss_mult
+                    )
+                    loss_dict[f"depth_loss_{i}"] = prop_d_mult * jnp.mean(p_loss)
+                    loss_dict[f"carving_loss_{i}"] = prop_c_mult * outputs[f"prop_carving_sq_sum_{i}"] / n_lidar
+
+        # ---- radar
+        if "radar_output" in outputs and "radar_gt" in batch:
+            radar_loss, assoc = radar_utils.calculate_radar_loss(
+                batch["radar_gt"],
+                batch["radar_gt_mask"],
+                outputs["radar_output"],
+                loss_type=conf.radar_loss_type,
+                training=train,
+                assignment=conf.radar_assignment,
+            )
+            metrics["radar_loss"] = radar_loss
+            loss_dict["radar_loss"] = conf.radar_mult * radar_loss
+
+        # ---- interlevel / distortion (cf. :681-686)
+        if train:
+            wl, rsl = outputs["weights_list"], outputs["ray_samples_list"]
+            loss_dict["interlevel_loss"] = conf.interlevel_loss_mult * zipnerf_interlevel_loss(wl, rsl)
+            dist = distortion_loss(wl, rsl)
+            metrics["distortion"] = dist
+            loss_dict["distortion_loss"] = conf.distortion_loss_mult * dist
+            if cfg.camera_optimizer.mode != "off":
+                loss_dict["camera_opt_regularizer"] = self.camera_optimizer.regularization_loss()
+
+        total = jnp.asarray(0.0)
+        for v in loss_dict.values():
+            total = total + v
+        return total, (loss_dict, metrics, outputs)
+
+
+def _depth_l1_with_nonreturns(pred, target, did_return, nonret_dist, nonret_mult):
+    """L1 depth loss with the non-return target trick (cf. :615-622)."""
+    tgt = jnp.where(
+        did_return[..., None], target, jnp.maximum(jax.lax.stop_gradient(pred), nonret_dist)
+    )
+    loss = jnp.abs(tgt - pred)
+    return jnp.where(did_return[..., None], loss, loss * nonret_mult)
+
+
+def _masked_median(x: jax.Array, mask: jax.Array) -> jax.Array:
+    big = jnp.asarray(jnp.inf, x.dtype)
+    vals = jnp.sort(jnp.where(mask, x, big))
+    n = jnp.sum(mask)
+    idx = jnp.clip((n - 1) // 2, 0, x.shape[0] - 1)
+    hi = vals[jnp.clip(n // 2, 0, x.shape[0] - 1)]
+    lo = vals[idx]
+    return jnp.where(n > 0, (lo + hi) / 2, jnp.asarray(0.0, x.dtype))
+
+
+def _apply_sky_sample(ray_samples: RaySamples, sky_distance: float) -> RaySamples:
+    """Stretch the last sample to the sky (cf. models/neuradar.py:578-582)."""
+    ends = ray_samples.frustums.ends
+    dist_to_sky = sky_distance - ends[..., -1, 0]
+    new_ends = ends.at[..., -1, 0].add(dist_to_sky)
+    new_deltas = ray_samples.deltas.at[..., -1, 0].add(dist_to_sky)
+    new_sp_ends = (
+        ray_samples.spacing_ends.at[..., -1, 0].set(1 - EPS) if ray_samples.spacing_ends is not None else None
+    )
+    return ray_samples.replace(
+        frustums=ray_samples.frustums.replace(ends=new_ends),
+        deltas=new_deltas,
+        spacing_ends=new_sp_ends,
+    )
+
+
+def _drop_last_sample(ray_samples: RaySamples) -> RaySamples:
+    f = ray_samples.frustums
+    return ray_samples.replace(
+        frustums=f.replace(starts=f.starts[..., :-1, :], ends=f.ends[..., :-1, :]),
+        deltas=ray_samples.deltas[..., :-1, :],
+        spacing_starts=None if ray_samples.spacing_starts is None else ray_samples.spacing_starts[..., :-1, :],
+        spacing_ends=None if ray_samples.spacing_ends is None else ray_samples.spacing_ends[..., :-1, :],
+    )
