@@ -1,0 +1,98 @@
+"""Benchmark: train rays/sec on the flagship NeuRadar model, real hardware.
+
+Accounting matches the reference (engine/trainer.py:333-340):
+world_size x rays_per_batch / iteration_time, with the reference's default
+batch composition (40960 camera rays as 40x32^2 patches supervising 96^2 rgb,
+16384 lidar rays, 16 radar scans x full ZOD FoV grid = 54784 radar rays;
+BASELINE.md "Reference operating points").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to a nominal 100k train rays/sec for the CUDA
+reference on a modern GPU (the repo publishes no number — BASELINE.md §1).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 100_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from neuradar_tpu.data.datamanager import ADDataManagerConfig
+    from neuradar_tpu.data.dataparsers.synthetic import SyntheticDataParser, SyntheticDataParserConfig
+    from neuradar_tpu.engine.optimizers import build_optimizer, default_optimizer_groups
+    from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipeline, ADNeuRadarPipelineConfig
+
+    # Reference-scale scene proxy and the reference's default batch
+    parser_cfg = SyntheticDataParserConfig(num_frames=24, image_height=96, image_width=156,
+                                           lidar_points_per_scan=32768)
+    outputs = SyntheticDataParser(parser_cfg).get_dataparser_outputs()
+    pipe_cfg = ADNeuRadarPipelineConfig(
+        datamanager=ADDataManagerConfig(
+            num_rgb_patches=40, patch_size=32, num_lidar_rays=16384, num_radar_scans=16, max_radar_gt=256
+        )
+    )
+    pipe_cfg.model.loss.vgg_mult = 0.0  # no pretrained VGG in this image
+    pipeline = ADNeuRadarPipeline(pipe_cfg, outputs)
+    layout = pipeline.layout
+    rays_per_batch = layout.total
+
+    variables = pipeline.init_variables(0)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = build_optimizer(params, default_optimizer_groups(20001))
+    opt_state = tx.init(params)
+    loss_fn = pipeline.make_train_loss_fn()
+
+    @jax.jit
+    def train_step(params, opt_state, batch_stats, batch, rng):
+        (total, (loss_dict, metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, batch, rng
+        )
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state, new_bs, total
+
+    pipeline.datamanager.start_prefetch()
+    rng = jax.random.PRNGKey(0)
+
+    # warmup (compile)
+    batch = jax.tree.map(jnp.asarray, pipeline.datamanager.next_train())
+    params, opt_state, batch_stats, total = train_step(params, opt_state, batch_stats, batch, rng)
+    total.block_until_ready()
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        batch = jax.tree.map(jnp.asarray, pipeline.datamanager.next_train())
+        params, opt_state, batch_stats, total = train_step(
+            params, opt_state, batch_stats, batch, jax.random.fold_in(rng, i)
+        )
+    total.block_until_ready()
+    dt = time.perf_counter() - t0
+    pipeline.datamanager.stop()
+
+    world = jax.device_count()
+    rays_per_sec = world * rays_per_batch * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

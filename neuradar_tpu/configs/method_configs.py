@@ -1,0 +1,139 @@
+"""Method registry: named TrainerConfig presets.
+
+cf. reference nerfstudio/configs/method_configs.py:53-528. Method names match
+the reference's public CLI surface (neuradar, neurad, neurad-scaleopt, plus
+scaled variants); 'neuradar-synthetic' adds a data-free smoke/bench preset.
+External methods can register through the neuradar_tpu.plugins entry-point
+mechanism (plugins/registry.py).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Callable, Dict
+
+from neuradar_tpu.cameras.camera_optimizers import CameraOptimizerConfig, ScaledCameraOptimizerConfig
+from neuradar_tpu.data.datamanager import ADDataManagerConfig
+from neuradar_tpu.engine.optimizers import default_optimizer_groups
+from neuradar_tpu.engine.trainer import TrainerConfig
+from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipelineConfig
+
+method_configs: Dict[str, Callable[[], TrainerConfig]] = {}
+
+
+def _neuradar() -> TrainerConfig:
+    """cf. method_configs.py:367-413 (the 'neuradar' preset)."""
+    from neuradar_tpu.data.dataparsers.zod import ZodDataParserConfig
+
+    cfg = TrainerConfig(
+        method_name="neuradar",
+        steps_per_eval_batch=500,
+        steps_per_eval_image=2000,
+        steps_per_eval_all_images=20000,
+        steps_per_eval_all_radars=20000,
+        steps_per_save=10000,
+        max_num_iterations=20001,
+        mixed_precision=True,
+        pipeline=ADNeuRadarPipelineConfig(datamanager=ADDataManagerConfig()),
+        optimizers=default_optimizer_groups(20001),
+        dataparser=ZodDataParserConfig(add_missing_points=True),
+    )
+    cfg.pipeline.model.camera_optimizer = CameraOptimizerConfig(mode="off")
+    return cfg
+
+
+def _neuradar_vod() -> TrainerConfig:
+    from neuradar_tpu.data.dataparsers.vod import VodDataParserConfig
+
+    cfg = _neuradar()
+    cfg.method_name = "neuradar-vod"
+    cfg.dataparser = VodDataParserConfig()
+    return cfg
+
+
+def _neuradar_synthetic() -> TrainerConfig:
+    from neuradar_tpu.data.dataparsers.synthetic import SyntheticDataParserConfig
+
+    cfg = TrainerConfig(
+        method_name="neuradar-synthetic",
+        steps_per_eval_batch=500,
+        steps_per_eval_image=0,
+        steps_per_eval_all_images=2000,
+        steps_per_eval_all_radars=2000,
+        steps_per_save=1000,
+        max_num_iterations=2001,
+        pipeline=ADNeuRadarPipelineConfig(datamanager=ADDataManagerConfig()),
+        optimizers=default_optimizer_groups(2001),
+        dataparser=SyntheticDataParserConfig(),
+    )
+    cfg.pipeline.model.loss.vgg_mult = 0.0
+    return cfg
+
+
+def _neurad() -> TrainerConfig:
+    """Camera+lidar only (radar path disabled; cf. method_configs 'neurad')."""
+    cfg = _neuradar()
+    cfg.method_name = "neurad"
+    cfg.pipeline.datamanager.num_radar_scans = 0
+    cfg.pipeline.model.camera_optimizer = CameraOptimizerConfig(mode="SO3xR3")
+    return cfg
+
+
+def _neurad_scaleopt() -> TrainerConfig:
+    """cf. method_configs.py:417-427 (scaled camera optimizer for nuscenes)."""
+    cfg = _neurad()
+    cfg.method_name = "neurad-scaleopt"
+    cfg.pipeline.model.camera_optimizer = ScaledCameraOptimizerConfig(
+        mode="SO3xR3",
+        weights=(1.0, 1.0, 0.01, 0.01, 0.01, 1.0),
+        trans_l2_penalty=(1e-2, 1e-2, 1e-3),
+    )
+    return cfg
+
+
+def _scaled(base: Callable[[], TrainerConfig], scale: float, newname: str) -> Callable[[], TrainerConfig]:
+    """cf. _scaled_neurad_training (method_configs.py:429-442)."""
+
+    def make() -> TrainerConfig:
+        cfg = base()
+        cfg.method_name = newname
+        cfg.max_num_iterations = int((cfg.max_num_iterations - 1) * scale + 1)
+        cfg.steps_per_eval_batch = int(cfg.steps_per_eval_batch * scale)
+        cfg.steps_per_eval_image = int(cfg.steps_per_eval_image * scale)
+        cfg.steps_per_eval_all_images = int(cfg.steps_per_eval_all_images * scale)
+        cfg.steps_per_eval_all_radars = int(cfg.steps_per_eval_all_radars * scale)
+        cfg.steps_per_save = int(cfg.steps_per_save * scale)
+        cfg.optimizers = default_optimizer_groups(cfg.max_num_iterations)
+        return cfg
+
+    return make
+
+
+method_configs["neuradar"] = _neuradar
+method_configs["neuradar-vod"] = _neuradar_vod
+method_configs["neuradar-synthetic"] = _neuradar_synthetic
+method_configs["neurad"] = _neurad
+method_configs["neurad-scaleopt"] = _neurad_scaleopt
+method_configs["neurader"] = _scaled(_neurad, 3.0, "neurader")
+method_configs["neuradest"] = _scaled(_neurad, 5.0, "neuradest")
+
+method_descriptions = {
+    "neuradar": "Joint camera+lidar+radar NeuRadar on ZOD.",
+    "neuradar-vod": "NeuRadar on View-of-Delft.",
+    "neuradar-synthetic": "NeuRadar on the built-in synthetic scene (no dataset needed).",
+    "neurad": "Camera+lidar NeuRAD.",
+    "neurad-scaleopt": "NeuRAD with scaled camera optimization.",
+    "neurader": "NeuRAD 3x training schedule.",
+    "neuradest": "NeuRAD 5x training schedule.",
+}
+
+
+def get_method(name: str) -> TrainerConfig:
+    if name not in method_configs:
+        from neuradar_tpu.plugins.registry import discover_methods
+
+        external = discover_methods()
+        if name in external:
+            return external[name]()
+        raise KeyError(f"unknown method '{name}'; available: {sorted(method_configs)}")
+    return method_configs[name]()

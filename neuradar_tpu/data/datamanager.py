@@ -1,0 +1,316 @@
+"""Data manager: host-side sampling + device-side ray generation.
+
+cf. reference nerfstudio/data/datamanagers/* (ImageLidarRadarDataManager and
+the ScaledPatchSampler / LidarPointSampler / RadarPointSampler at
+data/pixel_samplers.py:485-694, 709-860). TPU re-design:
+
+* The reference's 8 mp.Process workers build RayBundles on CPU and ship them
+  whole. Here the host only samples *indices* (numpy, microseconds) — patch
+  corners, lidar point subsets, radar scan ids — and the rays are generated
+  INSIDE the jitted train step from device-resident sensor tables
+  (build_train_bundle). Host->device traffic per step is just ground truth.
+* A background thread prefetches host batches through a small queue
+  (replacing mp.Queue at image_lidar_datamanager.py:83-148).
+* Radar ground truth is padded to a static [num_scans, max_gt, 3] layout.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from neuradar_tpu.cameras.cameras import Cameras, generate_camera_rays
+from neuradar_tpu.cameras.lidars import Lidars
+from neuradar_tpu.cameras.radars import Radars, fov_grid
+from neuradar_tpu.cameras.rays import RayBundle
+from neuradar_tpu.data.dataparsers.base import DataparserOutputs
+from neuradar_tpu.models.neuradar import SegmentLayout
+
+
+@dataclass
+class ADDataManagerConfig:
+    """Batch composition (cf. ad_neuradar_datamanager.py:45-52 and
+    image_lidar_radar_datamanager.py:84-87: 40960 cam + 16384 lidar rays +
+    16 radar scans)."""
+
+    num_rgb_patches: int = 40
+    patch_size: int = 32  # rendered rays per patch side
+    num_lidar_rays: int = 16384
+    num_radar_scans: int = 16
+    max_radar_gt: int = 256
+    prefetch_depth: int = 4
+    seed: int = 42
+
+
+@struct.dataclass
+class SensorTables:
+    """Device-resident sensor tables (pytree)."""
+
+    cameras: Cameras
+    lidars: Lidars
+    radars: Radars
+    num_cam_frames: int = struct.field(pytree_node=False, default=0)
+    num_lidar_frames: int = struct.field(pytree_node=False, default=0)
+    num_radar_frames: int = struct.field(pytree_node=False, default=0)
+
+
+def build_sensor_tables(out: DataparserOutputs) -> SensorTables:
+    nc = len(out.camera_to_worlds)
+    cam_meta = {"sensor_idxs": jnp.asarray(out.camera_sensor_idxs[:, None], jnp.int32)}
+    if out.camera_velocities is not None and out.rolling_shutter_offsets is not None:
+        cam_meta["velocities"] = jnp.asarray(out.camera_velocities)
+        cam_meta["rolling_shutter_offsets"] = jnp.asarray(out.rolling_shutter_offsets)
+    cameras = Cameras(
+        camera_to_worlds=jnp.asarray(out.camera_to_worlds),
+        fx=jnp.asarray(out.intrinsics[:, 0:1]),
+        fy=jnp.asarray(out.intrinsics[:, 1:2]),
+        cx=jnp.asarray(out.intrinsics[:, 2:3]),
+        cy=jnp.asarray(out.intrinsics[:, 3:4]),
+        width=jnp.full((nc, 1), out.image_size[1], jnp.int32),
+        height=jnp.full((nc, 1), out.image_size[0], jnp.int32),
+        camera_type=jnp.asarray(out.camera_type[:, None], jnp.int32),
+        distortion_params=None if out.distortion_params is None else jnp.asarray(out.distortion_params),
+        times=jnp.asarray(out.camera_times[:, None], jnp.float32),
+        metadata=cam_meta,
+    )
+    lidar_meta = {"sensor_idxs": jnp.asarray(out.lidar_sensor_idxs[:, None], jnp.int32)}
+    if out.lidar_velocities is not None:
+        lidar_meta["velocities"] = jnp.asarray(out.lidar_velocities)
+    lidars = Lidars(
+        lidar_to_worlds=jnp.asarray(out.lidar_to_worlds),
+        lidar_type=jnp.zeros((len(out.lidar_to_worlds), 1), jnp.int32),
+        times=jnp.asarray(out.lidar_times[:, None], jnp.float32),
+        metadata=lidar_meta,
+    )
+    fov = out.radar_fov
+    radars = Radars(
+        radar_to_worlds=jnp.asarray(out.radar_to_worlds),
+        radar_type=jnp.zeros((len(out.radar_to_worlds), 1), jnp.int32),
+        fov_directions=jnp.asarray(
+            fov_grid(fov["min_azimuth"], fov["max_azimuth"], fov["min_elevation"], fov["max_elevation"],
+                     fov["azimuth_step"], fov["elevation_step"])
+        ),
+        times=jnp.asarray(out.radar_times[:, None], jnp.float32),
+        metadata={"sensor_idxs": jnp.asarray(out.radar_sensor_idxs[:, None], jnp.int32)},
+        azimuth_ray_divergence=fov["azimuth_step"],
+        elevation_ray_divergence=fov["elevation_step"],
+    )
+    return SensorTables(
+        cameras=cameras,
+        lidars=lidars,
+        radars=radars,
+        num_cam_frames=nc,
+        num_lidar_frames=len(out.lidar_to_worlds),
+        num_radar_frames=len(out.radar_to_worlds),
+    )
+
+
+def build_train_bundle(
+    tables: SensorTables,
+    batch: Dict[str, jax.Array],
+    layout: SegmentLayout,
+    rgb_upsample_factor: int = 3,
+) -> RayBundle:
+    """Assemble the merged [cam | lidar | radar] bundle inside jit.
+
+    The camera segment shoots one ray per upsample_factor x upsample_factor
+    GT pixel block, centered (cf. ScaledPatchSampler, pixel_samplers.py:709).
+    """
+    ps = layout.patch_size[0]
+    u = rgb_upsample_factor
+    # per-patch ray coords: centers of u x u blocks
+    grid = jnp.arange(ps) * u + u // 2
+    rr, cc = jnp.meshgrid(grid, grid, indexing="ij")
+    offsets = jnp.stack([rr.reshape(-1), cc.reshape(-1)], axis=-1)  # [ps*ps, 2]
+    coords = batch["patch_tl"][:, None, :] + offsets[None]  # [B, ps*ps, 2]
+    cam_idx = jnp.repeat(batch["cam_frame_idx"], ps * ps)
+    cam_bundle = generate_camera_rays(tables.cameras, cam_idx, coords.reshape(-1, 2))
+
+    lidar_bundle = tables.lidars.generate_rays(batch["lidar_scan_idx"], batch["lidar_points"])
+    radar_bundle = tables.radars.generate_rays(batch["radar_scan_idx"])
+
+    # frame-index offsets so the camera optimizer sees unique frame ids
+    lidar_bundle = lidar_bundle.replace(camera_indices=lidar_bundle.camera_indices + tables.num_cam_frames)
+    radar_bundle = radar_bundle.replace(
+        camera_indices=radar_bundle.camera_indices + tables.num_cam_frames + tables.num_lidar_frames
+    )
+    return merge_modality_bundles(cam_bundle, lidar_bundle, radar_bundle)
+
+
+def merge_modality_bundles(cam: Optional[RayBundle], lidar: Optional[RayBundle], radar: Optional[RayBundle]) -> RayBundle:
+    """Concatenate per-modality bundles, normalizing metadata keys
+    (cf. _merge_img_lidar_radar, image_lidar_radar_datamanager.py:335-409 —
+    but with static segment layout instead of boolean masks)."""
+    bundles = [b for b in (cam, lidar, radar) if b is not None]
+    keys = set()
+    for b in bundles:
+        keys |= set(b.metadata.keys())
+    for b in bundles:
+        n = b.origins.shape[0]
+        md = dict(b.metadata)
+        if "did_return" not in md and "did_return" in keys:
+            md["did_return"] = jnp.ones((n, 1), bool)
+        if "is_lidar" not in md and "is_lidar" in keys:
+            md["is_lidar"] = jnp.zeros((n, 1), bool)
+        if "is_radar" not in md and "is_radar" in keys:
+            md["is_radar"] = jnp.zeros((n, 1), bool)
+        if "directions_spher" not in md and "directions_spher" in keys:
+            md["directions_spher"] = jnp.zeros((n, 2), b.origins.dtype)
+        if "directions_norm" not in md:
+            md["directions_norm"] = jnp.ones((n, 1), b.origins.dtype)
+        if "sensor_idxs" not in md and "sensor_idxs" in keys:
+            md["sensor_idxs"] = jnp.zeros((n, 1), jnp.int32)
+        b.metadata.clear()
+        b.metadata.update(md)
+
+    def cat(field):
+        vals = [getattr(b, field) for b in bundles]
+        if any(v is None for v in vals):
+            return None
+        return jnp.concatenate(vals, axis=0)
+
+    metadata = {k: jnp.concatenate([b.metadata[k] for b in bundles], axis=0) for k in sorted(keys)}
+    return RayBundle(
+        origins=cat("origins"),
+        directions=cat("directions"),
+        pixel_area=cat("pixel_area"),
+        nears=cat("nears"),
+        fars=cat("fars"),
+        times=cat("times"),
+        camera_indices=cat("camera_indices"),
+        metadata=metadata,
+    )
+
+
+class ADDataManager:
+    """Host-side sampler + prefetcher."""
+
+    def __init__(self, outputs: DataparserOutputs, config: ADDataManagerConfig, rgb_upsample_factor: int = 3):
+        self.outputs = outputs
+        self.config = config
+        self.u = rgb_upsample_factor
+        self.rng = np.random.RandomState(config.seed)
+        self.tables = build_sensor_tables(outputs)
+
+        # host caches
+        self.images = outputs.images.astype(np.float32) / 255.0  # [Nc, H, W, 3]
+        self._pack_lidar(outputs)
+        self._pad_radar(outputs)
+        self._queue: Optional[queue.Queue] = None
+        self._stop = threading.Event()
+
+    # -- caches ------------------------------------------------------------
+
+    def _pack_lidar(self, out: DataparserOutputs) -> None:
+        train_scans = out.lidar_split.train
+        pts, scan_ids = [], []
+        for si in train_scans:
+            p = out.lidar_points[si]
+            pts.append(p)
+            scan_ids.append(np.full(len(p), si, np.int64))
+        self.lidar_points_packed = np.concatenate(pts, axis=0)
+        self.lidar_scan_ids_packed = np.concatenate(scan_ids, axis=0)
+
+    def _pad_radar(self, out: DataparserOutputs) -> None:
+        g = self.config.max_radar_gt
+        n = len(out.radar_points)
+        self.radar_gt = np.zeros((n, g, 3), np.float32)
+        self.radar_gt_mask = np.zeros((n, g), bool)
+        for i, p in enumerate(out.radar_points):
+            k = min(len(p), g)
+            self.radar_gt[i, :k] = p[:k, :3]
+            self.radar_gt_mask[i, :k] = True
+
+    # -- layout --------------------------------------------------------------
+
+    @property
+    def layout(self) -> SegmentLayout:
+        c = self.config
+        return SegmentLayout(
+            num_cam=c.num_rgb_patches * c.patch_size**2,
+            num_lidar=c.num_lidar_rays,
+            num_radar_scans=c.num_radar_scans,
+            rays_per_scan=int(self.tables.radars.rays_per_scan),
+            patch_size=(c.patch_size, c.patch_size),
+        )
+
+    # -- sampling ------------------------------------------------------------
+
+    def sample_train_batch(self) -> Dict[str, np.ndarray]:
+        c = self.config
+        out = self.outputs
+        H, W = out.image_size
+        gt_patch = c.patch_size * self.u
+
+        cam_frames = self.rng.choice(out.camera_split.train, size=c.num_rgb_patches)
+        tl_r = self.rng.randint(0, H - gt_patch + 1, size=c.num_rgb_patches)
+        tl_c = self.rng.randint(0, W - gt_patch + 1, size=c.num_rgb_patches)
+        rgb = np.stack(
+            [self.images[f, r : r + gt_patch, cc : cc + gt_patch] for f, r, cc in zip(cam_frames, tl_r, tl_c)]
+        )
+
+        pt_idx = self.rng.randint(0, len(self.lidar_points_packed), size=c.num_lidar_rays)
+        lidar_points = self.lidar_points_packed[pt_idx]
+        lidar_scan_idx = self.lidar_scan_ids_packed[pt_idx]
+
+        radar_scan_idx = self.rng.choice(out.radar_split.train, size=c.num_radar_scans)
+
+        return {
+            "cam_frame_idx": cam_frames.astype(np.int32),
+            "patch_tl": np.stack([tl_r, tl_c], axis=1).astype(np.int32),
+            "image": rgb.astype(np.float32),
+            "lidar_scan_idx": lidar_scan_idx.astype(np.int32),
+            "lidar_points": lidar_points.astype(np.float32),
+            "lidar_distance": np.linalg.norm(lidar_points[:, :3], axis=-1, keepdims=True).astype(np.float32),
+            "lidar_intensity": lidar_points[:, 3:4].astype(np.float32),
+            "did_return": (np.linalg.norm(lidar_points[:, :3], axis=-1, keepdims=True) < 1e3),
+            "radar_scan_idx": radar_scan_idx.astype(np.int32),
+            "radar_gt": self.radar_gt[radar_scan_idx],
+            "radar_gt_mask": self.radar_gt_mask[radar_scan_idx],
+        }
+
+    # -- prefetching -----------------------------------------------------------
+
+    def start_prefetch(self) -> None:
+        if self._queue is not None:
+            return
+        self._queue = queue.Queue(maxsize=self.config.prefetch_depth)
+
+        def worker():
+            while not self._stop.is_set():
+                batch = self.sample_train_batch()
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def next_train(self) -> Dict[str, np.ndarray]:
+        if self._queue is not None:
+            return self._queue.get()
+        return self.sample_train_batch()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    # -- eval helpers ------------------------------------------------------------
+
+    def eval_camera_indices(self) -> np.ndarray:
+        return self.outputs.camera_split.eval
+
+    def eval_radar_indices(self) -> np.ndarray:
+        return self.outputs.radar_split.eval
+
+    def eval_lidar_indices(self) -> np.ndarray:
+        return self.outputs.lidar_split.eval

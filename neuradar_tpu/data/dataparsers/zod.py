@@ -1,0 +1,250 @@
+"""ZOD (Zenseact Open Dataset) dataparser.
+
+cf. reference nerfstudio/data/dataparsers/zod_dataparser.py: front fisheye
+camera (hood-cropped), VLS-128 top lidar, front 4D radar (single .npy per
+sequence, quality < 3 filtered), auto-annotation actor boxes, and the shared
+AD pipeline (recenter world, zero-base times, linspaced eval split).
+
+Requires the `zod` devkit and the dataset on disk; both are imported lazily so
+the rest of the framework works without them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dataclass_field
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+from neuradar_tpu.cameras.cameras import CameraType
+from neuradar_tpu.data.dataparsers.base import (
+    DataparserOutputs,
+    linspaced_split,
+    recenter_poses,
+    scene_box_from_poses,
+    zero_base_times,
+)
+
+# OpenCV camera (x right, y down, z forward) -> our convention (x right,
+# y up, z backward), cf. ad_dataparser.OPENCV_TO_NERFSTUDIO.
+OPENCV_TO_NERF = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
+WLH_TO_LWH = np.array(
+    [[0, 1, 0, 0], [-1, 0, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float64
+)
+
+HOOD_HEIGHT = 750  # px cropped from the bottom (cf. zod_dataparser.py HOOD_HEIGHT)
+MAX_INTENSITY = 255.0
+ALLOWED_CATEGORIES = {"Vehicle", "LargeVehicle", "Motorcyclist", "Bicyclist", "Trailer"}
+DEFORMABLE_CATEGORIES = {"Pedestrian"}
+ZOD_RADAR_FOV = dict(
+    min_azimuth=-0.80, max_azimuth=0.80, min_elevation=-0.08, max_elevation=0.40,
+    azimuth_step=0.015, elevation_step=0.015,
+)
+
+
+@dataclass
+class ZodDataParserConfig:
+    """cf. ZodDataParserConfig (zod_dataparser.py:144-200)."""
+
+    sequence: str = "000581"
+    data: str = "data/zod"
+    version: str = "full"  # mini | full
+    cameras: Tuple[str, ...] = ("front",)
+    lidars: Tuple[str, ...] = ("top",)
+    radars: Tuple[str, ...] = ("front",)
+    add_missing_points: bool = True
+    radar_quality_threshold: int = 3
+    min_lidar_dist: Tuple[float, float, float] = (1.5, 3.0, 1.5)
+    eval_fraction: float = 0.125
+    image_downscale: int = 1
+
+    def setup(self) -> "ZodDataParser":
+        return ZodDataParser(self)
+
+
+class ZodDataParser:
+    def __init__(self, config: ZodDataParserConfig):
+        self.config = config
+
+    def get_dataparser_outputs(self) -> DataparserOutputs:
+        try:
+            from zod import ZodSequences
+            from zod.constants import Anonymization, Camera as ZodCamera, Lidar as ZodLidar
+        except ImportError as e:  # pragma: no cover - devkit not in CI image
+            raise ImportError(
+                "The 'zod' devkit is required for ZodDataParser (pip install zod). "
+                "Use the 'neuradar-synthetic' method for dataset-free runs."
+            ) from e
+
+        cfg = self.config
+        zod = ZodSequences(dataset_root=str(cfg.data), version=cfg.version)
+        seq = zod[cfg.sequence]
+
+        # ---- cameras (front fisheye, hood-cropped)
+        cam_frames = seq.info.get_camera_frames(anonymization=Anonymization.BLUR)
+        c2ws, intr, times, images, dists = [], [], [], [], []
+        calib = seq.calibration
+        cam_calib = calib.cameras[ZodCamera.FRONT]
+        for frame in cam_frames:
+            pose = seq.ego_motion.get_poses(frame.time.timestamp())  # ego->world 4x4
+            c2w = pose @ cam_calib.extrinsics.transform  # cam->world (OpenCV)
+            c2w = c2w[:3, :4].copy()
+            c2w[:3, :3] = c2w[:3, :3] @ OPENCV_TO_NERF
+            img = frame.read()[: -HOOD_HEIGHT]  # crop the hood
+            images.append(img)
+            c2ws.append(c2w)
+            intr.append(
+                [cam_calib.intrinsics[0, 0], cam_calib.intrinsics[1, 1],
+                 cam_calib.intrinsics[0, 2], cam_calib.intrinsics[1, 2]]
+            )
+            dists.append(np.concatenate([cam_calib.distortion, np.zeros(2)])[:6])
+            times.append(frame.time.timestamp())
+        images = np.stack(images)
+        c2ws = np.stack(c2ws).astype(np.float32)
+        cam_times = np.asarray(times, np.float64)
+
+        # ---- lidar (top VLS-128)
+        lidar_calib = calib.lidars[ZodLidar.VELODYNE]
+        lidar_frames = seq.info.get_lidar_frames()
+        l2ws, lidar_times, lidar_points = [], [], []
+        for frame in lidar_frames:
+            data = frame.read()
+            pose = seq.ego_motion.get_poses(np.median(data.timestamps))
+            l2w = (pose @ lidar_calib.extrinsics.transform)[:3, :4]
+            l2ws.append(l2w)
+            t_mid = float(np.median(data.timestamps))
+            lidar_times.append(t_mid)
+            pts_time = (data.timestamps - t_mid).astype(np.float32)
+            pts = np.concatenate(
+                [
+                    data.points.astype(np.float32),
+                    (data.intensity[:, None] / MAX_INTENSITY).astype(np.float32),
+                    pts_time[:, None],
+                    data.diode_idx[:, None].astype(np.float32),
+                ],
+                axis=1,
+            )
+            # remove ego-vehicle points (cf. ad_dataparser remove_ego_points)
+            d = np.linalg.norm(pts[:, :3] / np.asarray(cfg.min_lidar_dist), axis=-1)
+            lidar_points.append(pts[d > 1.0])
+        l2ws = np.stack(l2ws).astype(np.float32)
+        lidar_times = np.asarray(lidar_times, np.float64)
+
+        # ---- radar (front; whole-sequence npy split into per-scan clouds,
+        #      quality < threshold filter; features x,y,z,snr,range_rate,...)
+        radar_scans = _read_zod_radar(seq, cfg)
+        r2w = (calib.radars if hasattr(calib, "radars") else {})
+        radar_extr = _zod_radar_extrinsics(calib)
+        radar_times = np.asarray([t for t, _ in radar_scans], np.float64)
+        radar_points = [p for _, p in radar_scans]
+        r2ws = []
+        for t in radar_times:
+            pose = seq.ego_motion.get_poses(float(t))
+            r2ws.append((pose @ radar_extr)[:3, :4])
+        r2ws = np.stack(r2ws).astype(np.float32) if r2ws else np.zeros((0, 3, 4), np.float32)
+
+        # ---- actors from auto-annotations (cf. zod_dataparser.py:453-531)
+        trajectories = _zod_trajectories(seq)
+
+        # ---- shared AD pipeline
+        (time_sets, duration) = zero_base_times([cam_times, lidar_times, radar_times], trajectories)
+        cam_times, lidar_times, radar_times = time_sets
+        (pose_sets, center) = recenter_poses([c2ws, l2ws, r2ws])
+        c2ws, l2ws, r2ws = pose_sets
+        for traj in trajectories:
+            traj["poses"][:, :3, 3] -= center
+        box = scene_box_from_poses(pose_sets)
+
+        n_cam = len(c2ws)
+        return DataparserOutputs(
+            camera_to_worlds=c2ws,
+            intrinsics=np.asarray(intr, np.float32),
+            image_size=(images.shape[1], images.shape[2]),
+            camera_type=np.full(n_cam, int(CameraType.FISHEYE)),
+            distortion_params=np.asarray(dists, np.float32),
+            camera_times=cam_times.astype(np.float32),
+            camera_sensor_idxs=np.zeros(n_cam, np.int64),
+            images=images,
+            lidar_to_worlds=l2ws,
+            lidar_times=lidar_times.astype(np.float32),
+            lidar_sensor_idxs=np.ones(len(l2ws), np.int64),
+            lidar_points=lidar_points,
+            radar_to_worlds=r2ws,
+            radar_times=radar_times.astype(np.float32),
+            radar_sensor_idxs=np.full(len(r2ws), 2, np.int64),
+            radar_points=radar_points,
+            radar_fov=dict(ZOD_RADAR_FOV),
+            scene_box=box,
+            trajectories=trajectories,
+            duration=duration,
+            sensor_idx_to_name={0: "camera_front", 1: "lidar_velodyne", 2: "radar_front"},
+            camera_split=linspaced_split(n_cam, cfg.eval_fraction),
+            lidar_split=linspaced_split(len(l2ws), cfg.eval_fraction),
+            radar_split=linspaced_split(len(r2ws), cfg.eval_fraction),
+        )
+
+
+def _read_zod_radar(seq, cfg) -> list:
+    """Per-scan radar point clouds from the sequence-level npy
+    (cf. zod_dataparser.py:374-451)."""
+    radar_path = None
+    root = Path(cfg.data)
+    for cand in (root / "sequences" / cfg.sequence / "radar_front").glob("*.npy"):
+        radar_path = cand
+        break
+    scans = []
+    if radar_path is None:
+        return scans
+    raw = np.load(radar_path, allow_pickle=True)
+    # raw rows: [timestamp, x, y, z, snr, range_rate, mode, quality]
+    arr = np.asarray(raw)
+    if arr.dtype.fields is not None:
+        ts = arr["timestamp"]
+        xyz = np.stack([arr["x"], arr["y"], arr["z"]], axis=1)
+        quality = arr["quality"] if "quality" in arr.dtype.fields else np.zeros(len(arr))
+    else:
+        ts = arr[:, 0]
+        xyz = arr[:, 1:4]
+        quality = arr[:, -1]
+    good = quality < cfg.radar_quality_threshold
+    ts, xyz = ts[good], xyz[good]
+    for t in np.unique(ts):
+        scans.append((float(t), xyz[ts == t].astype(np.float32)))
+    return scans
+
+
+def _zod_radar_extrinsics(calib) -> np.ndarray:
+    try:
+        from zod.constants import Radar as ZodRadar
+
+        return calib.radars[ZodRadar.FRONT].extrinsics.transform
+    except Exception:  # noqa: BLE001 - older devkits
+        return np.eye(4)
+
+
+def _zod_trajectories(seq) -> list:
+    """Actor trajectories from the auto-annotation JSON
+    (cf. zod_dataparser.py:453-531)."""
+    trajectories = []
+    try:
+        annos = seq.get_annotation("object_detection")  # type: ignore[attr-defined]
+    except Exception:  # noqa: BLE001
+        return trajectories
+    by_uuid = {}
+    for frame in annos:
+        for obj in frame.get("objects", []):
+            if obj.get("name") not in ALLOWED_CATEGORIES | DEFORMABLE_CATEGORIES:
+                continue
+            by_uuid.setdefault(obj["uuid"], []).append((frame["timestamp"], obj))
+    for uuid, items in by_uuid.items():
+        items.sort(key=lambda x: x[0])
+        ts = np.asarray([t for t, _ in items], np.float64)
+        poses = np.stack([np.asarray(o["pose"], np.float64) @ WLH_TO_LWH for _, o in items])
+        dims = np.asarray(items[0][1]["size"], np.float32)[[1, 0, 2]]
+        name = items[0][1]["name"]
+        trajectories.append(
+            dict(timestamps=ts, poses=poses.astype(np.float32), dims=dims,
+                 symmetric=name in ALLOWED_CATEGORIES, deformable=name in DEFORMABLE_CATEGORIES)
+        )
+    return trajectories

@@ -1,0 +1,234 @@
+"""Trainer: jitted train step, eval cadence, checkpointing, early stopping.
+
+cf. reference nerfstudio/engine/trainer.py. Differences by design:
+* the whole optimization step (ray gen -> losses -> grads -> per-group
+  updates) is ONE jitted function; there is no GradScaler because TPU bf16
+  needs no loss scaling (trainer.py:549-598 uses AMP + GradScaler),
+* rays/sec accounting matches trainer.py:333-340 (world_size x rays/batch /
+  iteration time),
+* checkpoints are orbax trees {step, params, opt_state, batch_stats}
+  (cf. save_checkpoint at trainer.py:513-547),
+* MetricTracker implements the same margin-tolerant best tracking + early
+  stopping (trainer.py:60-106).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from dataclasses import dataclass, field as dataclass_field
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neuradar_tpu.engine.optimizers import OptimizerGroupConfig, build_optimizer, default_optimizer_groups
+from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipeline, ADNeuRadarPipelineConfig
+from neuradar_tpu.utils.writer import EventWriter
+
+
+@dataclass
+class MetricTrackerConfig:
+    """cf. trainer.py:137-140."""
+
+    metric: str = "loss"
+    margin: float = 0.05
+    patience: int = 3
+
+
+class MetricTracker:
+    """Margin-tolerant best tracking + degradation detection (trainer.py:60-106)."""
+
+    def __init__(self, config: MetricTrackerConfig):
+        self.config = config
+        self.best: Optional[float] = None
+        self.num_degradations = 0
+
+    def update(self, value: float) -> bool:
+        """Returns True if the metric degraded past the margin."""
+        if self.best is None or value < self.best:
+            self.best = value
+            self.num_degradations = 0
+            return False
+        if value > self.best * (1 + self.config.margin):
+            self.num_degradations += 1
+        return self.num_degradations > 0
+
+    @property
+    def should_stop(self) -> bool:
+        return self.num_degradations >= self.config.patience
+
+
+@dataclass
+class TrainerConfig:
+    """cf. reference TrainerConfig (engine/trainer.py:109-156) and the
+    neuradar method preset (configs/method_configs.py:367-413)."""
+
+    method_name: str = "neuradar"
+    experiment_name: str = "synthetic"
+    output_dir: str = "outputs"
+    pipeline: ADNeuRadarPipelineConfig = dataclass_field(default_factory=ADNeuRadarPipelineConfig)
+    optimizers: Optional[Dict[str, OptimizerGroupConfig]] = None
+
+    max_num_iterations: int = 20001
+    steps_per_eval_batch: int = 500
+    steps_per_eval_image: int = 2000
+    steps_per_eval_all_images: int = 20000
+    steps_per_eval_all_radars: int = 20000
+    steps_per_save: int = 10000
+    steps_per_log: int = 100
+    mixed_precision: bool = True
+    seed: int = 42
+    save_only_latest_checkpoint: bool = True
+    load_dir: Optional[str] = None
+    early_stopping: bool = False
+    tracker: MetricTrackerConfig = dataclass_field(default_factory=MetricTrackerConfig)
+    dataparser: Any = None  # set by method configs / CLI
+
+
+class Trainer:
+    def __init__(self, config: TrainerConfig, dataparser_outputs=None):
+        self.config = config
+        if dataparser_outputs is None:
+            assert config.dataparser is not None, "TrainerConfig.dataparser or explicit outputs required"
+            dataparser_outputs = config.dataparser.setup().get_dataparser_outputs()
+        self.pipeline = ADNeuRadarPipeline(config.pipeline, dataparser_outputs)
+        self.writer = EventWriter(log_dir=self._run_dir / "logs")
+        self.tracker = MetricTracker(config.tracker)
+        self._step = 0
+
+    @property
+    def _run_dir(self) -> Path:
+        return Path(self.config.output_dir) / self.config.experiment_name / self.config.method_name
+
+    # -- setup --------------------------------------------------------------
+
+    def setup(self):
+        cfg = self.config
+        self.variables = self.pipeline.init_variables(cfg.seed)
+        self.params = self.variables["params"]
+        self.batch_stats = self.variables.get("batch_stats", {})
+        groups = cfg.optimizers or default_optimizer_groups(cfg.max_num_iterations)
+        self.tx = build_optimizer(self.params, groups)
+        self.opt_state = self.tx.init(self.params)
+        if cfg.load_dir:
+            self.load_checkpoint(cfg.load_dir)
+        self._train_step = self._build_train_step()
+        self.pipeline.datamanager.start_prefetch()
+
+    def _build_train_step(self):
+        loss_fn = self.pipeline.make_train_loss_fn()
+        tx = self.tx
+
+        @jax.jit
+        def train_step(params, opt_state, batch_stats, batch, rng):
+            (total, (loss_dict, metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, batch, rng
+            )
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt_state, new_bs, total, loss_dict, metrics
+
+        return train_step
+
+    # -- loop ----------------------------------------------------------------
+
+    def train(self, num_iterations: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.config
+        n_iters = num_iterations or cfg.max_num_iterations
+        layout = self.pipeline.layout
+        rays_per_batch = layout.total
+        rng = jax.random.PRNGKey(cfg.seed)
+        last_metrics: Dict[str, float] = {}
+
+        t_train_start = time.perf_counter()
+        for local_i in range(n_iters):
+            step = self._step
+            t0 = time.perf_counter()
+            batch = self.pipeline.datamanager.next_train()
+            batch = jax.tree.map(jnp.asarray, batch)
+            step_rng = jax.random.fold_in(rng, step)
+            self.params, self.opt_state, self.batch_stats, total, loss_dict, metrics = self._train_step(
+                self.params, self.opt_state, self.batch_stats, batch, step_rng
+            )
+
+            if step % cfg.steps_per_log == 0 or local_i == n_iters - 1:
+                total = float(total)  # sync
+                dt = time.perf_counter() - t0
+                n_dev = jax.device_count()
+                scalars = {k: float(v) for k, v in {**loss_dict, **metrics}.items()}
+                scalars["loss"] = total
+                scalars["train_rays_per_sec"] = rays_per_batch / dt
+                scalars["iter_train_time"] = dt
+                self.writer.put_scalars(step, scalars)
+                last_metrics = scalars
+
+            if cfg.steps_per_save and step > 0 and step % cfg.steps_per_save == 0:
+                self.save_checkpoint()
+            if cfg.steps_per_eval_all_radars and step > 0 and step % cfg.steps_per_eval_all_radars == 0:
+                radar_metrics = self.pipeline.get_average_eval_radar_metrics(self.eval_variables())
+                self.writer.put_scalars(step, radar_metrics)
+                last_metrics.update(radar_metrics)
+            if cfg.steps_per_eval_all_images and step > 0 and step % cfg.steps_per_eval_all_images == 0:
+                img_metrics = self.pipeline.get_average_eval_image_metrics(self.eval_variables())
+                self.writer.put_scalars(step, img_metrics)
+                last_metrics.update(img_metrics)
+                if cfg.early_stopping and self.tracker.update(-img_metrics["psnr"]) and self.tracker.should_stop:
+                    break
+            self._step += 1
+
+        last_metrics["total_train_time"] = time.perf_counter() - t_train_start
+        self.save_checkpoint()
+        self.pipeline.datamanager.stop()
+        return last_metrics
+
+    def eval_variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    # -- checkpointing ------------------------------------------------------------
+
+    def save_checkpoint(self) -> Path:
+        import orbax.checkpoint as ocp
+
+        ckpt_dir = (self._run_dir / "checkpoints").absolute()
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        path = ckpt_dir / f"step-{self._step:09d}"
+        ckptr = ocp.StandardCheckpointer()
+        state = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "batch_stats": self.batch_stats,
+            "step": jnp.asarray(self._step),
+        }
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+        if self.config.save_only_latest_checkpoint:
+            for old in sorted(ckpt_dir.glob("step-*"))[:-1]:
+                import shutil
+
+                shutil.rmtree(old, ignore_errors=True)
+        return path
+
+    def load_checkpoint(self, load_dir: str, step: Optional[int] = None) -> None:
+        import orbax.checkpoint as ocp
+
+        ckpt_dir = Path(load_dir).absolute()
+        candidates = sorted(ckpt_dir.glob("step-*"))
+        assert candidates, f"no checkpoints under {ckpt_dir}"
+        path = candidates[-1] if step is None else ckpt_dir / f"step-{step:09d}"
+        ckptr = ocp.StandardCheckpointer()
+        template = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "batch_stats": self.batch_stats,
+            "step": jnp.asarray(0),
+        }
+        restored = ckptr.restore(path, template)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.batch_stats = restored["batch_stats"]
+        self._step = int(restored["step"])

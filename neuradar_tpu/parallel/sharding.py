@@ -1,0 +1,61 @@
+"""Data-parallel sharding over the ray axis via jax.sharding.
+
+Replaces the reference's DDP/NCCL stack (scripts/train.py:110-231,
+pipelines/base_pipeline.py:305-307, utils/comms.py): instead of one process
+per GPU with gradient all-reduce hooks, we annotate the batch's leading
+(ray / patch / scan) axes with a 'data' mesh axis and let XLA insert the
+psum for gradients — collectives ride ICI automatically. Multi-host runs
+call jax.distributed.initialize() and use the same mesh.
+
+The ray workload is embarrassingly parallel until the loss reduction, so pure
+DP is the natural mapping (SURVEY.md §5); hash tables stay replicated (they
+are the "model" and fit in HBM).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()[: n_devices or jax.device_count()]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading axis (patches / rays / scans) across devices."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Device-put each leaf sharded along axis 0 (leading dim must divide
+    the mesh size — the datamanager's batch sizes are chosen accordingly)."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def multichip_train_step(train_step_fn, mesh: Mesh, axis_name: str = "data"):
+    """Wrap a (params, opt_state, batch_stats, batch, rng) step with
+    replicated-state / sharded-batch in_shardings. XLA propagates the ray
+    sharding through ray-gen, sampling and field eval, and inserts the
+    gradient all-reduce at the loss mean."""
+    state_s = replicated(mesh)
+    batch_s = batch_sharding(mesh, axis_name)
+    return jax.jit(
+        train_step_fn,
+        in_shardings=(state_s, state_s, state_s, batch_s, state_s),
+        out_shardings=(state_s, state_s, state_s, state_s, state_s, state_s),
+    )

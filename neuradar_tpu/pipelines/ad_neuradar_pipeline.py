@@ -1,0 +1,255 @@
+"""AD NeuRadar pipeline: binds datamanager + model + eval loops.
+
+cf. reference nerfstudio/pipelines/ad_neuradar_pipeline.py (and ad_pipeline /
+base_pipeline). The pipeline owns the jitted train/eval step functions; data
+parallelism over the ray axis is a sharding annotation on the batch (see
+neuradar_tpu/parallel/sharding.py), not a DDP wrapper
+(cf. base_pipeline.py:305-307).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field as dataclass_field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuradar_tpu.cameras.cameras import generate_camera_rays
+from neuradar_tpu.cameras.rays import RayBundle
+from neuradar_tpu.data.datamanager import (
+    ADDataManager,
+    ADDataManagerConfig,
+    build_train_bundle,
+    merge_modality_bundles,
+)
+from neuradar_tpu.data.dataparsers.base import DataparserOutputs
+from neuradar_tpu.model_components import radar_utils
+from neuradar_tpu.model_components.dynamic_actors import trajectories_from_dicts
+from neuradar_tpu.model_components.gospa import calculate_gospa
+from neuradar_tpu.models.neuradar import NeuRadarModel, NeuRadarModelConfig, SceneMeta, SegmentLayout
+
+RNG_STREAMS = ("sampling", "flip", "dropout")
+
+
+@dataclass
+class ADNeuRadarPipelineConfig:
+    """cf. ADNeuRadarPipelineConfig (ad_neuradar_pipeline.py:30-41)."""
+
+    datamanager: ADDataManagerConfig = dataclass_field(default_factory=ADDataManagerConfig)
+    model: NeuRadarModelConfig = dataclass_field(default_factory=NeuRadarModelConfig)
+    calc_fid_steps: Tuple[int, ...] = (99999999,)
+    radar_sampling_rounds: int = 10
+
+
+class ADNeuRadarPipeline:
+    """Owns model + datamanager and the pure step functions."""
+
+    def __init__(self, config: ADNeuRadarPipelineConfig, outputs: DataparserOutputs):
+        self.config = config
+        self.outputs = outputs
+        self.datamanager = ADDataManager(
+            outputs, config.datamanager, rgb_upsample_factor=config.model.rgb_upsample_factor
+        )
+        self.layout = self.datamanager.layout
+        scene = SceneMeta(
+            static_scale=float(np.abs(outputs.scene_box.aabb).max()),
+            duration=float(outputs.duration),
+            num_sensors=len(outputs.sensor_idx_to_name),
+            num_train_frames=int(
+                len(outputs.camera_to_worlds)
+                + len(outputs.lidar_to_worlds)
+                + len(outputs.radar_to_worlds)
+            ),
+        )
+        self.model = NeuRadarModel(
+            config=config.model,
+            scene=scene,
+            trajectories=trajectories_from_dicts(outputs.trajectories),
+        )
+
+    # -- init ------------------------------------------------------------------
+
+    def init_variables(self, seed: int = 0):
+        batch = jax.tree.map(jnp.asarray, self.datamanager.sample_train_batch())
+        bundle = build_train_bundle(
+            self.datamanager.tables, batch, self.layout, self.config.model.rgb_upsample_factor
+        )
+        rngs = {name: jax.random.PRNGKey(seed + i) for i, name in enumerate(("params",) + RNG_STREAMS)}
+        variables = self.model.init(
+            rngs, bundle, batch, self.layout, train=True, method=NeuRadarModel.loss_and_metrics
+        )
+        return variables
+
+    # -- train step ---------------------------------------------------------------
+
+    def make_train_loss_fn(self):
+        """Returns loss_fn(params, batch_stats, host_batch, rng) suitable for
+        jax.value_and_grad inside the trainer's jitted step."""
+        model = self.model
+        layout = self.layout
+        tables = self.datamanager.tables
+        u = self.config.model.rgb_upsample_factor
+
+        def loss_fn(params, batch_stats, batch, rng):
+            bundle = build_train_bundle(tables, batch, layout, u)
+            rngs = {name: jax.random.fold_in(rng, i) for i, name in enumerate(RNG_STREAMS)}
+            (total, (loss_dict, metrics, _outputs)), mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                bundle,
+                batch,
+                layout,
+                train=True,
+                method=NeuRadarModel.loss_and_metrics,
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            return total, (loss_dict, metrics, mutated.get("batch_stats", batch_stats))
+
+        return loss_fn
+
+    # -- eval ------------------------------------------------------------------
+
+    @functools.cached_property
+    def _eval_nff_chunk(self):
+        """Jitted chunked NFF forward for eval renders."""
+        model = self.model
+
+        @functools.partial(jax.jit, static_argnames=("layout",))
+        def run(variables, bundle, layout):
+            outputs = model.apply(
+                variables, bundle, layout, False, method=NeuRadarModel.get_outputs,
+            )
+            return outputs
+
+        return run
+
+    def render_camera(self, variables, cam_idx: int) -> Dict[str, np.ndarray]:
+        """Full-image render at 1/upsample resolution, CNN-upsampled
+        (cf. get_outputs_for_camera_ray_bundle, models/neuradar.py:905-969)."""
+        out = self.outputs
+        u = self.config.model.rgb_upsample_factor
+        H, W = out.image_size
+        h, w = H // u, W // u
+        rows = np.arange(h) * u + u // 2
+        cols = np.arange(w) * u + u // 2
+        rr, cc = np.meshgrid(rows, cols, indexing="ij")
+        coords = jnp.asarray(np.stack([rr.reshape(-1), cc.reshape(-1)], axis=1))
+        cam_ids = jnp.full((coords.shape[0],), cam_idx, jnp.int32)
+        layout = SegmentLayout(num_cam=coords.shape[0], patch_size=(h, w))
+        bundle = generate_camera_rays(self.datamanager.tables.cameras, cam_ids, coords)
+        bundle = merge_modality_bundles(bundle, None, None)
+        outputs = self._eval_nff_chunk(variables, bundle, layout)
+        return {
+            "rgb": np.asarray(outputs["rgb"][0]),
+            "depth": np.asarray(outputs["depth"]).reshape(h, w),
+            "accumulation": np.asarray(outputs["accumulation"]).reshape(h, w),
+        }
+
+    def render_radar(self, variables, scan_idx: int) -> Dict[str, np.ndarray]:
+        """Render one radar scan -> multi-Bernoulli output [n_mb, 7]."""
+        tables = self.datamanager.tables
+        bundle = tables.radars.generate_rays(jnp.asarray([scan_idx], jnp.int32))
+        layout = SegmentLayout(num_radar_scans=1, rays_per_scan=int(tables.radars.rays_per_scan))
+        bundle = merge_modality_bundles(None, None, bundle)
+        outputs = self._eval_nff_chunk(variables, bundle, layout)
+        return {"radar_output": np.asarray(outputs["radar_output"][0])}
+
+    def render_lidar(self, variables, scan_idx: int, max_points: int = 16384) -> Dict[str, np.ndarray]:
+        """Render rays for a (subsampled) lidar scan."""
+        pts = self.outputs.lidar_points[scan_idx]
+        if len(pts) > max_points:
+            sel = np.random.RandomState(0).choice(len(pts), max_points, replace=False)
+            pts = pts[sel]
+        else:
+            pad = max_points - len(pts)
+            pts = np.concatenate([pts, np.repeat(pts[-1:], pad, axis=0)], axis=0)
+        bundle = self.datamanager.tables.lidars.generate_rays(
+            jnp.full((max_points,), scan_idx, jnp.int32), jnp.asarray(pts)
+        )
+        layout = SegmentLayout(num_lidar=max_points)
+        bundle = merge_modality_bundles(None, bundle, None)
+        outputs = self._eval_nff_chunk(variables, bundle, layout)
+        return {
+            "depth": np.asarray(outputs["depth"]),
+            "intensity": np.asarray(outputs["intensity"]),
+            "ray_drop_prob": 1 / (1 + np.exp(-np.asarray(outputs["ray_drop_logits"]))),
+            "points": pts,
+        }
+
+    def get_average_eval_radar_metrics(
+        self, variables, rng: Optional[jax.Array] = None, sampling_rounds: Optional[int] = None
+    ) -> Dict[str, float]:
+        """Chamfer/EMD/GOSPA over all eval radar scans
+        (cf. ad_neuradar_pipeline.py:140-194 and models/neuradar.py:848-903)."""
+        cfg = self.config.model
+        loss_type = cfg.loss.radar_loss_type
+        rounds = sampling_rounds or (self.config.radar_sampling_rounds if loss_type == "nll" else 1)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        chamfers, emds, gospas, locs, misses, falses = ([] for _ in range(6))
+        for scan_idx in self.datamanager.eval_radar_indices():
+            ro = self.render_radar(variables, int(scan_idx))["radar_output"]
+            gt = self.outputs.radar_points[int(scan_idx)][:, :3]
+            for i in range(rounds):
+                rng, sub = jax.random.split(rng)
+                pts, keep = radar_utils.sample_radar_points(
+                    jnp.asarray(ro), loss_type, rng=sub, threshold=cfg.existence_probability_threshold
+                )
+                pred = np.asarray(pts)[np.asarray(keep)]
+                if len(pred) and len(gt):
+                    chamfers.append(radar_utils.chamfer_distance_np(pred, gt))
+                    emds.append(radar_utils.emd_distance_np(pred, gt))
+                elif len(gt):
+                    d = float(np.linalg.norm(gt, axis=-1).mean())
+                    chamfers.append(d)
+                    emds.append(d)
+                g, _, loc, miss, false = calculate_gospa(gt, pred)
+                gospas.append(g)
+                locs.append(loc)
+                misses.append(miss)
+                falses.append(false)
+        return {
+            "chamfer_distance_radar_mean": float(np.mean(chamfers)) if chamfers else 0.0,
+            "chamfer_distance_radar_median": float(np.median(chamfers)) if chamfers else 0.0,
+            "chamfer_distance_radar_std": float(np.std(chamfers)) if chamfers else 0.0,
+            "emd_distance_radar_mean": float(np.mean(emds)) if emds else 0.0,
+            "emd_distance_radar_median": float(np.median(emds)) if emds else 0.0,
+            "gospa_mean": float(np.mean(gospas)) if gospas else 0.0,
+            "gospa_loc_mean": float(np.mean(locs)) if locs else 0.0,
+            "gospa_missed_mean": float(np.mean(misses)) if misses else 0.0,
+            "gospa_false_mean": float(np.mean(falses)) if falses else 0.0,
+        }
+
+    def get_average_eval_image_metrics(self, variables) -> Dict[str, float]:
+        """PSNR/SSIM over all eval images (cf. ad_pipeline.py:146-294)."""
+        psnrs, ssims = [], []
+        u = self.config.model.rgb_upsample_factor
+        for cam_idx in self.datamanager.eval_camera_indices():
+            rend = self.render_camera(variables, int(cam_idx))
+            gt = self.outputs.images[int(cam_idx)].astype(np.float32) / 255.0
+            h, w = rend["rgb"].shape[:2]
+            gt = gt[: h, : w]
+            mse = float(np.mean((rend["rgb"] - gt) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+            ssims.append(_ssim_np(rend["rgb"], gt))
+        return {
+            "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
+            "ssim": float(np.mean(ssims)) if ssims else 0.0,
+        }
+
+
+def _ssim_np(a: np.ndarray, b: np.ndarray, c1=0.01**2, c2=0.03**2, win=7) -> float:
+    """Simple windowed SSIM (uniform window), data range 1.0."""
+    from scipy.ndimage import uniform_filter
+
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mu_a = uniform_filter(a, size=(win, win, 1))
+    mu_b = uniform_filter(b, size=(win, win, 1))
+    var_a = uniform_filter(a * a, size=(win, win, 1)) - mu_a**2
+    var_b = uniform_filter(b * b, size=(win, win, 1)) - mu_b**2
+    cov = uniform_filter(a * b, size=(win, win, 1)) - mu_a * mu_b
+    ssim = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / ((mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2))
+    return float(ssim.mean())

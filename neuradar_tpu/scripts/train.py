@@ -1,0 +1,69 @@
+"""Train entrypoint: `python -m neuradar_tpu.scripts.train <method> [--a.b value]`.
+
+cf. reference nerfstudio/scripts/train.py (tyro CLI, :265-278): same shape —
+a method subcommand picks a TrainerConfig preset, dotted overrides tweak any
+field, the resolved config is saved alongside checkpoints as YAML-ish JSON.
+
+Multi-process launch (the reference's mp.spawn DDP at train.py:110-231) is
+replaced by jax process semantics: single-process-per-host, all local devices
+driven by one train step with sharded batches; multi-host adds
+jax.distributed.initialize() (see neuradar_tpu/parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+from pathlib import Path
+
+
+def _config_to_jsonable(obj):
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {f.name: _config_to_jsonable(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, dict):
+        return {k: _config_to_jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_config_to_jsonable(v) for v in obj]
+    if isinstance(obj, (int, float, str, bool)) or obj is None:
+        return obj
+    return repr(obj)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    from neuradar_tpu.configs.cli import describe, parse_overrides
+    from neuradar_tpu.configs.method_configs import get_method, method_configs, method_descriptions
+
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: train.py <method> [--path.to.field value]...")
+        print("methods:")
+        for name in sorted(method_configs):
+            print(f"  {name}: {method_descriptions.get(name, '')}")
+        return 0
+
+    method = argv.pop(0)
+    config = get_method(method)
+    if argv and argv[0] in ("-h", "--help"):
+        print(f"overridable fields for {method}:")
+        print("\n".join(describe(config)))
+        return 0
+    parse_overrides(config, argv)
+
+    from neuradar_tpu.engine.trainer import Trainer
+
+    trainer = Trainer(config)
+    run_dir = trainer._run_dir
+    run_dir.mkdir(parents=True, exist_ok=True)
+    (run_dir / "config.json").write_text(json.dumps(_config_to_jsonable(config), indent=2))
+    print(f"[train] method={method} -> {run_dir}")
+
+    trainer.setup()
+    metrics = trainer.train()
+    (run_dir / "final_metrics.json").write_text(json.dumps(metrics, indent=2))
+    print(json.dumps({k: round(v, 5) for k, v in metrics.items() if isinstance(v, float)}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,39 @@
+"""Metrics/event writer: buffered scalar logging to JSONL + terminal.
+
+cf. reference nerfstudio/utils/writer.py (EVENT_STORAGE + Wandb/TensorBoard/
+LocalWriter backends). This environment has no wandb/tensorboard; events go
+to a JSONL file (machine-readable) and a compact terminal line. The public
+put_scalar/put_dict surface mirrors the reference's.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+
+class EventWriter:
+    def __init__(self, log_dir: Optional[Path] = None, verbose: bool = True):
+        self.verbose = verbose
+        self.log_path = None
+        if log_dir is not None:
+            log_dir = Path(log_dir)
+            log_dir.mkdir(parents=True, exist_ok=True)
+            self.log_path = log_dir / "events.jsonl"
+        self._t0 = time.time()
+
+    def put_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+        record = {"step": step, "wall_time": time.time() - self._t0}
+        record.update({k: float(v) for k, v in scalars.items()})
+        if self.log_path is not None:
+            with open(self.log_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
+        if self.verbose:
+            keys = ("loss", "psnr", "train_rays_per_sec", "radar_loss", "depth_loss")
+            shown = " ".join(f"{k}={record[k]:.4g}" for k in keys if k in record)
+            print(f"[step {step:6d}] {shown}", flush=True)
+
+    def put_scalar(self, step: int, name: str, value: float) -> None:
+        self.put_scalars(step, {name: value})

@@ -1,0 +1,99 @@
+"""End-to-end training smoke test on the synthetic dataset: the full
+pipeline (dataparser -> datamanager -> jitted step -> eval -> checkpoint)
+on CPU with a tiny configuration."""
+
+import numpy as np
+import pytest
+
+from neuradar_tpu.data.dataparsers.synthetic import SyntheticDataParser, SyntheticDataParserConfig
+from neuradar_tpu.data.datamanager import ADDataManagerConfig
+from neuradar_tpu.engine.trainer import Trainer, TrainerConfig
+from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipelineConfig
+
+
+def tiny_outputs():
+    cfg = SyntheticDataParserConfig(num_frames=8, image_height=48, image_width=72, lidar_points_per_scan=512)
+    out = SyntheticDataParser(cfg).get_dataparser_outputs()
+    # shrink the radar FoV grid for CPU speed (16 x 4 rays instead of 107 x 32)
+    out.radar_fov = dict(min_azimuth=-0.8, max_azimuth=0.8, min_elevation=-0.08, max_elevation=0.32,
+                         azimuth_step=0.1, elevation_step=0.1)
+    return out
+
+
+def tiny_trainer_config():
+    pipe = ADNeuRadarPipelineConfig(
+        datamanager=ADDataManagerConfig(
+            num_rgb_patches=2, patch_size=8, num_lidar_rays=256, num_radar_scans=2, max_radar_gt=32,
+            prefetch_depth=2,
+        )
+    )
+    m = pipe.model
+    m.field.grid.static.log2_hashmap_size = 12
+    m.field.grid.actor.log2_hashmap_size = 10
+    for pf in (m.sampling.proposal_field_1, m.sampling.proposal_field_2):
+        pf.grid.static.log2_hashmap_size = 11
+        pf.grid.actor.log2_hashmap_size = 9
+    m.sampling.num_proposal_samples = (16, 8)
+    m.sampling.num_nerf_samples = 6
+    m.loss.vgg_mult = 0.0
+    return TrainerConfig(
+        pipeline=pipe,
+        max_num_iterations=3,
+        steps_per_eval_batch=0,
+        steps_per_eval_image=0,
+        steps_per_eval_all_images=0,
+        steps_per_eval_all_radars=0,
+        steps_per_save=0,
+        steps_per_log=1,
+        experiment_name="test",
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    out_dir = tmp_path_factory.mktemp("runs")
+    cfg = tiny_trainer_config()
+    cfg.output_dir = str(out_dir)
+    trainer = Trainer(cfg, dataparser_outputs=tiny_outputs())
+    trainer.setup()
+    metrics = trainer.train(3)
+    return trainer, metrics
+
+
+def test_training_runs_and_loss_finite(trained):
+    trainer, metrics = trained
+    assert np.isfinite(metrics["loss"])
+    assert metrics["train_rays_per_sec"] > 0
+
+
+def test_checkpoint_roundtrip(trained):
+    trainer, _ = trained
+    path = trainer.save_checkpoint()
+    old_step = trainer._step
+    import jax
+
+    leaf = jax.tree.leaves(trainer.params)[0].copy()
+    # perturb and restore
+    trainer.params = jax.tree.map(lambda x: x * 0, trainer.params)
+    trainer.load_checkpoint(str(path.parent))
+    assert trainer._step == old_step
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(trainer.params)[0]), np.asarray(leaf))
+
+
+def test_eval_renders(trained):
+    trainer, _ = trained
+    variables = trainer.eval_variables()
+    rend = trainer.pipeline.render_camera(variables, 0)
+    assert rend["rgb"].shape == (48, 72, 3)
+    assert np.isfinite(rend["rgb"]).all()
+    radar = trainer.pipeline.render_radar(variables, 0)
+    assert radar["radar_output"].shape[-1] == 7
+    lid = trainer.pipeline.render_lidar(variables, 0, max_points=128)
+    assert lid["depth"].shape == (128, 1)
+
+
+def test_eval_radar_metrics(trained):
+    trainer, _ = trained
+    m = trainer.pipeline.get_average_eval_radar_metrics(trainer.eval_variables(), sampling_rounds=1)
+    for k in ("chamfer_distance_radar_mean", "emd_distance_radar_mean", "gospa_mean"):
+        assert k in m and np.isfinite(m[k])
