@@ -1,0 +1,145 @@
+"""Nerfacto and LidarNerfacto models.
+
+cf. reference nerfstudio/models/nerfacto.py:52-431 and
+models/lidar_nerfacto.py:35-137: the hashgrid + 2-round-proposal RGB(+lidar)
+baseline. Shares the sampler/renderer/loss machinery with NeuRadar; one ray
+per pixel (no CNN upsampling).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dataclass_field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from neuradar_tpu.cameras.rays import RayBundle
+from neuradar_tpu.fields.nerfacto_field import HashMLPDensityField, NerfactoField
+from neuradar_tpu.model_components.losses import (
+    binary_cross_entropy_with_logits,
+    distortion_loss,
+    masked_mean,
+    zipnerf_interlevel_loss,
+)
+from neuradar_tpu.model_components.renderers import (
+    render_accumulation,
+    render_depth_expected,
+    render_rgb_background,
+)
+from neuradar_tpu.model_components.ray_samplers import lin_disp_piecewise_sampler, proposal_network_sampler
+
+
+@dataclass
+class NerfactoModelConfig:
+    """cf. NerfactoModelConfig (models/nerfacto.py:52-150)."""
+
+    near_plane: float = 0.05
+    far_plane: float = 1000.0
+    hidden_dim: int = 64
+    hidden_dim_color: int = 64
+    num_levels: int = 16
+    base_res: int = 16
+    max_res: int = 2048
+    log2_hashmap_size: int = 19
+    features_per_level: int = 2
+    num_proposal_samples_per_ray: Tuple[int, ...] = (256, 96)
+    num_nerf_samples_per_ray: int = 48
+    appearance_embedding_dim: int = 32
+    interlevel_loss_mult: float = 1.0
+    distortion_loss_mult: float = 0.002
+    use_single_jitter: bool = True
+    predict_lidar: bool = False  # lidar-nerfacto variant
+    depth_loss_mult: float = 0.01
+    intensity_loss_mult: float = 0.1
+    ray_drop_loss_mult: float = 0.01
+
+
+class NerfactoModel(nn.Module):
+    config: NerfactoModelConfig
+    static_scale: float
+    num_embeds: int = 1
+
+    def setup(self):
+        cfg = self.config
+        self.field = NerfactoField(
+            static_scale=self.static_scale,
+            num_embeds=self.num_embeds,
+            hidden_dim=cfg.hidden_dim,
+            hidden_dim_color=cfg.hidden_dim_color,
+            num_levels=cfg.num_levels,
+            base_res=cfg.base_res,
+            max_res=cfg.max_res,
+            log2_hashmap_size=cfg.log2_hashmap_size,
+            features_per_level=cfg.features_per_level,
+            appearance_embedding_dim=cfg.appearance_embedding_dim,
+            predict_intensity=cfg.predict_lidar,
+        )
+        self.proposal_fields = [
+            HashMLPDensityField(static_scale=self.static_scale, max_res=128, num_levels=5, name="proposal_0"),
+            HashMLPDensityField(static_scale=self.static_scale, max_res=256, num_levels=5, name="proposal_1"),
+        ]
+
+    def __call__(self, ray_bundle: RayBundle, train: bool = False) -> Dict[str, Any]:
+        cfg = self.config
+        nears = jnp.full_like(ray_bundle.pixel_area, cfg.near_plane)
+        fars = jnp.full_like(ray_bundle.pixel_area, cfg.far_plane)
+        ray_bundle = ray_bundle.replace(nears=nears, fars=fars)
+
+        rng = self.make_rng("sampling") if train else None
+        density_fns = [lambda rs, f=f: f(rs) for f in self.proposal_fields]
+        ray_samples, weights_list, samples_list = proposal_network_sampler(
+            ray_bundle,
+            density_fns,
+            cfg.num_proposal_samples_per_ray,
+            cfg.num_nerf_samples_per_ray,
+            rng=rng,
+            single_jitter=cfg.use_single_jitter,
+            initial_sampler=lin_disp_piecewise_sampler,
+        )
+        cam_idx = ray_bundle.camera_indices[..., 0] if ray_bundle.camera_indices is not None else None
+        field_out = self.field(ray_samples, cam_idx)
+        weights = ray_samples.get_weights(field_out["density"])
+
+        outputs = {
+            "rgb": render_rgb_background(field_out["rgb"], weights),
+            "accumulation": render_accumulation(weights),
+            "depth": render_depth_expected(weights, ray_samples),
+        }
+        if cfg.predict_lidar:
+            outputs["intensity"] = jnp.sum(weights * field_out["intensity"], axis=-2)
+            outputs["ray_drop_logits"] = jnp.sum(weights * field_out["ray_drop_logits"], axis=-2)
+        if train:
+            outputs["weights_list"] = weights_list + [weights]
+            outputs["ray_samples_list"] = samples_list + [ray_samples]
+        return outputs
+
+    def loss_and_metrics(self, ray_bundle: RayBundle, batch: Dict[str, jax.Array], train: bool = True):
+        cfg = self.config
+        outputs = self(ray_bundle, train=train)
+        loss_dict: Dict[str, jax.Array] = {}
+        metrics: Dict[str, jax.Array] = {}
+        if "rgb" in batch:
+            mse = jnp.mean((batch["rgb"] - outputs["rgb"]) ** 2)
+            loss_dict["rgb_loss"] = mse
+            metrics["psnr"] = -10 * jnp.log10(jax.lax.stop_gradient(mse))
+        if cfg.predict_lidar and "lidar_distance" in batch:
+            did_return = batch["did_return"][..., 0]
+            loss_dict["depth_loss"] = cfg.depth_loss_mult * masked_mean(
+                jnp.abs(outputs["depth"] - batch["lidar_distance"])[..., 0], did_return
+            )
+            loss_dict["intensity_loss"] = cfg.intensity_loss_mult * masked_mean(
+                (outputs["intensity"] - batch["lidar_intensity"])[..., 0] ** 2, did_return
+            )
+            loss_dict["ray_drop_loss"] = cfg.ray_drop_loss_mult * jnp.mean(
+                binary_cross_entropy_with_logits(
+                    outputs["ray_drop_logits"][..., 0], (~did_return).astype(jnp.float32)
+                )
+            )
+        if train:
+            wl, rsl = outputs["weights_list"], outputs["ray_samples_list"]
+            loss_dict["interlevel_loss"] = cfg.interlevel_loss_mult * zipnerf_interlevel_loss(wl, rsl)
+            loss_dict["distortion_loss"] = cfg.distortion_loss_mult * distortion_loss(wl, rsl)
+        total = sum(loss_dict.values(), jnp.asarray(0.0))
+        return total, (loss_dict, metrics, outputs)
