@@ -22,8 +22,18 @@ import numpy as np
 BASELINE_RAYS_PER_SEC = 100_000.0
 
 
+def log(msg):
+    print(f"[bench +{time.perf_counter() - T0:.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+T0 = time.perf_counter()
+
+
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     import optax
 
@@ -46,7 +56,9 @@ def main():
     layout = pipeline.layout
     rays_per_batch = layout.total
 
+    log(f"layout: {rays_per_batch} rays/batch on {jax.devices()[0].platform}")
     variables = pipeline.init_variables(0)
+    log("init done")
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = build_optimizer(params, default_optimizer_groups(20001))
@@ -66,8 +78,10 @@ def main():
 
     # warmup (compile)
     batch = jax.tree.map(jnp.asarray, pipeline.datamanager.next_train())
+    log("compiling train step...")
     params, opt_state, batch_stats, total = train_step(params, opt_state, batch_stats, batch, rng)
     total.block_until_ready()
+    log("train step compiled; timing...")
 
     n_iters = 20
     t0 = time.perf_counter()

@@ -46,8 +46,11 @@ def fov_grid(
 
     cf. radars.py:278-294 (torch.arange + meshgrid ij, flattened az-major).
     """
-    azimuths = np.arange(min_azimuth, max_azimuth, azimuth_step, dtype=np.float32)
-    elevations = np.arange(min_elevation, max_elevation, elevation_step, dtype=np.float32)
+    # robust count (float-error-proof arange): ceil((stop-start)/step - eps)
+    n_az = int(np.ceil((max_azimuth - min_azimuth) / azimuth_step - 1e-6))
+    n_el = int(np.ceil((max_elevation - min_elevation) / elevation_step - 1e-6))
+    azimuths = (min_azimuth + np.arange(n_az) * azimuth_step).astype(np.float32)
+    elevations = (min_elevation + np.arange(n_el) * elevation_step).astype(np.float32)
     az, el = np.meshgrid(azimuths, elevations, indexing="ij")
     return np.stack([az.reshape(-1), el.reshape(-1)], axis=1)
 

@@ -73,15 +73,41 @@ class ADNeuRadarPipeline:
     # -- init ------------------------------------------------------------------
 
     def init_variables(self, seed: int = 0):
-        batch = jax.tree.map(jnp.asarray, self.datamanager.sample_train_batch())
+        """Initialize parameters on a MINIMAL layout — parameter shapes do not
+        depend on batch sizes, so init avoids compiling the full-scale graph."""
+        batch = self.datamanager.sample_train_batch()
+        layout = self.layout
+        tiny = SegmentLayout(
+            num_cam=min(layout.num_cam, layout.patch_size[0] * layout.patch_size[1]),
+            num_lidar=min(layout.num_lidar, 8),
+            num_radar_scans=min(layout.num_radar_scans, 1),
+            rays_per_scan=layout.rays_per_scan,
+            patch_size=layout.patch_size,
+        )
+        n_patches = max(tiny.num_cam // (layout.patch_size[0] * layout.patch_size[1]), 1)
+        tiny_batch = {
+            "cam_frame_idx": batch["cam_frame_idx"][:n_patches],
+            "patch_tl": batch["patch_tl"][:n_patches],
+            "image": batch["image"][:n_patches],
+            "lidar_scan_idx": batch["lidar_scan_idx"][: tiny.num_lidar],
+            "lidar_points": batch["lidar_points"][: tiny.num_lidar],
+            "lidar_distance": batch["lidar_distance"][: tiny.num_lidar],
+            "lidar_intensity": batch["lidar_intensity"][: tiny.num_lidar],
+            "did_return": batch["did_return"][: tiny.num_lidar],
+            "radar_scan_idx": batch["radar_scan_idx"][: tiny.num_radar_scans],
+            "radar_gt": batch["radar_gt"][: tiny.num_radar_scans],
+            "radar_gt_mask": batch["radar_gt_mask"][: tiny.num_radar_scans],
+        }
+        tiny_batch = jax.tree.map(jnp.asarray, tiny_batch)
         bundle = build_train_bundle(
-            self.datamanager.tables, batch, self.layout, self.config.model.rgb_upsample_factor
+            self.datamanager.tables, tiny_batch, tiny, self.config.model.rgb_upsample_factor
         )
         rngs = {name: jax.random.PRNGKey(seed + i) for i, name in enumerate(("params",) + RNG_STREAMS)}
-        variables = self.model.init(
-            rngs, bundle, batch, self.layout, train=True, method=NeuRadarModel.loss_and_metrics
+        init_fn = jax.jit(
+            functools.partial(self.model.init, train=True, method=NeuRadarModel.loss_and_metrics),
+            static_argnames=("layout",),
         )
-        return variables
+        return init_fn(rngs, bundle, tiny_batch, layout=tiny)
 
     # -- train step ---------------------------------------------------------------
 

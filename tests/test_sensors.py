@@ -1,0 +1,118 @@
+"""Sensor ray-generation tests (cf. reference tests/cameras/test_cameras.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuradar_tpu.cameras.cameras import Cameras, CameraType, generate_camera_rays
+from neuradar_tpu.cameras.lidars import Lidars
+from neuradar_tpu.cameras.radars import Radars, ZOD_RADAR_FOV, fov_grid
+
+
+def make_cameras(n=2, H=48, W=64, cam_type=CameraType.PERSPECTIVE):
+    c2w = np.tile(np.eye(3, 4, dtype=np.float32), (n, 1, 1))
+    c2w[:, 0, 3] = np.arange(n)  # shift x
+    return Cameras(
+        camera_to_worlds=jnp.asarray(c2w),
+        fx=jnp.full((n, 1), 50.0),
+        fy=jnp.full((n, 1), 50.0),
+        cx=jnp.full((n, 1), W / 2),
+        cy=jnp.full((n, 1), H / 2),
+        width=jnp.full((n, 1), W, jnp.int32),
+        height=jnp.full((n, 1), H, jnp.int32),
+        camera_type=jnp.full((n, 1), int(cam_type), jnp.int32),
+        times=jnp.zeros((n, 1)),
+        metadata={"sensor_idxs": jnp.zeros((n, 1), jnp.int32)},
+    )
+
+
+def test_camera_center_ray_points_forward():
+    cams = make_cameras()
+    # center pixel -> direction along -z (camera convention), identity c2w
+    coords = jnp.asarray([[23.5, 31.5]])  # (row, col) with +0.5 offset -> exactly center
+    rb = generate_camera_rays(cams, jnp.asarray([0]), coords)
+    np.testing.assert_allclose(np.asarray(rb.directions[0]), [0, 0, -1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rb.origins[0]), [0, 0, 0], atol=1e-6)
+    assert float(rb.pixel_area[0, 0]) > 0
+
+
+def test_camera_rays_unit_norm_and_origins():
+    cams = make_cameras()
+    coords = jnp.asarray(np.random.RandomState(0).randint(0, 48, (32, 2)))
+    idx = jnp.asarray(np.random.RandomState(1).randint(0, 2, 32))
+    rb = generate_camera_rays(cams, idx, coords)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(rb.directions), axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rb.origins[:, 0]), np.asarray(idx, np.float32), atol=1e-6)
+
+
+def test_fisheye_wide_angle():
+    cams = make_cameras(cam_type=CameraType.FISHEYE)
+    # a pixel far from center should bend more than the pinhole equivalent
+    coords = jnp.asarray([[0.0, 0.0]])
+    rb_f = generate_camera_rays(cams, jnp.asarray([0]), coords)
+    cams_p = make_cameras(cam_type=CameraType.PERSPECTIVE)
+    rb_p = generate_camera_rays(cams_p, jnp.asarray([0]), coords)
+    # fisheye direction should deviate more from the optical axis
+    cos_f = -float(rb_f.directions[0, 2])
+    cos_p = -float(rb_p.directions[0, 2])
+    assert cos_f < cos_p
+
+
+def test_rolling_shutter_offsets_shift_origins():
+    cams = make_cameras()
+    md = dict(cams.metadata)
+    md["velocities"] = jnp.asarray([[10.0, 0, 0], [10.0, 0, 0]])
+    md["rolling_shutter_offsets"] = jnp.asarray([[-0.02, 0.02], [-0.02, 0.02]])
+    cams = cams.replace(metadata=md)
+    top = generate_camera_rays(cams, jnp.asarray([0]), jnp.asarray([[0.0, 32.0]]))
+    bottom = generate_camera_rays(cams, jnp.asarray([0]), jnp.asarray([[47.0, 32.0]]))
+    # bottom row is exposed later -> shifted further along velocity
+    assert float(bottom.origins[0, 0]) > float(top.origins[0, 0])
+    assert float(bottom.times[0, 0]) > float(top.times[0, 0])
+
+
+def test_lidar_rays_from_points():
+    l2w = np.tile(np.eye(3, 4, dtype=np.float32), (2, 1, 1))
+    l2w[:, 2, 3] = 2.0  # sensor at z=2
+    lidars = Lidars(
+        lidar_to_worlds=jnp.asarray(l2w),
+        lidar_type=jnp.zeros((2, 1), jnp.int32),
+        times=jnp.zeros((2, 1)),
+        metadata={"sensor_idxs": jnp.ones((2, 1), jnp.int32)},
+    )
+    pts = jnp.asarray([[10.0, 0, 0, 0.5, 0.01, 3.0], [0.0, 2000.0, 0, 0.0, 0.0, 1.0]])
+    rb = lidars.generate_rays(jnp.asarray([0, 1]), pts)
+    np.testing.assert_allclose(np.asarray(rb.metadata["directions_norm"][0, 0]), 10.0, rtol=1e-5)
+    assert bool(rb.metadata["did_return"][0, 0])
+    assert not bool(rb.metadata["did_return"][1, 0])  # 2000m > threshold
+    np.testing.assert_allclose(float(rb.times[0, 0]), 0.01, atol=1e-6)
+    # direction from origin (0,0,2) to world point (10,0,2): +x
+    np.testing.assert_allclose(np.asarray(rb.directions[0]), [1, 0, 0], atol=1e-5)
+
+
+def test_radar_fov_grid_zod_size():
+    g = fov_grid(**ZOD_RADAR_FOV)
+    # cf. SURVEY.md: ~107 x 32 = 3424 rays per ZOD scan
+    assert g.shape == (107 * 32, 2)
+
+
+def test_radar_generate_rays():
+    r2w = np.tile(np.eye(3, 4, dtype=np.float32), (3, 1, 1))
+    radars = Radars(
+        radar_to_worlds=jnp.asarray(r2w),
+        radar_type=jnp.zeros((3, 1), jnp.int32),
+        fov_directions=jnp.asarray(fov_grid(-0.5, 0.5, -0.1, 0.1, 0.1, 0.1)),
+        times=jnp.zeros((3, 1)),
+        metadata={"sensor_idxs": jnp.full((3, 1), 2, jnp.int32)},
+    )
+    nr = radars.rays_per_scan
+    rb = radars.generate_rays(jnp.asarray([0, 2]))
+    assert rb.origins.shape == (2 * nr, 3)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(rb.directions), axis=-1), 1.0, atol=1e-5)
+    assert rb.metadata["directions_spher"].shape == (2 * nr, 2)
+    # azimuth 0, elevation 0 ray points along +x in the radar frame
+    spher = np.asarray(rb.metadata["directions_spher"])
+    zero = np.where((np.abs(spher) < 1e-6).all(axis=1))[0]
+    if len(zero):
+        np.testing.assert_allclose(np.asarray(rb.directions[zero[0]]), [1, 0, 0], atol=1e-5)
+    assert bool(rb.metadata["is_radar"].all())
