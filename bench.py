@@ -52,6 +52,8 @@ def main():
         )
     )
     pipe_cfg.model.loss.vgg_mult = 0.0  # no pretrained VGG in this image
+    pipe_cfg.model.nff_chunks = 8  # bound padded HBM footprint (see models/neuradar.py)
+    pipe_cfg.model.compute_dtype = "bfloat16"
     pipeline = ADNeuRadarPipeline(pipe_cfg, outputs)
     layout = pipeline.layout
     rays_per_batch = layout.total

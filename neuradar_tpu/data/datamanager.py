@@ -209,14 +209,18 @@ class ADDataManager:
     # -- caches ------------------------------------------------------------
 
     def _pack_lidar(self, out: DataparserOutputs) -> None:
-        train_scans = out.lidar_split.train
-        pts, scan_ids = [], []
-        for si in train_scans:
-            p = out.lidar_points[si]
-            pts.append(p)
-            scan_ids.append(np.full(len(p), si, np.int64))
-        self.lidar_points_packed = np.concatenate(pts, axis=0)
-        self.lidar_scan_ids_packed = np.concatenate(scan_ids, axis=0)
+        def pack(scans):
+            pts, scan_ids = [], []
+            for si in scans:
+                p = out.lidar_points[si]
+                pts.append(p)
+                scan_ids.append(np.full(len(p), si, np.int64))
+            if not pts:
+                return np.zeros((0, 6), np.float32), np.zeros((0,), np.int64)
+            return np.concatenate(pts, axis=0), np.concatenate(scan_ids, axis=0)
+
+        self.lidar_points_packed, self.lidar_scan_ids_packed = pack(out.lidar_split.train)
+        self.eval_lidar_points_packed, self.eval_lidar_scan_ids_packed = pack(out.lidar_split.eval)
 
     def _pad_radar(self, out: DataparserOutputs) -> None:
         g = self.config.max_radar_gt
@@ -243,24 +247,33 @@ class ADDataManager:
 
     # -- sampling ------------------------------------------------------------
 
-    def sample_train_batch(self) -> Dict[str, np.ndarray]:
+    def sample_eval_batch(self) -> Dict[str, np.ndarray]:
+        """Same layout as a train batch, drawn from the eval split
+        (cf. get_eval_loss_dict path, base_pipeline)."""
+        return self.sample_train_batch(split="eval")
+
+    def sample_train_batch(self, split: str = "train") -> Dict[str, np.ndarray]:
         c = self.config
         out = self.outputs
         H, W = out.image_size
         gt_patch = c.patch_size * self.u
+        cam_split = out.camera_split.train if split == "train" else out.camera_split.eval
+        radar_split = out.radar_split.train if split == "train" else out.radar_split.eval
+        packed_pts = self.lidar_points_packed if split == "train" else self.eval_lidar_points_packed
+        packed_ids = self.lidar_scan_ids_packed if split == "train" else self.eval_lidar_scan_ids_packed
 
-        cam_frames = self.rng.choice(out.camera_split.train, size=c.num_rgb_patches)
+        cam_frames = self.rng.choice(cam_split, size=c.num_rgb_patches)
         tl_r = self.rng.randint(0, H - gt_patch + 1, size=c.num_rgb_patches)
         tl_c = self.rng.randint(0, W - gt_patch + 1, size=c.num_rgb_patches)
         rgb = np.stack(
             [self.images[f, r : r + gt_patch, cc : cc + gt_patch] for f, r, cc in zip(cam_frames, tl_r, tl_c)]
         )
 
-        pt_idx = self.rng.randint(0, len(self.lidar_points_packed), size=c.num_lidar_rays)
-        lidar_points = self.lidar_points_packed[pt_idx]
-        lidar_scan_idx = self.lidar_scan_ids_packed[pt_idx]
+        pt_idx = self.rng.randint(0, len(packed_pts), size=c.num_lidar_rays)
+        lidar_points = packed_pts[pt_idx]
+        lidar_scan_idx = packed_ids[pt_idx]
 
-        radar_scan_idx = self.rng.choice(out.radar_split.train, size=c.num_radar_scans)
+        radar_scan_idx = self.rng.choice(radar_split, size=c.num_radar_scans)
 
         return {
             "cam_frame_idx": cam_frames.astype(np.int32),

@@ -167,6 +167,12 @@ class Trainer:
                 self.writer.put_scalars(step, scalars)
                 last_metrics = scalars
 
+            if cfg.steps_per_eval_batch and step > 0 and step % cfg.steps_per_eval_batch == 0:
+                if not hasattr(self, "_eval_loss_fn"):
+                    self._eval_loss_fn = self.pipeline.make_eval_loss_fn()
+                eb = jax.tree.map(jnp.asarray, self.pipeline.datamanager.sample_eval_batch())
+                _etotal, _eld, emetrics = self._eval_loss_fn(self.eval_variables(), eb)
+                self.writer.put_scalars(step, {f"eval_{k}": float(v) for k, v in emetrics.items()})
             if cfg.steps_per_save and step > 0 and step % cfg.steps_per_save == 0:
                 self.save_checkpoint()
             if cfg.steps_per_eval_all_radars and step > 0 and step % cfg.steps_per_eval_all_radars == 0:

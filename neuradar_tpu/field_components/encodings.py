@@ -2,19 +2,28 @@
 
 TPU-native replacement for tiny-cuda-nn (reference
 nerfstudio/field_components/encodings.py:311-471 is the behavioral spec via
-its pure-torch fallback). The hash function here is bit-compatible with that
-spec: products are taken in uint32 (wraparound), and because the table size is
-a power of two dividing 2^32, the low log2(T) bits — the only ones that
-survive the modulo — are identical to the reference's int64 arithmetic.
+its pure-torch fallback). The hash function is bit-compatible with that spec:
+products are taken in uint32 (wraparound), and because the table size is a
+power of two dividing 2^32, the low log2(T) bits — the only ones surviving the
+modulo — are identical to the reference's int64 arithmetic.
 
-The forward pass is a dense gather + multilinear interpolation over 2^d
-corners vectorized across levels; XLA lowers the gathers efficiently on TPU
-and a Pallas fast path can be swapped in via ``neuradar_tpu.ops``.
+TPU memory layout rules drive the implementation (buffers are tiled (8, 128)
+on their last two dims, so any [big, tiny] array is padded up to lane width —
+a [33.5M, 4] table would physically occupy 16 GB):
+
+  * the table parameter is stored FLAT 1-D [levels * table_size * features],
+  * all (corner, level, feature) lookups are ONE combined gather with a wide
+    [N, 2^d * L * F] index/output (>= 48 lanes, so padding stays small),
+  * a custom VJP stores only the flat positions; the backward pass recomputes
+    indices/weights, scatter-adds the table gradient into the flat table, and
+    regathers once for the position gradient (same recompute-over-store
+    tradeoff tcnn makes in CUDA).
 """
 
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Optional
 
 import jax
@@ -46,19 +55,153 @@ def hash_corners(corner_coords: jax.Array, table_size: int, level_offsets: jax.A
     return x.astype(jnp.int32) + level_offsets
 
 
+def _corner_indices_and_weights(p: jax.Array, scalings: jax.Array, table_size: int, num_levels: int, d: int):
+    """Flat element indices + interpolation weights for all corners.
+
+    Args:
+        p: [N, d] positions in [0, 1].
+
+    Returns:
+        idx [N, 2^d * L] int32 row indices into the [L*T] table,
+        w [N, 2^d * L] interpolation weights.
+    """
+    level_offsets = jnp.arange(num_levels, dtype=jnp.int32) * table_size
+    scaled = p[:, None, :] * scalings[:, None]  # [N, L, d]
+    floored = jnp.floor(scaled)
+    offset = scaled - floored  # [N, L, d]
+    base = floored.astype(jnp.int32)
+
+    idx_parts, w_parts = [], []
+    for corner in range(2**d):
+        bits = [(corner >> i) & 1 for i in range(d)]
+        coords = base + jnp.asarray(bits, jnp.int32)
+        idx = hash_corners(coords, table_size, level_offsets)  # [N, L]
+        w = jnp.ones(offset.shape[:-1], offset.dtype)
+        for i, bit in enumerate(bits):
+            w = w * (offset[..., i] if bit else (1 - offset[..., i]))
+        idx_parts.append(idx)
+        w_parts.append(w)
+    idx = jnp.concatenate(idx_parts, axis=-1)  # [N, 2^d * L]
+    w = jnp.concatenate(w_parts, axis=-1)
+    return idx, w
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def hash_encode(
+    positions_flat: jax.Array,
+    table_flat: jax.Array,
+    scalings: tuple,
+    table_size: int,
+    num_levels: int,
+    features_per_level: int,
+    n_input_dims: int,
+) -> jax.Array:
+    """Multiresolution hash encoding with a single combined gather.
+
+    Args:
+        positions_flat: [N * d] flat positions in [0, 1] (1-D to avoid lane
+            padding on residuals).
+        table_flat: [L * T * F] flat table.
+
+    Returns:
+        [N, L * F] features.
+    """
+    out, _ = _hash_encode_fwd(
+        positions_flat, table_flat, scalings, table_size, num_levels, features_per_level, n_input_dims
+    )
+    return out
+
+
+def _gather_corner_features(positions_flat, table_flat, scalings, table_size, num_levels, features_per_level, d):
+    N = positions_flat.shape[0] // d
+    L, F = num_levels, features_per_level
+    p = positions_flat.reshape(N, d)
+    scal = jnp.asarray(scalings, p.dtype)
+    idx, w = _corner_indices_and_weights(p, scal, table_size, L, d)  # [N, 2^d*L]
+    if F > 1:
+        elem_idx = (idx[..., None] * F + jnp.arange(F, dtype=jnp.int32)).reshape(N, -1)  # [N, 2^d*L*F]
+    else:
+        elem_idx = idx
+    gathered = table_flat[elem_idx]  # [N, 2^d*L*F] — the one wide gather
+    return gathered, idx, elem_idx, w
+
+
+def _hash_encode_fwd(positions_flat, table_flat, scalings, table_size, num_levels, features_per_level, d):
+    N = positions_flat.shape[0] // d
+    L, F = num_levels, features_per_level
+    gathered, _idx, _eidx, w = _gather_corner_features(
+        positions_flat, table_flat, scalings, table_size, num_levels, features_per_level, d
+    )
+    n_corners = 2**d
+    w_exp = jnp.repeat(w, F, axis=-1) if F > 1 else w  # [N, 2^d*L*F]
+    weighted = (gathered * w_exp).reshape(N, n_corners, L * F)
+    out = weighted.sum(axis=1)  # [N, L*F]
+    return out, (positions_flat, table_flat)
+
+
+def _hash_encode_bwd(scalings, table_size, num_levels, features_per_level, d, residuals, g):
+    """Backward: recompute indices/weights, scatter-add table grad, regather
+    for the position grad (recompute-over-store, cf. module docstring)."""
+    positions_flat, table_flat = residuals
+    N = positions_flat.shape[0] // d
+    L, F = num_levels, features_per_level
+    n_corners = 2**d
+    p = positions_flat.reshape(N, d)
+    scal = jnp.asarray(scalings, p.dtype)
+
+    scaled = p[:, None, :] * scal[:, None]  # [N, L, d]
+    floored = jnp.floor(scaled)
+    offset = scaled - floored
+    base = floored.astype(jnp.int32)
+    level_offsets = jnp.arange(L, dtype=jnp.int32) * table_size
+
+    g = g.astype(table_flat.dtype)  # [N, L*F]
+    g_lf = g.reshape(N, L, F)
+
+    d_table = jnp.zeros_like(table_flat)
+    d_offset = jnp.zeros_like(offset)  # [N, L, d]
+
+    for corner in range(n_corners):
+        bits = [(corner >> i) & 1 for i in range(d)]
+        coords = base + jnp.asarray(bits, jnp.int32)
+        idx = hash_corners(coords, table_size, level_offsets)  # [N, L]
+        # weight and its partials
+        w = jnp.ones(offset.shape[:-1], offset.dtype)
+        for i, bit in enumerate(bits):
+            w = w * (offset[..., i] if bit else (1 - offset[..., i]))
+        if F > 1:
+            eidx = (idx[..., None] * F + jnp.arange(F, dtype=jnp.int32)).reshape(N, L * F)
+        else:
+            eidx = idx
+        # table gradient: dL/dtable[eidx] += g * w
+        upd = (g_lf * w[..., None]).reshape(N, L * F)
+        d_table = d_table.at[eidx.reshape(-1)].add(upd.reshape(-1))
+        # position gradient: dL/do_i = sum_F g * f_c * dw/do_i
+        f_c = table_flat[eidx].reshape(N, L, F)  # regather
+        gf = (g_lf * f_c).sum(-1)  # [N, L]
+        for i, bit in enumerate(bits):
+            dw_doi = jnp.ones_like(w)
+            for j, bj in enumerate(bits):
+                if j == i:
+                    continue
+                dw_doi = dw_doi * (offset[..., j] if bj else (1 - offset[..., j]))
+            sign = 1.0 if bit else -1.0
+            d_offset = d_offset.at[..., i].add(sign * gf * dw_doi)
+
+    # d scaled = d offset; d p = sum_L d_scaled * scaling_l
+    d_p = (d_offset * scal[:, None]).sum(axis=1)  # [N, d]
+    return d_p.reshape(-1), d_table
+
+
+hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
+
+
 class HashEncoding(nn.Module):
     """Multiresolution hash grid encoding (Instant-NGP).
 
     cf. reference HashEncoding (encodings.py:311). Supports 3D and 4D inputs
-    (4D is used for the per-actor grid with actor index as the 4th coord,
+    (4D is the per-actor grid with actor index as the 4th coordinate,
     cf. neurad_encoding.py:282-293).
-
-    Attributes:
-        num_levels: number of resolution levels.
-        min_res / max_res: coarsest / finest grid resolution.
-        log2_hashmap_size: log2 of per-level table entries.
-        features_per_level: feature width per level.
-        n_input_dims: 3 or 4.
     """
 
     num_levels: int = 16
@@ -69,6 +212,9 @@ class HashEncoding(nn.Module):
     hash_init_scale: float = 0.001
     n_input_dims: int = 3
     param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Optional[jnp.dtype] = None
+    """If set (e.g. bf16), the table is cast once before gathering — halving
+    the HBM gather bandwidth, the dominant cost of hash encoding on TPU."""
 
     def setup(self):
         levels = np.arange(self.num_levels)
@@ -78,46 +224,38 @@ class HashEncoding(nn.Module):
             growth = 1.0
         self.growth_factor = growth
         # Per-level resolutions, cf. encodings.py:350 (floor of geometric spacing)
-        self.scalings = np.floor(self.min_res * growth**levels).astype(np.float32)
+        self.scalings = tuple(np.floor(self.min_res * growth**levels).astype(np.float32).tolist())
         self.table_size = 2**self.log2_hashmap_size
-        self.level_offsets = jnp.asarray(levels * self.table_size, dtype=jnp.int32)
+        n = self.table_size * self.num_levels * self.features_per_level
         self.hash_table = self.param(
             "hash_table",
             lambda key, shape: (jax.random.uniform(key, shape, self.param_dtype) * 2 - 1) * self.hash_init_scale,
-            (self.table_size * self.num_levels, self.features_per_level),
+            (n,),
         )
 
     def get_out_dim(self) -> int:
         return self.num_levels * self.features_per_level
 
     def __call__(self, positions: jax.Array) -> jax.Array:
-        """Encode positions in [0, 1]^d.
-
-        Args:
-            positions: [..., d] float positions.
-        Returns:
-            [..., num_levels * features_per_level] features.
-        """
+        """Encode positions in [0, 1]^d: [..., d] -> [..., L*F]."""
         d = self.n_input_dims
         assert positions.shape[-1] == d, f"expected {d}-D input, got {positions.shape}"
-        scalings = jnp.asarray(self.scalings, positions.dtype)  # [L]
-        scaled = positions[..., None, :] * scalings[:, None]  # [..., L, d]
-        floored = jnp.floor(scaled)
-        offset = scaled - floored  # [..., L, d]
-        base = floored.astype(jnp.int32)
-
-        out = None
-        for corner in range(2**d):
-            corner_bits = [(corner >> i) & 1 for i in range(d)]
-            coords = base + jnp.asarray(corner_bits, jnp.int32)
-            idx = hash_corners(coords, self.table_size, self.level_offsets)  # [..., L]
-            feats = self.hash_table[idx]  # [..., L, F]
-            w = jnp.ones(offset.shape[:-1], offset.dtype)
-            for i, bit in enumerate(corner_bits):
-                w = w * (offset[..., i] if bit else (1 - offset[..., i]))
-            contrib = feats * w[..., None]
-            out = contrib if out is None else out + contrib
-        return out.reshape(*positions.shape[:-1], self.num_levels * self.features_per_level)
+        batch_shape = positions.shape[:-1]
+        table = self.hash_table
+        pos_dtype = positions.dtype
+        if self.compute_dtype is not None:
+            table = table.astype(self.compute_dtype)
+            positions = positions.astype(self.compute_dtype)
+        out = hash_encode(
+            positions.reshape(-1),
+            table,
+            self.scalings,
+            self.table_size,
+            self.num_levels,
+            self.features_per_level,
+            d,
+        )
+        return out.reshape(*batch_shape, self.get_out_dim()).astype(pos_dtype)
 
 
 class SHEncoding(nn.Module):

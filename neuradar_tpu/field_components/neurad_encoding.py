@@ -6,6 +6,10 @@ actors (see model_components/dynamic_actors.py) instead of `nonzero` index
 lists; the actor grid is always the 4D variant (actor index as 4th coord,
 reference's fast path at :282-293). Gaussian-std feature rescaling and the
 random x-flip augmentation match the reference (:152-189, :218-226).
+
+All per-sample actor math is written component-wise on [R, S] arrays — TPU
+tiles the last two dims of every buffer to (8, 128), so [R, S, 3]-shaped
+gathers/materializations would pad 10-40x in HBM.
 """
 
 from __future__ import annotations
@@ -18,10 +22,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from neuradar_tpu.field_components.encodings import HashEncoding
-from neuradar_tpu.field_components.spatial_distortions import ScaledSceneContraction
-from neuradar_tpu.model_components.dynamic_actors import ActorCandidates, assign_samples_to_actors
+from neuradar_tpu.field_components.spatial_distortions import ScaledSceneContraction, contract_gaussians
+from neuradar_tpu.model_components.dynamic_actors import (
+    ActorCandidates,
+    assign_samples_to_actors,
+    gather_selected_w2b_components,
+)
 from neuradar_tpu.utils.math import GaussiansStd
-from neuradar_tpu.utils.poses import transform_points_pairwise
 
 EPS = 1.0e-7
 
@@ -58,33 +65,30 @@ class NeuRADHashEncodingConfig:
     require_actor_grad: bool = True
 
 
-def _rescale_grid_features(
-    grid_feats: jax.Array, std: jax.Array, scalings, num_levels: int, features_per_level: int
-) -> jax.Array:
-    """Downweight features whose grid cell is smaller than the sample blob,
-    then average over multisamples (cf. _rescale_grid_features, :309-316).
+def _rescale_grid_features(grid_feats: jax.Array, std: jax.Array, scalings, num_levels: int, features_per_level: int):
+    """Downweight features whose grid cell is smaller than the sample blob
+    (cf. _rescale_grid_features, :309-316).
 
-    grid_feats: [..., M, L*F], std: [..., M, 1] -> [..., L*F].
+    grid_feats: [..., L*F], std: [..., 1] -> [..., L*F].
     """
     feats = grid_feats.reshape(*grid_feats.shape[:-1], num_levels, features_per_level)
     scalings = jnp.asarray(scalings, std.dtype)  # [L]
-    weights = 1.0 / jnp.clip(scalings * 2 * std, 1.0, None)  # [..., M, L]
+    weights = 1.0 / jnp.clip(scalings * 2 * std, 1.0, None)  # [..., L]
     feats = feats * weights[..., None]
-    feats = feats.mean(axis=-3)  # average multisamples
-    return feats.reshape(*feats.shape[:-2], num_levels * features_per_level)
+    return feats.reshape(*grid_feats.shape[:-1], num_levels * features_per_level)
 
 
 class NeuRADHashEncoding(nn.Module):
     """Joint static + actor-aware hash encoding.
 
-    __call__ takes gaussian sample blobs, per-ray actor candidates and
-    (optionally) per-sample directions; returns [R, S, D] features and
-    actor-space-corrected directions.
+    __call__ takes per-sample gaussian blobs (mean [R, S, 3], std [R, S, 1])
+    plus per-ray actor candidates; the field averages over multisamples.
     """
 
     config: NeuRADHashEncodingConfig
     static_scale: float
     n_actors: int
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         cfg = self.config
@@ -97,6 +101,7 @@ class NeuRADHashEncoding(nn.Module):
             log2_hashmap_size=cfg.static.log2_hashmap_size,
             features_per_level=cfg.static.hashgrid_dim,
             n_input_dims=3,
+            compute_dtype=self.compute_dtype,
         )
         if self.has_actors:
             self.actor_grid = HashEncoding(
@@ -106,6 +111,7 @@ class NeuRADHashEncoding(nn.Module):
                 log2_hashmap_size=cfg.actor.log2_hashmap_size,
                 features_per_level=cfg.actor.hashgrid_dim,
                 n_input_dims=4,
+                compute_dtype=self.compute_dtype,
             )
 
     @property
@@ -117,12 +123,12 @@ class NeuRADHashEncoding(nn.Module):
 
     def __call__(
         self,
-        positions: GaussiansStd,
+        gaussians: GaussiansStd,
         candidates: Optional[ActorCandidates],
         directions: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """Args:
-            positions: mean [R, S, M, 3], std [R, S, M, 1].
+            gaussians: mean [R, S, 3], std [R, S, 1] (single multisample).
             candidates: per-ray actor candidates (None to disable actors).
             directions: [R, S, 3] per-sample directions or None.
 
@@ -130,11 +136,12 @@ class NeuRADHashEncoding(nn.Module):
             features [R, S, static_out_dim], directions [R, S, 3] or None.
         """
         cfg = self.config
+        mean, std = gaussians.mean, gaussians.std
         # ---- static world features
-        static_pos = self.static_contraction(positions)
-        static_raw = self.static_grid(static_pos.mean)  # [R, S, M, L*F]
+        static_pos = self.static_contraction(GaussiansStd(mean=mean, std=std))
         static_feats = _rescale_grid_features(
-            static_raw, static_pos.std, self.static_grid.scalings, cfg.static.num_levels, cfg.static.hashgrid_dim
+            self.static_grid(static_pos.mean), static_pos.std,
+            self.static_grid.scalings, cfg.static.num_levels, cfg.static.hashgrid_dim,
         )  # [R, S, L*F]
 
         if not self.has_actors or candidates is None:
@@ -143,26 +150,25 @@ class NeuRADHashEncoding(nn.Module):
         if not cfg.require_actor_grad:
             candidates = candidates.stop_gradient()
 
-        # ---- per-sample actor assignment (dense masked)
-        sample_mean = positions.mean.mean(axis=-2)  # [R, S, 3]
-        sel, has_actor = assign_samples_to_actors(candidates, sample_mean)
-
-        w2b = jnp.take_along_axis(candidates.w2b, sel[..., None, None], axis=1)  # [R, S, 3, 4]
+        # ---- per-sample actor assignment (component-wise masked dense)
+        sel, has_actor = assign_samples_to_actors(candidates, mean)
+        w2b = gather_selected_w2b_components(candidates, sel)  # 3x4 list of [R, S]
         actor_id = jnp.take_along_axis(candidates.actor_id, sel, axis=1)  # [R, S]
+        flip = candidates.flip[:, None]  # [R, 1]
 
-        # transform all sample positions to actor frame (masked later)
-        pos_box = transform_points_pairwise(positions.mean, w2b[:, :, None, :, :])  # [R, S, M, 3]
-        flip = candidates.flip[:, None, None]  # [R, 1, 1]
-        pos_box = pos_box.at[..., 0].multiply(flip)
+        px, py, pz = mean[..., 0], mean[..., 1], mean[..., 2]
+        box_x = (w2b[0][0] * px + w2b[0][1] * py + w2b[0][2] * pz + w2b[0][3]) * flip
+        box_y = w2b[1][0] * px + w2b[1][1] * py + w2b[1][2] * pz + w2b[1][3]
+        box_z = w2b[2][0] * px + w2b[2][1] * py + w2b[2][2] * pz + w2b[2][3]
+        pos_box = jnp.stack([box_x, box_y, box_z], axis=-1)  # [R, S, 3]
 
-        actor_pos = self.actor_contraction(GaussiansStd(mean=pos_box, std=positions.std))
+        actor_pos = self.actor_contraction(GaussiansStd(mean=pos_box, std=std))
         # 4D query: normalized actor index as the 4th coordinate (:282-293)
-        id4 = (actor_id.astype(pos_box.dtype) / self.n_actors)[..., None, None]  # [R, S, 1, 1]
-        id4 = jnp.broadcast_to(id4, (*actor_pos.mean.shape[:-1], 1))
-        query = jnp.concatenate([actor_pos.mean, id4], axis=-1)
-        actor_raw = self.actor_grid(query)  # [R, S, M, L*F]
+        id4 = (actor_id.astype(pos_box.dtype) / self.n_actors)[..., None]
+        query = jnp.concatenate([actor_pos.mean, id4], axis=-1)  # [R, S, 4]
         actor_feats = _rescale_grid_features(
-            actor_raw, actor_pos.std, self.actor_grid.scalings, cfg.actor.num_levels, cfg.actor.hashgrid_dim
+            self.actor_grid(query), actor_pos.std,
+            self.actor_grid.scalings, cfg.actor.num_levels, cfg.actor.hashgrid_dim,
         )
         pad = self.get_out_dim() - actor_feats.shape[-1]
         if pad > 0:
@@ -171,9 +177,12 @@ class NeuRADHashEncoding(nn.Module):
         features = jnp.where(has_actor[..., None], actor_feats, static_feats)
 
         if directions is not None:
-            dirs_box = transform_points_pairwise(directions, w2b, with_translation=False)
-            dirs_box = dirs_box / (jnp.linalg.norm(dirs_box, axis=-1, keepdims=True) + EPS)
-            dirs_box = dirs_box.at[..., 0].multiply(candidates.flip[:, None])
+            ux, uy, uz = directions[..., 0], directions[..., 1], directions[..., 2]
+            bx = (w2b[0][0] * ux + w2b[0][1] * uy + w2b[0][2] * uz) * flip
+            by = w2b[1][0] * ux + w2b[1][1] * uy + w2b[1][2] * uz
+            bz = w2b[2][0] * ux + w2b[2][1] * uy + w2b[2][2] * uz
+            norm = jnp.sqrt(bx * bx + by * by + bz * bz) + EPS
+            dirs_box = jnp.stack([bx / norm, by / norm, bz / norm], axis=-1)
             directions = jnp.where(has_actor[..., None], dirs_box, directions)
 
         return features, directions

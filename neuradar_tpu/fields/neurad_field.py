@@ -109,20 +109,26 @@ class NeuRADField(nn.Module):
     config: NeuRADFieldConfig
     static_scale: float
     n_actors: int
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         cfg = self.config
-        self.hashgrid = NeuRADHashEncoding(config=cfg.grid, static_scale=self.static_scale, n_actors=self.n_actors)
+        self.hashgrid = NeuRADHashEncoding(
+            config=cfg.grid, static_scale=self.static_scale, n_actors=self.n_actors,
+            compute_dtype=self.compute_dtype,
+        )
         self.mlp_geo = MLP(
             out_dim=cfg.nff_out_dim + 1,
             num_layers=cfg.geo_num_layers,
             layer_width=cfg.geo_hidden_dim,
+            compute_dtype=self.compute_dtype,
         )
         self.direction_encoding = SHEncoding(levels=4)
         self.mlp_feature = MLP(
             out_dim=cfg.nff_out_dim,
             num_layers=cfg.nff_num_layers,
             layer_width=cfg.nff_hidden_dim,
+            compute_dtype=self.compute_dtype,
         )
         if cfg.use_sdf:
             self.sdf_to_density = SigmoidDensity(init_beta=cfg.sdf_beta, learnable_beta=cfg.learnable_beta)
@@ -138,7 +144,18 @@ class NeuRADField(nn.Module):
         dirs = jnp.broadcast_to(
             ray_samples.frustums.directions[:, None, :], gaussians.mean[..., 0, :].shape
         )
-        features, dirs = self.hashgrid(gaussians, candidates, dirs)
+        # average features over multisamples (cf. _rescale_grid_features mean
+        # over the M axis, neurad_encoding.py:315); M=1 by default
+        features = None
+        from neuradar_tpu.utils.math import GaussiansStd as _G
+
+        for m in range(cfg.num_multisamples):
+            g_m = _G(mean=gaussians.mean[..., m, :], std=gaussians.std[..., m, :])
+            f_m, dirs_m = self.hashgrid(g_m, candidates, dirs if m == 0 else None)
+            if m == 0:
+                dirs = dirs_m if dirs_m is not None else dirs
+            features = f_m if features is None else features + f_m
+        features = features / cfg.num_multisamples
 
         geo = self.mlp_geo(features)  # [R, S, 1 + D]
         geo_out, geo_embed = geo[..., :1], geo[..., 1:]
@@ -160,15 +177,20 @@ class NeuRADProposalField(nn.Module):
     config: NeuRADProposalFieldConfig
     static_scale: float
     n_actors: int
+    compute_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.hashgrid = NeuRADHashEncoding(
-            config=self.config.grid, static_scale=self.static_scale, n_actors=self.n_actors
+            config=self.config.grid, static_scale=self.static_scale, n_actors=self.n_actors,
+            compute_dtype=self.compute_dtype,
         )
         self.density_decoder = nn.Dense(1, use_bias=False)
 
     def __call__(self, ray_samples: RaySamples, candidates: Optional[ActorCandidates]) -> jax.Array:
+        from neuradar_tpu.utils.math import GaussiansStd as _G
+
         gaussians = ray_samples.frustums.get_fast_isotropic_gaussian(num_multisamples=1)
-        features, _ = self.hashgrid(gaussians, candidates, None)
+        g = _G(mean=gaussians.mean[..., 0, :], std=gaussians.std[..., 0, :])
+        features, _ = self.hashgrid(g, candidates, None)
         density = self.density_decoder(features)
         return trunc_exp(density)  # [R, S, 1]

@@ -286,6 +286,10 @@ def assign_samples_to_actors(
     candidate (duplicates are dropped, matching the reference's
     "randomly discard" semantics at :268-274).
 
+    TPU note: a Python loop over the (static, tiny) K axis with [R, S]
+    component arrays — no [R, S, K, 3] tensors, whose 128-lane padding would
+    blow up HBM (TPU tiles the last two dims to (8, 128)).
+
     Args:
         candidates: per-ray candidates.
         sample_positions: [R, S, 3] sample mean positions (world frame).
@@ -293,14 +297,43 @@ def assign_samples_to_actors(
     Returns:
         sel [R, S] int32 candidate index, has_actor [R, S] bool.
     """
-    # inside oriented box test for each (sample, candidate)
-    rel = sample_positions[:, :, None, :] - candidates.center[:, None, :, :]  # [R, S, K, 3]
-    within_range = jnp.linalg.norm(rel, axis=-1) < candidates.radius[:, None, :]  # [R, S, K]
-    pos_in_box = jnp.einsum(
-        "rkij,rskj->rski", candidates.w2b[..., :3, :3], sample_positions[:, :, None, :]
-    ) + candidates.w2b[:, None, :, :3, 3]
-    inside = jnp.all(jnp.abs(pos_in_box) < candidates.bounds[:, None, :, :], axis=-1)  # [R, S, K]
-    ok = within_range & inside & candidates.valid[:, None, :]
-    has_actor = jnp.any(ok, axis=-1)
-    sel = jnp.argmax(ok, axis=-1).astype(jnp.int32)  # first valid candidate
+    R, S = sample_positions.shape[:2]
+    K = candidates.valid.shape[1]
+    px = sample_positions[..., 0]  # [R, S]
+    py = sample_positions[..., 1]
+    pz = sample_positions[..., 2]
+
+    sel = jnp.zeros((R, S), jnp.int32)
+    has_actor = jnp.zeros((R, S), bool)
+    for k in range(K):
+        cx = candidates.center[:, k, 0:1]  # [R, 1] broadcasts over S
+        cy = candidates.center[:, k, 1:2]
+        cz = candidates.center[:, k, 2:3]
+        dx, dy, dz = px - cx, py - cy, pz - cz
+        within = dx * dx + dy * dy + dz * dz < candidates.radius[:, k, None] ** 2
+
+        w2b = candidates.w2b[:, k]  # [R, 3, 4]
+        inside = within
+        for i in range(3):
+            pib_i = (
+                w2b[:, i, 0:1] * px + w2b[:, i, 1:2] * py + w2b[:, i, 2:3] * pz + w2b[:, i, 3:4]
+            )  # [R, S]
+            inside = inside & (jnp.abs(pib_i) < candidates.bounds[:, k, i, None])
+        ok = inside & candidates.valid[:, k, None]
+        new = ok & ~has_actor
+        sel = jnp.where(new, k, sel)
+        has_actor = has_actor | ok
     return sel, has_actor
+
+
+def gather_selected_w2b_components(candidates: ActorCandidates, sel: jax.Array) -> list:
+    """Per-sample w2b of the selected candidate as 12 [R, S] component arrays
+    (TPU-friendly: avoids a [R, S, 3, 4] gather whose (8, 128) tile padding is
+    ~10x)."""
+    comps = []
+    for i in range(3):
+        row = []
+        for j in range(4):
+            row.append(jnp.take_along_axis(candidates.w2b[:, :, i, j], sel, axis=1))  # [R, S]
+        comps.append(row)
+    return comps

@@ -108,6 +108,36 @@ def zipnerf_interlevel_loss(
     return loss
 
 
+def distortion_loss_sdist(sdist: jax.Array, weights: jax.Array) -> jax.Array:
+    """Distortion from raw (sdist [R, S+1], weights [R, S]) arrays — the
+    chunk-friendly form used by the NeuRadar model."""
+    return jnp.mean(lossfun_distortion(sdist, weights))
+
+
+def zipnerf_interlevel_loss_sdist(sdist_list, weights_list) -> jax.Array:
+    """Anti-aliased interlevel loss on raw sdist/weight arrays (final level
+    last), cf. :func:`zipnerf_interlevel_loss`."""
+    pulse_widths = [0.03, 0.003]
+    c = jax.lax.stop_gradient(sdist_list[-1])
+    w = jax.lax.stop_gradient(weights_list[-1])
+    accum_w = jnp.sum(w, axis=-1, keepdims=True)
+    w = jnp.concatenate([w[..., :-1], w[..., -1:] + (1 - accum_w)], axis=-1)
+
+    w_norm = w / (c[..., 1:] - c[..., :-1])
+    loss = 0.0
+    for i, (cp, wp) in enumerate(zip(sdist_list[:-1], weights_list[:-1])):
+        c_, w_ = _blur_stepfun(c, w_norm, pulse_widths[i])
+        area = 0.5 * (w_[..., 1:] + w_[..., :-1]) * (c_[..., 1:] - c_[..., :-1])
+        cdf = jnp.concatenate([jnp.zeros_like(area[..., :1]), jnp.cumsum(area, axis=-1)], axis=-1)
+        c_ = jnp.concatenate([jnp.zeros_like(c_[..., :1]), c_, jnp.ones_like(c_[..., :1])], axis=-1)
+        w_ = jnp.concatenate([jnp.zeros_like(w_[..., :1]), w_, jnp.zeros_like(w_[..., :1])], axis=-1)
+        cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf, jnp.ones_like(cdf[..., :1])], axis=-1)
+        cdf_interp = _sorted_interp_quad(cp, c_, w_, cdf)
+        w_s = jnp.diff(cdf_interp, axis=-1)
+        loss += jnp.mean(jnp.sum(jnp.clip(w_s - wp, 0.0, None) ** 2 / (wp + 1e-5), axis=-1))
+    return loss
+
+
 def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
     """Mean of x over elements where mask is True (static-shape safe)."""
     mask = mask.astype(x.dtype)

@@ -45,9 +45,9 @@ from neuradar_tpu.model_components.dynamic_actors import (
 )
 from neuradar_tpu.model_components.losses import (
     binary_cross_entropy_with_logits,
-    distortion_loss,
+    distortion_loss_sdist,
     masked_mean,
-    zipnerf_interlevel_loss,
+    zipnerf_interlevel_loss_sdist,
 )
 from neuradar_tpu.model_components.radar_decoder import RadarDecoder, spherical_to_cartesian
 from neuradar_tpu.model_components.renderers import render_depth_simple
@@ -119,6 +119,14 @@ class NeuRadarModelConfig:
     normalize_depth: bool = False
     existence_probability_threshold: float = 0.5
     eval_num_rays_per_chunk: int = 1 << 15
+    compute_dtype: str = "float32"
+    """bfloat16 halves hashgrid gather bandwidth + runs MLPs on the MXU in
+    bf16 (the TPU analogue of the reference's AMP, trainer.py:200)."""
+    nff_chunks: int = 1
+    """Sequential ray chunks for the NFF core (nn.scan); bounds the padded
+    HBM footprint of [rays, samples] intermediates. Must divide total rays."""
+    nff_remat: bool = True
+    """Rematerialize the NFF core in backward (recompute-over-store)."""
 
     @property
     def num_proposal_rounds(self) -> int:
@@ -185,10 +193,14 @@ class NeuRadarModel(nn.Module):
         self.camera_optimizer = CameraOptimizer(config=cfg.camera_optimizer, num_cameras=self.scene.num_train_frames)
 
         n_actors = self.trajectories.n_actors
-        self.field = NeuRADField(config=cfg.field, static_scale=self.scene.static_scale, n_actors=n_actors)
+        cdt = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype != "float32" else None
+        self.field = NeuRADField(
+            config=cfg.field, static_scale=self.scene.static_scale, n_actors=n_actors, compute_dtype=cdt
+        )
         self.proposal_fields = [
             NeuRADProposalField(
-                config=c, static_scale=self.scene.static_scale, n_actors=n_actors, name=f"proposal_field_{i}"
+                config=c, static_scale=self.scene.static_scale, n_actors=n_actors, name=f"proposal_field_{i}",
+                compute_dtype=cdt,
             )
             for i, c in enumerate((cfg.sampling.proposal_field_1, cfg.sampling.proposal_field_2))
         ]
@@ -263,7 +275,13 @@ class NeuRadarModel(nn.Module):
         train: bool = False,
         actor_edits: Optional[ActorEdits] = None,
     ) -> Dict[str, Any]:
-        """Neural-feature-field forward (cf. get_nff_outputs, :495-548)."""
+        """Neural-feature-field forward (cf. get_nff_outputs, :495-548).
+
+        TPU memory strategy: the per-ray core is evaluated in ``nff_chunks``
+        sequential chunks via nn.scan (+ nn.remat), bounding the padded HBM
+        footprint of the big [rays, samples, ...] intermediates — the
+        reference instead relies on CUDA's untiled memory and AMP.
+        """
         cfg = self.config
         ray_bundle = self._scale_pixel_area(ray_bundle, layout)
 
@@ -274,6 +292,16 @@ class NeuRadarModel(nn.Module):
         )
         nears = ray_bundle.nears if ray_bundle.nears is not None else jnp.zeros_like(fars)
         ray_bundle = ray_bundle.replace(nears=nears, fars=fars)
+
+        # derive the boolean lidar mask from the static layout if absent
+        # (the chunked core can't use static segment slicing)
+        if train and layout.num_lidar > 0 and "is_lidar" not in ray_bundle.metadata:
+            is_lidar = jnp.zeros((layout.total, 1), bool).at[
+                layout.num_cam : layout.num_cam + layout.num_lidar
+            ].set(True)
+            md = dict(ray_bundle.metadata)
+            md["is_lidar"] = is_lidar
+            ray_bundle = ray_bundle.replace(metadata=md)
 
         # actor candidates computed once for the bundle
         flip_rng = self.make_rng("flip") if (train and cfg.field.grid.actor.flip_prob > EPS) else None
@@ -287,6 +315,47 @@ class NeuRadarModel(nn.Module):
             edits=actor_edits,
         ) if self.trajectories.n_actors > 0 else None
 
+        n_chunks = cfg.nff_chunks if (cfg.nff_chunks > 1 and layout.total % cfg.nff_chunks == 0) else 1
+        if n_chunks == 1:
+            return self._nff_core(ray_bundle, candidates, train)
+
+        def to_chunks(x):
+            return x.reshape(n_chunks, x.shape[0] // n_chunks, *x.shape[1:])
+
+        xs = jax.tree.map(to_chunks, (ray_bundle, candidates))
+
+        def body(mdl, carry, x):
+            rb, cand = x
+            return carry, mdl._nff_core(rb, cand, train)
+
+        if cfg.nff_remat:
+            body = nn.remat(body, prevent_cse=False)
+        scan = nn.scan(
+            body,
+            variable_broadcast=["params", "batch_stats"],
+            split_rngs={"params": False, "sampling": True, "flip": False, "dropout": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        _, outs = scan(self, None, xs)
+
+        def unchunk(x):
+            if x.ndim == 1:  # stacked per-chunk scalars (carving sums)
+                return jnp.sum(x)
+            return x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
+
+        return {k: unchunk(v) if isinstance(v, jax.Array) else v for k, v in outs.items()}
+
+    def _nff_core(
+        self, ray_bundle: RayBundle, candidates: Optional[ActorCandidates], train: bool
+    ) -> Dict[str, Any]:
+        """Per-ray NFF core: sampling -> fields -> volume rendering -> masks.
+
+        Modality handling uses the boolean is_lidar metadata (zero for
+        camera/radar rays) so the function is chunk-shape-agnostic.
+        """
+        cfg = self.config
+        sky = cfg.sampling.sky_distance
         density_fns = [
             (lambda rs, f=f: f(rs, candidates)) for f in self.proposal_fields
         ]
@@ -305,50 +374,51 @@ class NeuRadarModel(nn.Module):
         ray_samples = _apply_sky_sample(ray_samples, sky)
 
         field_out = self.field(ray_samples, candidates)
-        weights = self._render_weights(field_out, ray_samples)  # [R, S]
-        accumulation = jnp.sum(weights, axis=-1, keepdims=True)  # [R, 1]
+        weights = self._render_weights(field_out, ray_samples)  # [r, S]
+        accumulation = jnp.sum(weights, axis=-1, keepdims=True)  # [r, 1]
 
         # dump remaining probability mass on the sky sample (cf. :507-509)
         weights_sky = jnp.concatenate([weights[..., :-1], weights[..., -1:] + 1 - accumulation], axis=-1)
-        features = jnp.sum(weights_sky[..., None] * field_out["feature"], axis=-2)  # [R, C]
+        features = jnp.sum(weights_sky[..., None] * field_out["feature"], axis=-2)  # [r, C]
         if cfg.appearance_dim > 0:
             appearance = self._get_appearance_embedding(ray_bundle, features)
             features = jnp.concatenate([features, appearance], axis=-1)
 
         # discard sky sample for depth / losses (cf. :514-517)
-        weights_main = weights_sky[..., :-1, None]  # [R, S-1, 1]
+        weights_main = weights_sky[..., :-1]  # [r, S-1]
         samples_main = _drop_last_sample(ray_samples)
-        depth = render_depth_simple(weights_main, samples_main)
+        depth = render_depth_simple(weights_main[..., None], samples_main)
 
         outputs: Dict[str, Any] = {
             "features": features,
             "depth": depth,
             "accumulation": accumulation,
+            "weights_final": weights_main,
+            "sdist_final": _sdist(samples_main),
         }
-        outputs["weights_list"] = weights_list + [weights_main]
-        outputs["ray_samples_list"] = samples_list + [samples_main]
-
-        # proposal depths (cf. :527-531)
         for i, (pw, prs) in enumerate(zip(weights_list, samples_list)):
+            outputs[f"weights_prop_{i}"] = pw[..., 0]
+            outputs[f"sdist_prop_{i}"] = _sdist(prs)
             outputs[f"prop_depth_{i}"] = render_depth_simple(pw, prs)
 
         # lidar carving masks (cf. _compute_is_close_to_lidar, :971-994)
-        if train and layout.num_lidar > 0:
-            lidar_dist = layout.lidar(ray_bundle.metadata["directions_norm"])  # [Nl, 1]
-            did_return = layout.lidar(ray_bundle.metadata["did_return"])  # [Nl, 1]
+        if train and "is_lidar" in ray_bundle.metadata:
+            is_lidar = ray_bundle.metadata["is_lidar"]  # [r, 1]
+            lidar_dist = ray_bundle.metadata["directions_norm"]
+            did_return = ray_bundle.metadata.get("did_return", jnp.ones_like(is_lidar))
             for i, (pw, prs) in enumerate(zip(weights_list, samples_list)):
-                mask = self._not_close_to_lidar(layout, prs, lidar_dist, did_return)
-                outputs[f"prop_carving_sq_sum_{i}"] = jnp.sum((layout.lidar(pw[..., 0]) * mask) ** 2)
-            mask = self._not_close_to_lidar(layout, samples_main, lidar_dist, did_return)
-            outputs["carving_sq_sum"] = jnp.sum((layout.lidar(weights_main[..., 0]) * mask) ** 2)
+                mask = self._not_close_to_lidar(prs, lidar_dist, did_return) & is_lidar
+                outputs[f"prop_carving_sq_sum_{i}"] = jnp.sum((pw[..., 0] * mask) ** 2)
+            mask = self._not_close_to_lidar(samples_main, lidar_dist, did_return) & is_lidar
+            outputs["carving_sq_sum"] = jnp.sum((weights_main * mask) ** 2)
 
         return outputs
 
-    def _not_close_to_lidar(self, layout, ray_samples, lidar_dist, did_return) -> jax.Array:
-        """[Nl, S] mask of lidar samples NOT near the measured return."""
+    def _not_close_to_lidar(self, ray_samples, lidar_dist, did_return) -> jax.Array:
+        """[r, S] mask of samples NOT near the measured lidar return."""
         cfg = self.config.loss
-        starts = layout.lidar(ray_samples.frustums.starts[..., 0])  # [Nl, S]
-        ends = layout.lidar(ray_samples.frustums.ends[..., 0])
+        starts = ray_samples.frustums.starts[..., 0]  # [r, S]
+        ends = ray_samples.frustums.ends[..., 0]
         sample_dist = (starts + ends) * 0.5
         close_to_hit = jnp.abs(lidar_dist - sample_dist) < cfg.carving_epsilon
         in_range = sample_dist < cfg.non_return_lidar_distance
@@ -484,9 +554,12 @@ class NeuRadarModel(nn.Module):
 
         # ---- interlevel / distortion (cf. :681-686)
         if train:
-            wl, rsl = outputs["weights_list"], outputs["ray_samples_list"]
-            loss_dict["interlevel_loss"] = conf.interlevel_loss_mult * zipnerf_interlevel_loss(wl, rsl)
-            dist = distortion_loss(wl, rsl)
+            sdist_list = [outputs[f"sdist_prop_{i}"] for i in range(cfg.num_proposal_rounds)]
+            sdist_list.append(outputs["sdist_final"])
+            wl = [outputs[f"weights_prop_{i}"] for i in range(cfg.num_proposal_rounds)]
+            wl.append(outputs["weights_final"])
+            loss_dict["interlevel_loss"] = conf.interlevel_loss_mult * zipnerf_interlevel_loss_sdist(sdist_list, wl)
+            dist = distortion_loss_sdist(sdist_list[-1], wl[-1])
             metrics["distortion"] = dist
             loss_dict["distortion_loss"] = conf.distortion_loss_mult * dist
             if cfg.camera_optimizer.mode != "off":
@@ -496,6 +569,13 @@ class NeuRadarModel(nn.Module):
         for v in loss_dict.values():
             total = total + v
         return total, (loss_dict, metrics, outputs)
+
+
+def _sdist(ray_samples: RaySamples) -> jax.Array:
+    """Normalized bin edges [r, S+1] (cf. losses.ray_samples_to_sdist)."""
+    return jnp.concatenate(
+        [ray_samples.spacing_starts[..., 0], ray_samples.spacing_ends[..., -1:, 0]], axis=-1
+    )
 
 
 def _depth_l1_with_nonreturns(pred, target, did_return, nonret_dist, nonret_mult):

@@ -136,6 +136,24 @@ class ADNeuRadarPipeline:
 
         return loss_fn
 
+    def make_eval_loss_fn(self):
+        """Eval-split loss/metrics (cf. get_eval_loss_dict,
+        ad_neuradar_pipeline.py:87): same graph, train=False, no updates."""
+        model = self.model
+        layout = self.layout
+        tables = self.datamanager.tables
+        u = self.config.model.rgb_upsample_factor
+
+        @jax.jit
+        def eval_loss(variables, batch):
+            bundle = build_train_bundle(tables, batch, layout, u)
+            total, (loss_dict, metrics, _outputs) = model.apply(
+                variables, bundle, batch, layout, train=False, method=NeuRadarModel.loss_and_metrics
+            )
+            return total, loss_dict, metrics
+
+        return eval_loss
+
     # -- eval ------------------------------------------------------------------
 
     @functools.cached_property

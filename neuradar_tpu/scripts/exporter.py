@@ -1,0 +1,90 @@
+"""Exporter: point clouds from trained models.
+
+cf. reference nerfstudio/scripts/exporter.py:50-620 (point cloud / TSDF /
+poisson / marching-cubes / gsplat-ply). Round-1 scope: lidar-depth point
+cloud export (the AD-relevant exporter) to .ply, plus radar point export.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def write_ply(path: Path, points: np.ndarray, colors: np.ndarray | None = None) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    n = len(points)
+    has_color = colors is not None
+    with open(path, "wb") as f:
+        header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}",
+                  "property float x", "property float y", "property float z"]
+        if has_color:
+            header += ["property uchar red", "property uchar green", "property uchar blue"]
+        header += ["end_header"]
+        f.write(("\n".join(header) + "\n").encode())
+        if has_color:
+            rec = np.zeros(n, dtype=[("xyz", np.float32, 3), ("rgb", np.uint8, 3)])
+            rec["xyz"] = points.astype(np.float32)
+            rec["rgb"] = (np.clip(colors, 0, 1) * 255).astype(np.uint8)
+            rec.tofile(f)
+        else:
+            points.astype(np.float32).tofile(f)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("command", choices=("pointcloud", "radar-pointcloud"))
+    parser.add_argument("--load-config", type=Path, required=True)
+    parser.add_argument("--output-path", type=Path, default=Path("exports/points.ply"))
+    parser.add_argument("--max-scans", type=int, default=8)
+    parser.add_argument("--points-per-scan", type=int, default=8192)
+    args = parser.parse_args(argv)
+
+    from neuradar_tpu.scripts.render import _load_trainer
+
+    run_dir = args.load_config if args.load_config.is_dir() else args.load_config.parent
+    trainer = _load_trainer(run_dir)
+    pipeline = trainer.pipeline
+    variables = trainer.eval_variables()
+
+    all_pts = []
+    if args.command == "pointcloud":
+        # lidar rays -> predicted depth -> world points
+        for scan_idx in list(pipeline.datamanager.eval_lidar_indices())[: args.max_scans]:
+            rend = pipeline.render_lidar(variables, int(scan_idx), max_points=args.points_per_scan)
+            keep = rend["ray_drop_prob"][:, 0] < 0.5
+            pts_sensor = rend["points"][:, :3] / np.linalg.norm(
+                rend["points"][:, :3], axis=-1, keepdims=True
+            ).clip(1e-6) * rend["depth"]
+            l2w = np.asarray(pipeline.datamanager.tables.lidars.lidar_to_worlds[int(scan_idx)])
+            pts_world = pts_sensor @ l2w[:3, :3].T + l2w[:3, 3]
+            all_pts.append(pts_world[keep])
+    else:
+        import jax
+
+        from neuradar_tpu.model_components.radar_utils import sample_radar_points
+
+        rng = jax.random.PRNGKey(0)
+        cfg = pipeline.config.model
+        for scan_idx in list(pipeline.datamanager.eval_radar_indices())[: args.max_scans]:
+            ro = pipeline.render_radar(variables, int(scan_idx))["radar_output"]
+            rng, sub = jax.random.split(rng)
+            pts, keep = sample_radar_points(
+                np.asarray(ro), cfg.loss.radar_loss_type, rng=sub,
+                threshold=cfg.existence_probability_threshold,
+            )
+            r2w = np.asarray(pipeline.datamanager.tables.radars.radar_to_worlds[int(scan_idx)])
+            local = np.asarray(pts)[np.asarray(keep)]
+            all_pts.append(local @ r2w[:3, :3].T + r2w[:3, 3])
+
+    points = np.concatenate(all_pts, axis=0) if all_pts else np.zeros((0, 3))
+    write_ply(args.output_path, points)
+    print(f"wrote {len(points)} points to {args.output_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,88 @@
+"""Camera rendering script: dataset views, pose-shifted views, interpolated
+trajectories.
+
+cf. reference nerfstudio/scripts/render.py (1290 LoC; dataset render,
+camera-path render, lane-shift render used for FID eval at
+ad_pipeline.py:310-405). Writes PNGs + a metadata JSON per render.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def _load_trainer(run_dir: Path):
+    from neuradar_tpu.configs.method_configs import get_method
+    from neuradar_tpu.engine.trainer import Trainer
+
+    cfg_json = json.loads((run_dir / "config.json").read_text())
+    config = get_method(cfg_json.get("method_name", "neuradar-synthetic"))
+    config.output_dir = cfg_json.get("output_dir", str(run_dir.parent.parent))
+    config.experiment_name = cfg_json.get("experiment_name", run_dir.parent.name)
+    config.load_dir = str(run_dir / "checkpoints")
+    trainer = Trainer(config)
+    trainer.setup()
+    return trainer
+
+
+def _save_image(path: Path, img: np.ndarray) -> None:
+    import PIL.Image
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    PIL.Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="command", required=True)
+    for cmd in ("dataset", "lane-shift"):
+        p = sub.add_parser(cmd)
+        p.add_argument("--load-config", type=Path, required=True)
+        p.add_argument("--output-dir", type=Path, default=Path("renders/camera"))
+        p.add_argument("--split", choices=("eval", "train"), default="eval")
+        p.add_argument("--max-frames", type=int, default=16)
+        if cmd == "lane-shift":
+            p.add_argument("--shift", type=float, default=2.0, help="lateral shift in meters")
+    args = parser.parse_args(argv)
+
+    run_dir = args.load_config if args.load_config.is_dir() else args.load_config.parent
+    trainer = _load_trainer(run_dir)
+    pipeline = trainer.pipeline
+    variables = trainer.eval_variables()
+
+    if args.command == "lane-shift":
+        # shift camera poses laterally (FID-style novel views,
+        # cf. ad_pipeline.py:310-405)
+        import jax.numpy as jnp
+
+        tables = pipeline.datamanager.tables
+        c2w = tables.cameras.camera_to_worlds
+        lateral = jnp.einsum("nij,j->ni", c2w[..., :3, :3], jnp.asarray([1.0, 0.0, 0.0]))
+        new_c2w = c2w.at[..., :3, 3].add(args.shift * lateral)
+        pipeline.datamanager.tables = tables.replace(
+            cameras=tables.cameras.replace(camera_to_worlds=new_c2w)
+        )
+
+    split = pipeline.datamanager.eval_camera_indices() if args.split == "eval" else \
+        pipeline.outputs.camera_split.train
+    out_dir = args.output_dir / args.command
+    frames = list(split)[: args.max_frames]
+    for cam_idx in frames:
+        rend = pipeline.render_camera(variables, int(cam_idx))
+        _save_image(out_dir / f"frame_{int(cam_idx):05d}.png", rend["rgb"])
+        depth = rend["depth"]
+        depth_vis = np.clip(depth / max(depth.max(), 1e-6), 0, 1)
+        _save_image(out_dir / f"depth_{int(cam_idx):05d}.png", np.stack([depth_vis] * 3, axis=-1))
+    (out_dir / "render_info.json").write_text(
+        json.dumps({"command": args.command, "frames": [int(f) for f in frames]})
+    )
+    print(f"wrote {len(frames)} frames to {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

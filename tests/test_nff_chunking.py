@@ -1,0 +1,60 @@
+"""Chunked NFF (nn.scan + remat) must match the unchunked forward exactly in
+eval mode (no stochastic sampling)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from neuradar_tpu.models.neuradar import NeuRadarModel
+from tests.test_neuradar_model import RNGS, make_bundle_and_batch, make_layout, make_trajectories, small_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    layout = make_layout()
+    bundle, batch = make_bundle_and_batch(layout)
+    cfg = small_config()
+    from neuradar_tpu.models.neuradar import SceneMeta
+
+    scene = SceneMeta(static_scale=100.0, duration=5.0, num_sensors=2, num_train_frames=4)
+    model = NeuRadarModel(config=cfg, scene=scene, trajectories=make_trajectories())
+    variables = model.init(RNGS, bundle, batch, layout, train=True, method=NeuRadarModel.loss_and_metrics)
+    return model, variables, layout, bundle, batch, cfg, scene
+
+
+def test_chunked_matches_unchunked_eval(setup):
+    model, variables, layout, bundle, batch, cfg, scene = setup
+    out_ref, _ = model.apply(variables, bundle, layout, train=False, method=NeuRadarModel.get_outputs,
+                             rngs=RNGS, mutable=["batch_stats"])
+
+    cfg2 = dataclasses.replace(cfg, nff_chunks=4)  # layout.total=72 not divisible by 4? ensure divisibility
+    assert layout.total % 4 == 0, layout.total
+    model2 = NeuRadarModel(config=cfg2, scene=scene, trajectories=make_trajectories())
+    out_chunked, _ = model2.apply(variables, bundle, layout, train=False, method=NeuRadarModel.get_outputs,
+                                  rngs=RNGS, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_chunked["depth"]), np.asarray(out_ref["depth"]), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out_chunked["accumulation"]), np.asarray(out_ref["accumulation"]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(out_chunked["rgb"]), np.asarray(out_ref["rgb"]), rtol=1e-3, atol=1e-4)
+
+
+def test_chunked_train_gradients(setup):
+    model, variables, layout, bundle, batch, cfg, scene = setup
+    cfg2 = dataclasses.replace(cfg, nff_chunks=4, nff_remat=True)
+    model2 = NeuRadarModel(config=cfg2, scene=scene, trajectories=make_trajectories())
+    params = variables["params"]
+    other = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p):
+        (total, _), _ = model2.apply(
+            {"params": p, **other}, bundle, batch, layout, train=True,
+            method=NeuRadarModel.loss_and_metrics, rngs=RNGS, mutable=["batch_stats"],
+        )
+        return total
+
+    grads = jax.grad(loss_fn)(params)
+    gsum = sum(float(abs(g).sum()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gsum) and gsum > 0
