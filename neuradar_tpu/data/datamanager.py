@@ -200,7 +200,7 @@ class ADDataManager:
         self.tables = build_sensor_tables(outputs)
 
         # host caches
-        self.images = outputs.images.astype(np.float32) / 255.0  # [Nc, H, W, 3]
+        self.images_u8 = np.ascontiguousarray(outputs.images)  # [Nc, H, W, 3] uint8
         self._pack_lidar(outputs)
         self._pad_radar(outputs)
         self._queue: Optional[queue.Queue] = None
@@ -262,16 +262,17 @@ class ADDataManager:
         packed_pts = self.lidar_points_packed if split == "train" else self.eval_lidar_points_packed
         packed_ids = self.lidar_scan_ids_packed if split == "train" else self.eval_lidar_scan_ids_packed
 
+        from neuradar_tpu import native
+
         cam_frames = self.rng.choice(cam_split, size=c.num_rgb_patches)
         tl_r = self.rng.randint(0, H - gt_patch + 1, size=c.num_rgb_patches)
         tl_c = self.rng.randint(0, W - gt_patch + 1, size=c.num_rgb_patches)
-        rgb = np.stack(
-            [self.images[f, r : r + gt_patch, cc : cc + gt_patch] for f, r, cc in zip(cam_frames, tl_r, tl_c)]
-        )
+        top_left = np.stack([tl_r, tl_c], axis=1)
+        # threaded native gathers (C++); numpy fallback inside
+        rgb = native.sample_patches(self.images_u8, cam_frames, top_left, gt_patch)
 
         pt_idx = self.rng.randint(0, len(packed_pts), size=c.num_lidar_rays)
-        lidar_points = packed_pts[pt_idx]
-        lidar_scan_idx = packed_ids[pt_idx]
+        lidar_points, lidar_scan_idx = native.sample_points(packed_pts, packed_ids, pt_idx)
 
         radar_scan_idx = self.rng.choice(radar_split, size=c.num_radar_scans)
 

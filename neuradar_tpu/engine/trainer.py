@@ -173,6 +173,8 @@ class Trainer:
                 eb = jax.tree.map(jnp.asarray, self.pipeline.datamanager.sample_eval_batch())
                 _etotal, _eld, emetrics = self._eval_loss_fn(self.eval_variables(), eb)
                 self.writer.put_scalars(step, {f"eval_{k}": float(v) for k, v in emetrics.items()})
+            if cfg.steps_per_eval_image and step > 0 and step % cfg.steps_per_eval_image == 0:
+                self._eval_single_image_and_radar(step)
             if cfg.steps_per_save and step > 0 and step % cfg.steps_per_save == 0:
                 self.save_checkpoint()
             if cfg.steps_per_eval_all_radars and step > 0 and step % cfg.steps_per_eval_all_radars == 0:
@@ -194,6 +196,63 @@ class Trainer:
 
     def eval_variables(self):
         return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def _eval_single_image_and_radar(self, step: int) -> None:
+        """Render one eval image + one radar scan, log metrics and dump a
+        radar figure (cf. eval_iteration_neuradar, trainer.py:645-700)."""
+        variables = self.eval_variables()
+        pipeline = self.pipeline
+        cam_ids = pipeline.datamanager.eval_camera_indices()
+        scalars = {}
+        if len(cam_ids):
+            cam_idx = int(cam_ids[self._step // max(self.config.steps_per_eval_image, 1) % len(cam_ids)])
+            rend = pipeline.render_camera(variables, cam_idx)
+            gt = pipeline.outputs.images[cam_idx].astype(np.float32) / 255.0
+            h, w = rend["rgb"].shape[:2]
+            mse = float(np.mean((rend["rgb"] - gt[:h, :w]) ** 2))
+            scalars["eval_image_psnr"] = -10.0 * np.log10(max(mse, 1e-10))
+        radar_ids = pipeline.datamanager.eval_radar_indices()
+        if len(radar_ids):
+            import jax as _jax
+
+            from neuradar_tpu.model_components import radar_utils as _ru
+
+            scan_idx = int(radar_ids[0])
+            ro = pipeline.render_radar(variables, scan_idx)["radar_output"]
+            gt_pts = pipeline.outputs.radar_points[scan_idx][:, :3]
+            pts, keep = _ru.sample_radar_points(
+                jnp.asarray(ro), "euclidean",
+                threshold=pipeline.config.model.existence_probability_threshold,
+            )
+            pred = np.asarray(pts)[np.asarray(keep)]
+            if len(pred) and len(gt_pts):
+                scalars["eval_radar_chamfer"] = _ru.chamfer_distance_np(pred, gt_pts)
+            self._save_radar_figure(step, pred, gt_pts)
+        if scalars:
+            self.writer.put_scalars(step, scalars)
+
+    def _save_radar_figure(self, step: int, pred: np.ndarray, gt: np.ndarray) -> None:
+        """Radar point figure (matplotlib; the reference logs plotly figures
+        via writer.put_figure)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(6, 5))
+            if len(gt):
+                ax.scatter(gt[:, 0], gt[:, 1], c="green", s=10, label="gt")
+            if len(pred):
+                ax.scatter(pred[:, 0], pred[:, 1], c="blue", s=10, label="pred")
+            ax.legend()
+            ax.set_title(f"radar step {step}")
+            fig_dir = self._run_dir / "figures"
+            fig_dir.mkdir(parents=True, exist_ok=True)
+            fig.savefig(fig_dir / f"radar_{step:06d}.png", dpi=80)
+            plt.close(fig)
+        except Exception as e:  # noqa: BLE001
+            print(f"[trainer] radar figure failed: {e}")
 
     # -- checkpointing ------------------------------------------------------------
 

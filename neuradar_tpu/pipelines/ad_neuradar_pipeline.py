@@ -267,20 +267,31 @@ class ADNeuRadarPipeline:
         }
 
     def get_average_eval_image_metrics(self, variables) -> Dict[str, float]:
-        """PSNR/SSIM over all eval images (cf. ad_pipeline.py:146-294)."""
+        """PSNR/SSIM + eval rays/sec + fps over all eval images
+        (cf. ad_pipeline.py:146-294, rays/sec timing at :216-221)."""
+        import time
+
         psnrs, ssims = [], []
         u = self.config.model.rgb_upsample_factor
+        total_rays = 0
+        t0 = time.perf_counter()
+        n_images = 0
         for cam_idx in self.datamanager.eval_camera_indices():
             rend = self.render_camera(variables, int(cam_idx))
             gt = self.outputs.images[int(cam_idx)].astype(np.float32) / 255.0
             h, w = rend["rgb"].shape[:2]
+            total_rays += (h // u) * (w // u)
+            n_images += 1
             gt = gt[: h, : w]
             mse = float(np.mean((rend["rgb"] - gt) ** 2))
             psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
             ssims.append(_ssim_np(rend["rgb"], gt))
+        dt = max(time.perf_counter() - t0, 1e-9)
         return {
             "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
             "ssim": float(np.mean(ssims)) if ssims else 0.0,
+            "eval_rays_per_sec": total_rays / dt,
+            "fps": n_images / dt,
         }
 
 

@@ -1,0 +1,25 @@
+"""Native C++ batch-sampler tests (with numpy fallback parity)."""
+
+import numpy as np
+
+from neuradar_tpu import native
+
+
+def test_sample_patches_matches_numpy():
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(4, 32, 48, 3) * 255).astype(np.uint8)
+    fi = np.array([0, 3, 1], np.int32)
+    tl = np.array([[2, 4], [10, 12], [0, 0]], np.int32)
+    out = native.sample_patches(imgs, fi, tl, 8)
+    ref = np.stack([imgs[f, r : r + 8, c : c + 8] for f, (r, c) in zip(fi, tl)]).astype(np.float32) / 255.0
+    np.testing.assert_allclose(out, ref)
+
+
+def test_sample_points_matches_numpy():
+    rng = np.random.RandomState(1)
+    pts = rng.rand(1000, 6).astype(np.float32)
+    ids = rng.randint(0, 20, 1000).astype(np.int64)
+    idx = rng.randint(0, 1000, 64).astype(np.int64)
+    op, osc = native.sample_points(pts, ids, idx)
+    np.testing.assert_allclose(op, pts[idx])
+    np.testing.assert_array_equal(osc, ids[idx].astype(np.int32))
