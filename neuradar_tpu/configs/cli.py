@@ -95,6 +95,25 @@ def parse_overrides(config: Any, argv: List[str]) -> Any:
     return config
 
 
+def apply_config_dict(config: Any, d: dict) -> Any:
+    """Recursively apply a saved config.json dict onto a dataclass tree
+    (scalar/tuple fields only; _target-style fields are left alone)."""
+    for k, v in d.items():
+        if not hasattr(config, k):
+            continue
+        cur = getattr(config, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            apply_config_dict(cur, v)
+        elif isinstance(v, list) and isinstance(cur, tuple):
+            setattr(config, k, tuple(v))
+        elif isinstance(v, (int, float, str, bool)) or v is None:
+            if isinstance(cur, bool) and not isinstance(v, bool):
+                continue
+            if cur is None or isinstance(v, type(cur)) or isinstance(cur, (int, float)) and isinstance(v, (int, float)):
+                setattr(config, k, v)
+    return config
+
+
 def describe(config: Any, prefix: str = "", depth: int = 0, max_depth: int = 3) -> List[str]:
     lines = []
     if not dataclasses.is_dataclass(config) or depth > max_depth:

@@ -126,7 +126,7 @@ class ActorCandidates:
         return jax.tree.map(jax.lax.stop_gradient, self)
 
 
-@dataclass
+@dataclass(frozen=True)
 class ActorEdits:
     """Viewer/render-script actor editing (cf. dynamic_actors.py:158-181)."""
 

@@ -268,6 +268,12 @@ class NeuRadarModel(nn.Module):
 
         return outputs
 
+    def decode_camera_features(self, features: jax.Array, patch_size: Tuple[int, int]) -> jax.Array:
+        """Decode rendered features to rgb via the upsampling CNN (eval path)."""
+        ph, pw = patch_size
+        patches = features.reshape(-1, ph, pw, features.shape[-1])
+        return self.rgb_decoder(patches, train=False)
+
     def get_nff_outputs(
         self,
         ray_bundle: RayBundle,
@@ -387,7 +393,12 @@ class NeuRadarModel(nn.Module):
         # discard sky sample for depth / losses (cf. :514-517)
         weights_main = weights_sky[..., :-1]  # [r, S-1]
         samples_main = _drop_last_sample(ray_samples)
-        depth = render_depth_simple(weights_main[..., None], samples_main)
+        if cfg.normalize_depth:
+            from neuradar_tpu.model_components.renderers import render_depth_expected
+
+            depth = render_depth_expected(weights_main[..., None], samples_main)
+        else:
+            depth = render_depth_simple(weights_main[..., None], samples_main)
 
         outputs: Dict[str, Any] = {
             "features": features,

@@ -158,20 +158,43 @@ class ADNeuRadarPipeline:
 
     @functools.cached_property
     def _eval_nff_chunk(self):
-        """Jitted chunked NFF forward for eval renders."""
+        """Jitted whole-bundle eval forward (small bundles: radar/lidar)."""
         model = self.model
 
-        @functools.partial(jax.jit, static_argnames=("layout",))
-        def run(variables, bundle, layout):
+        @functools.partial(jax.jit, static_argnames=("layout", "actor_edits"))
+        def run(variables, bundle, layout, actor_edits=None):
             outputs = model.apply(
-                variables, bundle, layout, False, method=NeuRadarModel.get_outputs,
+                variables, bundle, layout, False, actor_edits, method=NeuRadarModel.get_outputs,
             )
             return outputs
 
         return run
 
+    @functools.cached_property
+    def _eval_nff_features(self):
+        """Jitted NFF-only forward for one ray chunk (camera rays)."""
+        model = self.model
+
+        @functools.partial(jax.jit, static_argnames=("layout",))
+        def run(variables, bundle, layout):
+            out = model.apply(variables, bundle, layout, False, method=NeuRadarModel.get_nff_outputs)
+            return {"features": out["features"], "depth": out["depth"], "accumulation": out["accumulation"]}
+
+        return run
+
+    @functools.cached_property
+    def _eval_decode_rgb(self):
+        model = self.model
+
+        @functools.partial(jax.jit, static_argnames=("patch_size",))
+        def run(variables, features, patch_size):
+            return model.apply(variables, features, patch_size, method=NeuRadarModel.decode_camera_features)
+
+        return run
+
     def render_camera(self, variables, cam_idx: int) -> Dict[str, np.ndarray]:
-        """Full-image render at 1/upsample resolution, CNN-upsampled
+        """Full-image render at 1/upsample resolution, CNN-upsampled, with
+        NFF chunking at eval_num_rays_per_chunk
         (cf. get_outputs_for_camera_ray_bundle, models/neuradar.py:905-969)."""
         out = self.outputs
         u = self.config.model.rgb_upsample_factor
@@ -180,25 +203,42 @@ class ADNeuRadarPipeline:
         rows = np.arange(h) * u + u // 2
         cols = np.arange(w) * u + u // 2
         rr, cc = np.meshgrid(rows, cols, indexing="ij")
-        coords = jnp.asarray(np.stack([rr.reshape(-1), cc.reshape(-1)], axis=1))
-        cam_ids = jnp.full((coords.shape[0],), cam_idx, jnp.int32)
-        layout = SegmentLayout(num_cam=coords.shape[0], patch_size=(h, w))
-        bundle = generate_camera_rays(self.datamanager.tables.cameras, cam_ids, coords)
-        bundle = merge_modality_bundles(bundle, None, None)
-        outputs = self._eval_nff_chunk(variables, bundle, layout)
+        coords_np = np.stack([rr.reshape(-1), cc.reshape(-1)], axis=1)
+        n_rays = len(coords_np)
+        chunk = min(self.config.model.eval_num_rays_per_chunk, n_rays)
+        n_pad = (-n_rays) % chunk
+        if n_pad:
+            coords_np = np.concatenate([coords_np, np.repeat(coords_np[-1:], n_pad, axis=0)])
+        layout = SegmentLayout(num_cam=chunk, patch_size=(h, w))
+
+        feats, depths, accs = [], [], []
+        for i in range(0, len(coords_np), chunk):
+            coords = jnp.asarray(coords_np[i : i + chunk])
+            cam_ids = jnp.full((chunk,), cam_idx, jnp.int32)
+            bundle = generate_camera_rays(self.datamanager.tables.cameras, cam_ids, coords)
+            bundle = merge_modality_bundles(bundle, None, None)
+            o = self._eval_nff_features(variables, bundle, layout)
+            feats.append(np.asarray(o["features"]))
+            depths.append(np.asarray(o["depth"]))
+            accs.append(np.asarray(o["accumulation"]))
+        features = np.concatenate(feats)[:n_rays]
+        depth = np.concatenate(depths)[:n_rays]
+        acc = np.concatenate(accs)[:n_rays]
+
+        rgb = self._eval_decode_rgb(variables, jnp.asarray(features), (h, w))
         return {
-            "rgb": np.asarray(outputs["rgb"][0]),
-            "depth": np.asarray(outputs["depth"]).reshape(h, w),
-            "accumulation": np.asarray(outputs["accumulation"]).reshape(h, w),
+            "rgb": np.asarray(rgb[0]),
+            "depth": depth.reshape(h, w),
+            "accumulation": acc.reshape(h, w),
         }
 
-    def render_radar(self, variables, scan_idx: int) -> Dict[str, np.ndarray]:
+    def render_radar(self, variables, scan_idx: int, actor_edits=None) -> Dict[str, np.ndarray]:
         """Render one radar scan -> multi-Bernoulli output [n_mb, 7]."""
         tables = self.datamanager.tables
         bundle = tables.radars.generate_rays(jnp.asarray([scan_idx], jnp.int32))
         layout = SegmentLayout(num_radar_scans=1, rays_per_scan=int(tables.radars.rays_per_scan))
         bundle = merge_modality_bundles(None, None, bundle)
-        outputs = self._eval_nff_chunk(variables, bundle, layout)
+        outputs = self._eval_nff_chunk(variables, bundle, layout, actor_edits)
         return {"radar_output": np.asarray(outputs["radar_output"][0])}
 
     def render_lidar(self, variables, scan_idx: int, max_points: int = 16384) -> Dict[str, np.ndarray]:

@@ -21,6 +21,9 @@ def _load_trainer(run_dir: Path):
 
     cfg_json = json.loads((run_dir / "config.json").read_text())
     config = get_method(cfg_json.get("method_name", "neuradar-synthetic"))
+    from neuradar_tpu.configs.cli import apply_config_dict
+
+    apply_config_dict(config, cfg_json)
     config.output_dir = cfg_json.get("output_dir", str(run_dir.parent.parent))
     config.experiment_name = cfg_json.get("experiment_name", run_dir.parent.name)
     config.load_dir = str(run_dir / "checkpoints")

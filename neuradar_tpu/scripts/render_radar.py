@@ -22,6 +22,9 @@ def _load_trainer(run_dir: Path):
 
     cfg_json = json.loads((run_dir / "config.json").read_text())
     config = get_method(cfg_json.get("method_name", "neuradar-synthetic"))
+    from neuradar_tpu.configs.cli import apply_config_dict
+
+    apply_config_dict(config, cfg_json)
     config.output_dir = cfg_json.get("output_dir", str(run_dir.parent.parent))
     config.experiment_name = cfg_json.get("experiment_name", run_dir.parent.name)
     config.load_dir = str(run_dir / "checkpoints")
@@ -104,8 +107,7 @@ def main(argv=None) -> int:
 
     scans = list(pipeline.datamanager.eval_radar_indices())[: args.max_scans]
     for scan_idx in scans:
-        # note: actor edits flow through get_outputs' actor_edits argument
-        ro = pipeline.render_radar(variables, int(scan_idx))["radar_output"]
+        ro = pipeline.render_radar(variables, int(scan_idx), actor_edits=edits)["radar_output"]
         rng, sub_rng = jax.random.split(rng)
         pts, keep = sample_radar_points(
             np.asarray(ro), cfg.loss.radar_loss_type, rng=sub_rng,
