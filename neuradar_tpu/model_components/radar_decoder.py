@@ -148,6 +148,92 @@ class RadarDecoder(nn.Module):
         return radar_output, angles
 
 
+class TransformerDecoderLayer(nn.Module):
+    """Pre-norm decoder layer: query self-attn + cross-attn to ray memory.
+
+    cf. the vendored DETR decoder (detr/models/transformer.py:95-141) used by
+    the paper's set-based radar variant.
+    """
+
+    d_model: int = 48
+    nhead: int = 1
+    dim_feedforward: int = 64
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, tgt, memory, query_pos, mem_pos, train: bool = False):
+        x = nn.LayerNorm(name="norm1")(tgt)
+        qk = x + query_pos
+        sa = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead, qkv_features=self.d_model, dropout_rate=self.dropout,
+            deterministic=not train, name="self_attn",
+        )(inputs_q=qk, inputs_k=qk, inputs_v=x)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=not train, name="drop1")(sa)
+
+        x = nn.LayerNorm(name="norm2")(tgt)
+        ca = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead, qkv_features=self.d_model, dropout_rate=self.dropout,
+            deterministic=not train, name="cross_attn",
+        )(inputs_q=x + query_pos, inputs_k=memory + mem_pos, inputs_v=memory)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=not train, name="drop2")(ca)
+
+        x = nn.LayerNorm(name="norm3")(tgt)
+        h = nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(x))
+        h = nn.Dense(self.d_model, name="linear2")(h)
+        tgt = tgt + nn.Dropout(self.dropout, deterministic=not train, name="drop3")(h)
+        return tgt
+
+
+class SetRadarDecoder(nn.Module):
+    """DETR-style set-based radar decoder.
+
+    The paper's alternative detector (reference vendored detr/, used by the
+    set-based variant; cf. detr/models/detr.py:40 + matcher.py:26): Q
+    learnable object queries cross-attend to the per-ray NFF memory and each
+    predicts one multi-Bernoulli component [ep, xyz, var]. The same auction/
+    Hungarian association + MB loss applies with n_mb = num_queries.
+    """
+
+    d_model: int = 48
+    num_queries: int = 300
+    num_decoder_layers: int = 2
+    nhead: int = 1
+    dim_feedforward: int = 64
+    dropout: float = 0.1
+    position_scale: float = 100.0  # query positions regressed in meters / scale
+
+    @nn.compact
+    def __call__(self, features: jax.Array, geometry_xyz: jax.Array, train: bool = False):
+        """Args as RadarDecoder; returns radar_output [N, Q, 7], angles [N, Q, 2]."""
+        N = features.shape[0]
+        mem_pos = sine_position_embedding(geometry_xyz, self.d_model)
+        memory = RadarTransformer(d_model=self.d_model, nhead=self.nhead,
+                                  dim_feedforward=self.dim_feedforward, dropout=self.dropout,
+                                  name="encoder")(features, mem_pos, train)
+
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0), (self.num_queries, self.d_model)
+        )
+        query_pos = jnp.broadcast_to(query_embed, (N, self.num_queries, self.d_model))
+        tgt = jnp.zeros_like(query_pos)
+        for i in range(self.num_decoder_layers):
+            tgt = TransformerDecoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward, self.dropout, name=f"layer_{i}"
+            )(tgt, memory, query_pos, mem_pos, train)
+        tgt = nn.LayerNorm(name="final_norm")(tgt)
+
+        xyz = self.position_scale * MLP(out_dim=3, num_layers=3, layer_width=16, out_activation=jnp.tanh,
+                                        name="point_head")(tgt)
+        ep = MLP(out_dim=1, num_layers=3, layer_width=16, out_activation=jax.nn.sigmoid,
+                 name="existence_probability_head")(tgt)
+        unc = MLP(out_dim=3, num_layers=3, layer_width=16, out_activation=jax.nn.softplus,
+                  name="radar_uncertainty_head")(tgt)
+        angles = MLP(out_dim=2, num_layers=3, layer_width=16, out_activation=jnp.tanh,
+                     name="radar_angle_head")(tgt)
+        radar_output = jnp.concatenate([ep, xyz, unc], axis=-1).astype(jnp.float32)
+        return radar_output, angles
+
+
 def spherical_to_cartesian(depth: jax.Array, elevation: jax.Array, azimuth: jax.Array) -> jax.Array:
     """Radar-frame spherical -> cartesian (cf. _get_cartesian_coords,
     models/neuradar.py:1025-1029)."""

@@ -49,7 +49,7 @@ from neuradar_tpu.model_components.losses import (
     masked_mean,
     zipnerf_interlevel_loss_sdist,
 )
-from neuradar_tpu.model_components.radar_decoder import RadarDecoder, spherical_to_cartesian
+from neuradar_tpu.model_components.radar_decoder import RadarDecoder, SetRadarDecoder, spherical_to_cartesian
 from neuradar_tpu.model_components.renderers import render_depth_simple
 from neuradar_tpu.model_components.vgg import VGGPerceptualLossPix2Pix
 from neuradar_tpu.model_components.ray_samplers import power_sampler, proposal_network_sampler
@@ -127,6 +127,12 @@ class NeuRadarModelConfig:
     HBM footprint of [rays, samples] intermediates. Must divide total rays."""
     nff_remat: bool = True
     """Rematerialize the NFF core in backward (recompute-over-store)."""
+    radar_decoder_type: str = "encoder"
+    """'encoder' (per-ray heads grounded in NeRF geometry, the reference
+    default) or 'set' (DETR-style learnable-query set prediction, the paper's
+    alternative; cf. reference vendored detr/)."""
+    num_radar_queries: int = 300
+    """Query count for the set-based radar decoder."""
 
     @property
     def num_proposal_rounds(self) -> int:
@@ -216,7 +222,13 @@ class NeuRadarModel(nn.Module):
         n_features = cfg.field.nff_out_dim + cfg.appearance_dim
         self.rgb_decoder = RGBDecoder(hidden_dim=cfg.rgb_hidden_dim, upsample_factor=cfg.rgb_upsample_factor)
         self.lidar_decoder = MLP(out_dim=2, num_layers=3, layer_width=32)
-        self.radar_decoder = RadarDecoder(d_model=n_features)
+        if cfg.radar_decoder_type == "set":
+            self.radar_decoder = SetRadarDecoder(
+                d_model=n_features, num_queries=cfg.num_radar_queries,
+                position_scale=self.scene.static_scale,
+            )
+        else:
+            self.radar_decoder = RadarDecoder(d_model=n_features)
         self.vgg_loss = VGGPerceptualLossPix2Pix()
 
     # -- forward ------------------------------------------------------------
