@@ -109,6 +109,34 @@ def _scaled(base: Callable[[], TrainerConfig], scale: float, newname: str) -> Ca
     return make
 
 
+def _neurad_on(dataparser_factory, name: str) -> Callable[[], TrainerConfig]:
+    def make() -> TrainerConfig:
+        cfg = _neurad()
+        cfg.method_name = name
+        cfg.dataparser = dataparser_factory()
+        return cfg
+
+    return make
+
+
+def _nuscenes_parser():
+    from neuradar_tpu.data.dataparsers.nuscenes import NuScenesDataParserConfig
+
+    return NuScenesDataParserConfig()
+
+
+def _pandaset_parser():
+    from neuradar_tpu.data.dataparsers.pandaset import PandasetDataParserConfig
+
+    return PandasetDataParserConfig()
+
+
+def _kittimot_parser():
+    from neuradar_tpu.data.dataparsers.kittimot import KittiMotDataParserConfig
+
+    return KittiMotDataParserConfig()
+
+
 method_configs["neuradar"] = _neuradar
 method_configs["neuradar-vod"] = _neuradar_vod
 method_configs["neuradar-synthetic"] = _neuradar_synthetic
@@ -116,6 +144,9 @@ method_configs["neurad"] = _neurad
 method_configs["neurad-scaleopt"] = _neurad_scaleopt
 method_configs["neurader"] = _scaled(_neurad, 3.0, "neurader")
 method_configs["neuradest"] = _scaled(_neurad, 5.0, "neuradest")
+method_configs["neurad-nuscenes"] = _neurad_on(_nuscenes_parser, "neurad-nuscenes")
+method_configs["neurad-pandaset"] = _neurad_on(_pandaset_parser, "neurad-pandaset")
+method_configs["neurad-kittimot"] = _neurad_on(_kittimot_parser, "neurad-kittimot")
 
 method_descriptions = {
     "neuradar": "Joint camera+lidar+radar NeuRadar on ZOD.",
