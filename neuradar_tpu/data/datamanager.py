@@ -125,22 +125,25 @@ def build_train_bundle(
     """
     ps = layout.patch_size[0]
     u = rgb_upsample_factor
-    # per-patch ray coords: centers of u x u blocks
-    grid = jnp.arange(ps) * u + u // 2
-    rr, cc = jnp.meshgrid(grid, grid, indexing="ij")
-    offsets = jnp.stack([rr.reshape(-1), cc.reshape(-1)], axis=-1)  # [ps*ps, 2]
-    coords = batch["patch_tl"][:, None, :] + offsets[None]  # [B, ps*ps, 2]
-    cam_idx = jnp.repeat(batch["cam_frame_idx"], ps * ps)
-    cam_bundle = generate_camera_rays(tables.cameras, cam_idx, coords.reshape(-1, 2))
+    cam_bundle = lidar_bundle = radar_bundle = None
+    if layout.num_cam > 0:
+        # per-patch ray coords: centers of u x u blocks
+        grid = jnp.arange(ps) * u + u // 2
+        rr, cc = jnp.meshgrid(grid, grid, indexing="ij")
+        offsets = jnp.stack([rr.reshape(-1), cc.reshape(-1)], axis=-1)  # [ps*ps, 2]
+        coords = batch["patch_tl"][:, None, :] + offsets[None]  # [B, ps*ps, 2]
+        cam_idx = jnp.repeat(batch["cam_frame_idx"], ps * ps)
+        cam_bundle = generate_camera_rays(tables.cameras, cam_idx, coords.reshape(-1, 2))
 
-    lidar_bundle = tables.lidars.generate_rays(batch["lidar_scan_idx"], batch["lidar_points"])
-    radar_bundle = tables.radars.generate_rays(batch["radar_scan_idx"])
-
-    # frame-index offsets so the camera optimizer sees unique frame ids
-    lidar_bundle = lidar_bundle.replace(camera_indices=lidar_bundle.camera_indices + tables.num_cam_frames)
-    radar_bundle = radar_bundle.replace(
-        camera_indices=radar_bundle.camera_indices + tables.num_cam_frames + tables.num_lidar_frames
-    )
+    if layout.num_lidar > 0:
+        lidar_bundle = tables.lidars.generate_rays(batch["lidar_scan_idx"], batch["lidar_points"])
+        # frame-index offsets so the camera optimizer sees unique frame ids
+        lidar_bundle = lidar_bundle.replace(camera_indices=lidar_bundle.camera_indices + tables.num_cam_frames)
+    if layout.num_radar_scans > 0:
+        radar_bundle = tables.radars.generate_rays(batch["radar_scan_idx"])
+        radar_bundle = radar_bundle.replace(
+            camera_indices=radar_bundle.camera_indices + tables.num_cam_frames + tables.num_lidar_frames
+        )
     return merge_modality_bundles(cam_bundle, lidar_bundle, radar_bundle)
 
 
