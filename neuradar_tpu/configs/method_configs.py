@@ -148,6 +148,22 @@ method_configs["neurad-nuscenes"] = _neurad_on(_nuscenes_parser, "neurad-nuscene
 method_configs["neurad-pandaset"] = _neurad_on(_pandaset_parser, "neurad-pandaset")
 method_configs["neurad-kittimot"] = _neurad_on(_kittimot_parser, "neurad-kittimot")
 
+
+def _av2_parser():
+    from neuradar_tpu.data.dataparsers.argoverse2 import Argoverse2DataParserConfig
+
+    return Argoverse2DataParserConfig()
+
+
+def _wod_parser():
+    from neuradar_tpu.data.dataparsers.wod import WodDataParserConfig
+
+    return WodDataParserConfig()
+
+
+method_configs["neurad-argoverse2"] = _neurad_on(_av2_parser, "neurad-argoverse2")
+method_configs["neurad-wod"] = _neurad_on(_wod_parser, "neurad-wod")
+
 method_descriptions = {
     "neuradar": "Joint camera+lidar+radar NeuRadar on ZOD.",
     "neuradar-vod": "NeuRadar on View-of-Delft.",
