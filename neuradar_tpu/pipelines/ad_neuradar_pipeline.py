@@ -341,6 +341,33 @@ class ADNeuRadarPipeline:
             "gospa_false_mean": float(np.mean(falses)) if falses else 0.0,
         }
 
+    def compute_fid_metrics(self, variables, lane_shifts=(0.0, 2.0, 3.0), max_frames: int = 16) -> Dict[str, float]:
+        """FID between real eval images and lane-shifted renders
+        (cf. ad_pipeline.py:310-405; VGG features here — see fid.py)."""
+        from neuradar_tpu.model_components.fid import FeatureExtractor, frechet_distance
+
+        out = self.outputs
+        u = self.config.model.rgb_upsample_factor
+        H = out.image_size[0] // u * u
+        W = out.image_size[1] // u * u
+        extractor = FeatureExtractor(image_hw=(H, W))
+        real = out.images[:, :H, :W].astype(np.float32) / 255.0
+        real_feats = extractor(real)
+
+        results = {}
+        cam_ids = list(self.datamanager.eval_camera_indices())[:max_frames]
+        for shift in lane_shifts:
+            renders = []
+            for cam_idx in cam_ids:
+                c2w = np.asarray(self.datamanager.tables.cameras.camera_to_worlds[int(cam_idx)]).copy()
+                c2w[:3, 3] += shift * c2w[:3, 0]  # lateral = camera x axis
+                rgb = self.render_pose(variables, c2w, hw=(H, W))
+                renders.append(rgb.astype(np.float32) / 255.0)
+            fake_feats = extractor(np.stack(renders))
+            key = f"fid_lane_shift_{shift:g}m"
+            results[key] = frechet_distance(real_feats, fake_feats)
+        return results
+
     def get_average_eval_image_metrics(self, variables) -> Dict[str, float]:
         """PSNR/SSIM + eval rays/sec + fps over all eval images
         (cf. ad_pipeline.py:146-294, rays/sec timing at :216-221)."""
