@@ -122,6 +122,67 @@ def scene_box_from_poses(pose_sets: List[np.ndarray], padding: float = 40.0) -> 
     return SceneBox(aabb=np.stack([lo, hi], axis=0))
 
 
+def synthesize_missing_points(
+    points: np.ndarray,
+    azimuth_resolution_deg: float = 0.2,
+    dummy_distance: float = 2e3,
+    min_returns_per_channel: int = 32,
+    skip_channels: Tuple[int, ...] = (),
+) -> np.ndarray:
+    """Synthesize non-return lidar points on the sensor's scan grid.
+
+    cf. reference ad_dataparser.py:482-621: rotating lidars miss returns on
+    sky/absorbing surfaces; those rays still carry carving signal, so dummy
+    points are added at a far distance (2e3 m) wherever an (elevation channel,
+    azimuth bin) cell has no return. Instead of the reference's hardcoded
+    per-sensor elevation tables (lidar_elevation_mappings.py), per-channel
+    elevation is estimated from the scan itself (median of returns).
+
+    Args:
+        points: [N, 6] (x, y, z, intensity, time, channel) sensor frame.
+
+    Returns:
+        [N + M, 6] with the M synthesized far points appended (intensity 0).
+    """
+    if len(points) == 0:
+        return points
+    channels = points[:, 5].astype(np.int64)
+    az = np.arctan2(points[:, 1], points[:, 0])
+    el = np.arcsin(np.clip(points[:, 2] / np.linalg.norm(points[:, :3], axis=1).clip(1e-6), -1, 1))
+
+    az_res = np.deg2rad(azimuth_resolution_deg)
+    n_bins = int(np.ceil(2 * np.pi / az_res))
+    az_bin = ((az + np.pi) / az_res).astype(np.int64) % n_bins
+
+    new_points = []
+    for ch in np.unique(channels):
+        if ch in skip_channels:
+            continue
+        m = channels == ch
+        if m.sum() < min_returns_per_channel:
+            continue
+        ch_el = float(np.median(el[m]))
+        have = np.zeros(n_bins, bool)
+        have[az_bin[m]] = True
+        missing_bins = np.nonzero(~have)[0]
+        if len(missing_bins) == 0:
+            continue
+        miss_az = missing_bins * az_res - np.pi + az_res / 2
+        d = np.stack(
+            [np.cos(ch_el) * np.cos(miss_az), np.cos(ch_el) * np.sin(miss_az),
+             np.full(len(miss_az), np.sin(ch_el))], axis=1,
+        )
+        t_med = float(np.median(points[m, 4]))
+        pts = np.concatenate(
+            [d * dummy_distance, np.zeros((len(d), 1)), np.full((len(d), 1), t_med),
+             np.full((len(d), 1), ch)], axis=1,
+        )
+        new_points.append(pts.astype(points.dtype))
+    if not new_points:
+        return points
+    return np.concatenate([points] + new_points, axis=0)
+
+
 def zero_base_times(time_sets: List[np.ndarray], trajectories: List[dict]) -> Tuple[List[np.ndarray], float]:
     """Shift all timestamps so the earliest is 0 (cf. ad_dataparser pipeline);
     returns the scene duration."""

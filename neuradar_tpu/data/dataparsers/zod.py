@@ -127,7 +127,12 @@ class ZodDataParser:
             )
             # remove ego-vehicle points (cf. ad_dataparser remove_ego_points)
             d = np.linalg.norm(pts[:, :3] / np.asarray(cfg.min_lidar_dist), axis=-1)
-            lidar_points.append(pts[d > 1.0])
+            pts = pts[d > 1.0]
+            if cfg.add_missing_points:
+                from neuradar_tpu.data.dataparsers.base import synthesize_missing_points
+
+                pts = synthesize_missing_points(pts, azimuth_resolution_deg=0.2)
+            lidar_points.append(pts)
         l2ws = np.stack(l2ws).astype(np.float32)
         lidar_times = np.asarray(lidar_times, np.float64)
 

@@ -173,7 +173,8 @@ class Trainer:
                 n_dev = jax.device_count()
                 scalars = {k: float(v) for k, v in {**loss_dict, **metrics}.items()}
                 scalars["loss"] = total
-                scalars["train_rays_per_sec"] = rays_per_batch / dt
+                # world_size x rays/batch / iter time (cf. trainer.py:333-340)
+                scalars["train_rays_per_sec"] = n_dev * rays_per_batch / dt
                 scalars["iter_train_time"] = dt
                 self.writer.put_scalars(step, scalars)
                 last_metrics = scalars
@@ -192,6 +193,10 @@ class Trainer:
                 radar_metrics = self.pipeline.get_average_eval_radar_metrics(self.eval_variables())
                 self.writer.put_scalars(step, radar_metrics)
                 last_metrics.update(radar_metrics)
+            if step > 0 and step in tuple(cfg.pipeline.calc_fid_steps):
+                fid = self.pipeline.compute_fid_metrics(self.eval_variables())
+                self.writer.put_scalars(step, fid)
+                last_metrics.update(fid)
             if cfg.steps_per_eval_all_images and step > 0 and step % cfg.steps_per_eval_all_images == 0:
                 img_metrics = self.pipeline.get_average_eval_image_metrics(self.eval_variables())
                 self.writer.put_scalars(step, img_metrics)
