@@ -110,5 +110,27 @@ def main():
     )
 
 
+def main_with_retries(attempts: int = 3) -> None:
+    """Run the measurement in child processes; the axon TPU relay
+    occasionally faults transiently ('TPU device error') and a fresh process
+    is the only reliable recovery."""
+    import subprocess
+
+    for attempt in range(attempts):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--worker"], capture_output=True, text=True, timeout=3600
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        print(f"[bench] attempt {attempt + 1}/{attempts} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
+        time.sleep(60)
+    raise SystemExit("bench failed after retries")
+
+
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        main()
+    else:
+        main_with_retries()
