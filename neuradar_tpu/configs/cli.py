@@ -24,11 +24,11 @@ def _coerce(value: str, ann: Any) -> Any:
         return float(value)
     if ann is str:
         return value
-    if origin is tuple or origin is Tuple:
+    if ann is tuple or origin is tuple or origin is Tuple:
         args = get_args(ann)
-        elem = args[0] if args else str
+        elem = args[0] if args else None
         parts = [p for p in value.replace(",", " ").split() if p]
-        return tuple(_coerce(p, elem) for p in parts)
+        return tuple(_coerce(p, elem if elem is not None else _guess_type(p)) for p in parts)
     if origin is Optional or (origin is type(None)):
         return value
     # Optional[X] / Union
@@ -50,6 +50,19 @@ def _coerce(value: str, ann: Any) -> Any:
         except ValueError:
             pass
     return value
+
+
+def _guess_type(value: str) -> type:
+    try:
+        int(value)
+        return int
+    except ValueError:
+        pass
+    try:
+        float(value)
+        return float
+    except ValueError:
+        return str
 
 
 def set_by_path(config: Any, path: str, value: str) -> None:

@@ -1,0 +1,115 @@
+"""Engine unit tests: schedulers, optimizer grouping, CLI overrides, writer."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuradar_tpu.configs.cli import apply_config_dict, parse_overrides, set_by_path
+from neuradar_tpu.engine.optimizers import (
+    AdamOptimizerConfig,
+    build_optimizer,
+    default_optimizer_groups,
+    label_params,
+    param_group_label,
+)
+from neuradar_tpu.engine.schedulers import (
+    CosineDecaySchedulerConfig,
+    ExponentialDecaySchedulerConfig,
+    MultiStepSchedulerConfig,
+)
+
+
+def test_exponential_decay_schedule():
+    sched = ExponentialDecaySchedulerConfig(lr_final=1e-3, max_steps=1000, warmup_steps=100).build(1e-2)
+    # warmup starts tiny, reaches lr_init at warmup end, decays to lr_final
+    assert float(sched(0)) < 1e-4
+    np.testing.assert_allclose(float(sched(100)), 1e-2, rtol=1e-3)
+    np.testing.assert_allclose(float(sched(1000)), 1e-3, rtol=1e-3)
+    # monotone decay after warmup
+    assert float(sched(500)) < float(sched(200))
+
+
+def test_multistep_schedule():
+    sched = MultiStepSchedulerConfig(gamma=0.1, milestones=(10, 20)).build(1.0)
+    assert float(sched(5)) == 1.0
+    np.testing.assert_allclose(float(sched(15)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(25)), 0.01, rtol=1e-6)
+
+
+def test_cosine_schedule():
+    sched = CosineDecaySchedulerConfig(warm_up_end=10, max_steps=100).build(1.0)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1.0, rtol=1e-5)
+    assert float(sched(100)) < 0.1
+
+
+def test_param_group_labels():
+    assert param_group_label(("field", "hashgrid", "static_grid", "hash_table")) == "hashgrids"
+    assert param_group_label(("dynamic_actors", "actor_positions")) == "trajectory_opt"
+    assert param_group_label(("rgb_decoder", "conv_in", "kernel")) == "cnn"
+    assert param_group_label(("radar_decoder", "transformer", "layer_0", "linear1", "kernel")) == "transformer"
+    assert param_group_label(("camera_optimizer", "pose_adjustment")) == "camera_opt"
+    assert param_group_label(("vgg_loss", "vgg19", "conv0", "kernel")) == "frozen"
+    assert param_group_label(("field", "mlp_geo", "hidden_0", "kernel")) == "fields"
+
+
+def test_optimizer_updates_respect_groups():
+    params = {
+        "field": {"hashgrid": {"static_grid": {"hash_table": jnp.ones(8)}}},
+        "vgg_loss": {"vgg19": {"conv0": {"kernel": jnp.ones(4)}}},
+    }
+    tx = build_optimizer(params, default_optimizer_groups(100))
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # frozen group gets exactly zero updates
+    assert float(jnp.abs(updates["vgg_loss"]["vgg19"]["conv0"]["kernel"]).sum()) == 0.0
+    assert float(jnp.abs(updates["field"]["hashgrid"]["static_grid"]["hash_table"]).sum()) > 0.0
+
+
+@dataclasses.dataclass
+class _Inner:
+    lr: float = 0.1
+    steps: int = 10
+    mode: str = "a"
+    shape: tuple = (1, 2)
+
+
+@dataclasses.dataclass
+class _Outer:
+    inner: _Inner = dataclasses.field(default_factory=_Inner)
+    flag: bool = False
+
+
+def test_cli_overrides():
+    cfg = _Outer()
+    parse_overrides(cfg, ["--inner.lr", "0.5", "--inner.steps=42", "--flag", "true", "--inner.shape", "3 4 5"])
+    assert cfg.inner.lr == 0.5 and cfg.inner.steps == 42 and cfg.flag is True
+    assert cfg.inner.shape == (3, 4, 5)
+
+
+def test_cli_unknown_field_raises():
+    import pytest
+
+    with pytest.raises(AttributeError):
+        set_by_path(_Outer(), "inner.nope", "1")
+
+
+def test_apply_config_dict():
+    cfg = _Outer()
+    apply_config_dict(cfg, {"inner": {"lr": 0.9, "shape": [7, 8]}, "flag": True, "junk": 1})
+    assert cfg.inner.lr == 0.9 and cfg.inner.shape == (7, 8) and cfg.flag is True
+
+
+def test_writer_jsonl(tmp_path):
+    from neuradar_tpu.utils.writer import EventWriter
+
+    w = EventWriter(log_dir=tmp_path, verbose=False)
+    w.put_scalars(1, {"loss": 1.0})
+    w.put_scalar(2, "psnr", 20.0)
+    import json
+
+    lines = [json.loads(l) for l in open(w.log_path)]
+    assert lines[0]["loss"] == 1.0 and lines[1]["psnr"] == 20.0
