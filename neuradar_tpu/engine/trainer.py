@@ -199,6 +199,7 @@ class Trainer:
                 last_metrics.update(fid)
             if cfg.steps_per_eval_all_images and step > 0 and step % cfg.steps_per_eval_all_images == 0:
                 img_metrics = self.pipeline.get_average_eval_image_metrics(self.eval_variables())
+                img_metrics.update(self.pipeline.get_average_eval_lidar_metrics(self.eval_variables()))
                 self.writer.put_scalars(step, img_metrics)
                 last_metrics.update(img_metrics)
                 if cfg.early_stopping and self.tracker.update(-img_metrics["psnr"]) and self.tracker.should_stop:

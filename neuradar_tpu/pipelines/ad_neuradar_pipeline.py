@@ -298,6 +298,41 @@ class ADNeuRadarPipeline:
             "points": pts,
         }
 
+    def get_average_eval_lidar_metrics(self, variables, max_points: int = 16384) -> Dict[str, float]:
+        """Depth/intensity/ray-drop/chamfer over eval lidar scans
+        (cf. models/neuradar.py:738-769 and ad_model.get_outputs_for_lidar)."""
+        med_l2, rel_l2, rmses, drop_accs, chamfers = [], [], [], [], []
+        for scan_idx in self.datamanager.eval_lidar_indices():
+            rend = self.render_lidar(variables, int(scan_idx), max_points=max_points)
+            pts = rend["points"]
+            gt_dist = np.linalg.norm(pts[:, :3], axis=1, keepdims=True)
+            did_return = (gt_dist < 1e3)[:, 0]
+            pred = rend["depth"]
+            if did_return.any():
+                err = (pred[did_return] - gt_dist[did_return])[:, 0]
+                med_l2.append(float(np.median(err**2)))
+                rel_l2.append(float(np.mean((err / gt_dist[did_return][:, 0]) ** 2)))
+                rmses.append(float(np.sqrt(np.mean((rend["intensity"][did_return][:, 0] - pts[did_return, 3]) ** 2))))
+            pred_drop = rend["ray_drop_prob"][:, 0] > 0.5
+            drop_accs.append(float((pred_drop == ~did_return).mean()))
+            # chamfer between predicted return points and gt returns (both sensor frame)
+            keep = ~pred_drop
+            if keep.any() and did_return.any():
+                dirs = pts[:, :3] / np.clip(np.linalg.norm(pts[:, :3], axis=1, keepdims=True), 1e-6, None)
+                pred_pts = dirs[keep] * pred[keep]
+                sel = np.random.RandomState(0)
+                a = pred_pts[sel.choice(len(pred_pts), min(1000, len(pred_pts)), replace=False)]
+                gt_pts = pts[did_return, :3]
+                b = gt_pts[sel.choice(len(gt_pts), min(1000, len(gt_pts)), replace=False)]
+                chamfers.append(radar_utils.chamfer_distance_np(a, b))
+        return {
+            "depth_median_l2": float(np.mean(med_l2)) if med_l2 else 0.0,
+            "depth_mean_rel_l2": float(np.mean(rel_l2)) if rel_l2 else 0.0,
+            "intensity_rmse": float(np.mean(rmses)) if rmses else 0.0,
+            "ray_drop_accuracy": float(np.mean(drop_accs)) if drop_accs else 0.0,
+            "lidar_chamfer_distance": float(np.mean(chamfers)) if chamfers else 0.0,
+        }
+
     def get_average_eval_radar_metrics(
         self, variables, rng: Optional[jax.Array] = None, sampling_rounds: Optional[int] = None
     ) -> Dict[str, float]:

@@ -38,6 +38,7 @@ def main(argv=None) -> int:
     variables = trainer.eval_variables()
     results = {}
     results.update(trainer.pipeline.get_average_eval_image_metrics(variables))
+    results.update(trainer.pipeline.get_average_eval_lidar_metrics(variables))
     results.update(
         trainer.pipeline.get_average_eval_radar_metrics(variables, sampling_rounds=args.radar_sampling_rounds)
     )
