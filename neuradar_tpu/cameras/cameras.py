@@ -100,18 +100,31 @@ def _undistort(coords: jax.Array, dist: jax.Array, num_iters: int = 3) -> jax.Ar
 def _directions_from_coords(unit_coords: jax.Array, cam_type: jax.Array) -> jax.Array:
     """Per-camera-type direction in camera frame (z = -1 forward).
 
-    cf. cameras.py:784-805: PERSPECTIVE uses (x, y, -1); FISHEYE equidistant
-    with theta = |coord| and (coord * sin(theta)/theta, -cos(theta)).
+    cf. cameras.py:784-880: PERSPECTIVE uses (x, y, -1); FISHEYE equidistant
+    with theta = |coord| and (coord * sin(theta)/theta, -cos(theta));
+    EQUIRECTANGULAR maps coords to (azimuth, polar) angles; ORTHOPHOTO always
+    points straight down -z (parallel rays).
     """
     x, y = unit_coords[..., 0], unit_coords[..., 1]
     persp = jnp.stack([x, y, -jnp.ones_like(x)], axis=-1)
 
-    theta = jnp.clip(jnp.sqrt(x * x + y * y), 1e-9, jnp.pi)
-    sin_over_theta = jnp.sin(theta) / theta
-    fisheye = jnp.stack([x * sin_over_theta, y * sin_over_theta, -jnp.cos(theta)], axis=-1)
+    theta_f = jnp.clip(jnp.sqrt(x * x + y * y), 1e-9, jnp.pi)
+    sin_over_theta = jnp.sin(theta_f) / theta_f
+    fisheye = jnp.stack([x * sin_over_theta, y * sin_over_theta, -jnp.cos(theta_f)], axis=-1)
 
-    is_fisheye = (cam_type == CameraType.FISHEYE)[..., None]
-    return jnp.where(is_fisheye, fisheye, persp)
+    # equirectangular: x in [-pi, pi] azimuth, y polar from equator
+    theta_e = -jnp.pi * x
+    phi_e = jnp.pi * (0.5 - (y * 0.5 + 0.5))
+    equirect = jnp.stack(
+        [-jnp.sin(theta_e) * jnp.sin(phi_e), jnp.cos(phi_e), -jnp.cos(theta_e) * jnp.sin(phi_e)], axis=-1
+    )
+    ortho = jnp.stack([jnp.zeros_like(x), jnp.zeros_like(x), -jnp.ones_like(x)], axis=-1)
+
+    out = persp
+    out = jnp.where((cam_type == CameraType.FISHEYE)[..., None], fisheye, out)
+    out = jnp.where((cam_type == CameraType.EQUIRECTANGULAR)[..., None], equirect, out)
+    out = jnp.where((cam_type == CameraType.ORTHOPHOTO)[..., None], ortho, out)
+    return out
 
 
 def generate_camera_rays(cameras: Cameras, camera_indices: jax.Array, coords: jax.Array) -> RayBundle:
