@@ -82,6 +82,10 @@ class TrainerConfig:
     steps_per_save: int = 10000
     steps_per_log: int = 100
     mixed_precision: bool = True
+    gradient_accumulation_steps: int = 1
+    """Accumulate gradients over k batches before applying updates
+    (cf. the reference's per-group grad accumulation, trainer.py:549-598,
+    engine/optimizers.py zero_grad_some/optimizer_scaler_step_some)."""
     seed: int = 42
     save_only_latest_checkpoint: bool = True
     load_dir: Optional[str] = None
@@ -116,6 +120,8 @@ class Trainer:
         self.batch_stats = self.variables.get("batch_stats", {})
         groups = cfg.optimizers or default_optimizer_groups(cfg.max_num_iterations)
         self.tx = build_optimizer(self.params, groups)
+        if cfg.gradient_accumulation_steps > 1:
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=cfg.gradient_accumulation_steps)
         self.opt_state = self.tx.init(self.params)
         if cfg.load_dir:
             self.load_checkpoint(cfg.load_dir)
