@@ -171,6 +171,17 @@ class NeuRADField(nn.Module):
         return outputs
 
 
+def field_query_geometry(field: "NeuRADField", positions: jax.Array, std: float = 0.05) -> jax.Array:
+    """Query raw geometry (sdf or log-density) at world positions [R, S, 3]
+    — used by the exporter's SDF-surface extraction."""
+    from neuradar_tpu.utils.math import GaussiansStd as _G
+
+    g = _G(mean=positions, std=jnp.full((*positions.shape[:-1], 1), std, positions.dtype))
+    feats, _ = field.hashgrid(g, None, None)
+    geo = field.mlp_geo(feats)
+    return geo[..., :1]
+
+
 class NeuRADProposalField(nn.Module):
     """Density-only proposal field (cf. NeuRADProposalField, neurad_field.py:185)."""
 

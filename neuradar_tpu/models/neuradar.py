@@ -280,6 +280,13 @@ class NeuRadarModel(nn.Module):
 
         return outputs
 
+    def query_geometry(self, positions: jax.Array) -> jax.Array:
+        """Raw geometry (sdf if use_sdf else log-density) at world positions
+        [R, S, 3] — exporter / debugging hook."""
+        from neuradar_tpu.fields.neurad_field import field_query_geometry
+
+        return field_query_geometry(self.field, positions)
+
     def decode_camera_features(self, features: jax.Array, patch_size: Tuple[int, int]) -> jax.Array:
         """Decode rendered features to rgb via the upsampling CNN (eval path)."""
         ph, pw = patch_size

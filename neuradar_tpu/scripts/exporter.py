@@ -36,11 +36,13 @@ def write_ply(path: Path, points: np.ndarray, colors: np.ndarray | None = None) 
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("command", choices=("pointcloud", "radar-pointcloud"))
+    parser.add_argument("command", choices=("pointcloud", "radar-pointcloud", "sdf-surface"))
     parser.add_argument("--load-config", type=Path, required=True)
     parser.add_argument("--output-path", type=Path, default=Path("exports/points.ply"))
     parser.add_argument("--max-scans", type=int, default=8)
     parser.add_argument("--points-per-scan", type=int, default=8192)
+    parser.add_argument("--grid-resolution", type=int, default=128)
+    parser.add_argument("--bounds", type=float, default=60.0, help="half-extent of the export cube (m)")
     args = parser.parse_args(argv)
 
     from neuradar_tpu.scripts.render import _load_trainer
@@ -51,6 +53,48 @@ def main(argv=None) -> int:
     variables = trainer.eval_variables()
 
     all_pts = []
+    if args.command == "sdf-surface":
+        # SDF zero-crossing surface points on a voxel grid (the TSDF/marching-
+        # cubes analogue of exporter.py:50-620; no mesh libs in this image, so
+        # edge crossings are exported as a dense surface point cloud).
+        import jax
+        import jax.numpy as jnp
+
+        from neuradar_tpu.models.neuradar import NeuRadarModel
+
+        res, b = args.grid_resolution, args.bounds
+        xs = np.linspace(-b, b, res, dtype=np.float32)
+        query = jax.jit(
+            lambda v, p: pipeline.model.apply(v, p, method=NeuRadarModel.query_geometry)
+        )
+        sdf = np.zeros((res, res, res), np.float32)
+        for i, x in enumerate(xs):
+            yy, zz = np.meshgrid(xs, xs, indexing="ij")
+            pts = np.stack([np.full(yy.size, x), yy.reshape(-1), zz.reshape(-1)], 1)
+            out = query(variables, jnp.asarray(pts.reshape(res, res, 3)))
+            sdf[i] = np.asarray(out)[..., 0]
+        surf = []
+        for axis in range(3):
+            a = np.moveaxis(sdf, axis, 0)
+            sign = (a[:-1] * a[1:]) < 0
+            idx = np.argwhere(sign)
+            if len(idx) == 0:
+                continue
+            v0 = a[idx[:, 0], idx[:, 1], idx[:, 2]]
+            v1 = a[idx[:, 0] + 1, idx[:, 1], idx[:, 2]]
+            frac = v0 / (v0 - v1 + 1e-9)
+            coords = idx.astype(np.float32)
+            coords[:, 0] += frac
+            coords = np.moveaxis(coords.reshape(-1, 3), 0, 0)
+            order = [axis, *(i for i in range(3) if i != axis)]
+            world = np.empty_like(coords)
+            for src, dst in enumerate(order):
+                world[:, dst] = coords[:, src]
+            surf.append(-b + world * (2 * b / (res - 1)))
+        points = np.concatenate(surf) if surf else np.zeros((0, 3))
+        write_ply(args.output_path, points)
+        print(f"wrote {len(points)} surface points to {args.output_path}")
+        return 0
     if args.command == "pointcloud":
         # lidar rays -> predicted depth -> world points
         for scan_idx in list(pipeline.datamanager.eval_lidar_indices())[: args.max_scans]:
