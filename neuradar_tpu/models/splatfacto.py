@@ -1,0 +1,303 @@
+"""Splatfacto: 3D Gaussian Splatting, TPU-native.
+
+cf. reference nerfstudio/models/splatfacto.py (gsplat CUDA
+project/rasterize kernels at :30-33, densify/cull callbacks). TPU re-design:
+
+* FIXED-CAPACITY gaussian set with an alive mask — densify (clone/split) and
+  cull write into free slots / clear the mask with pure array ops, so the
+  jitted step never changes parameter shapes (gsplat reallocates tensors and
+  would force a recompile per densify event on TPU).
+* Tile-based rasterization in pure XLA: a [tiles, G] overlap test selects a
+  static top-K gaussian list per 16x16 tile, sorted by depth and
+  alpha-composited front-to-back — a dense [tiles, pixels, K] compute that
+  maps to the VPU/MXU, replacing gsplat's dynamic per-tile lists.
+* Differentiable end-to-end under jax.grad (sort order is detached, values
+  are not — matching the CUDA rasterizer's semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TILE = 16
+
+
+@dataclass
+class SplatfactoConfig:
+    """cf. SplatfactoModelConfig (models/splatfacto.py:60-130)."""
+
+    max_gaussians: int = 65536
+    tile_top_k: int = 256
+    init_opacity: float = 0.1
+    init_scale: float = 0.5
+    sh_degree: int = 0  # DC color only (round-1 scope)
+    cull_alpha_thresh: float = 0.005
+    densify_grad_thresh: float = 0.0004
+    densify_scale_thresh: float = 2.0  # world units: split if larger
+    refine_every: int = 100
+    warmup_steps: int = 500
+    ssim_lambda: float = 0.2
+
+
+def init_gaussians(config: SplatfactoConfig, points: np.ndarray, colors: np.ndarray) -> Dict[str, jax.Array]:
+    """Seed gaussians from a point cloud (cf. splatfacto seed from sfm/lidar
+    points); pads to the fixed capacity with dead slots."""
+    G = config.max_gaussians
+    n = min(len(points), G)
+    means = np.zeros((G, 3), np.float32)
+    means[:n] = points[:n]
+    rgb = np.full((G, 3), 0.5, np.float32)
+    rgb[:n] = colors[:n]
+    params = {
+        "means": jnp.asarray(means),
+        "log_scales": jnp.full((G, 3), np.log(config.init_scale), jnp.float32),
+        "quats": jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (G, 1)),
+        "opacity_logits": jnp.full((G, 1), _logit(config.init_opacity), jnp.float32),
+        "rgb_logits": jnp.asarray(_logit(np.clip(rgb, 0.01, 0.99))),
+    }
+    state = {
+        "alive": jnp.arange(G) < n,
+        "grad_accum": jnp.zeros((G,), jnp.float32),
+        "grad_count": jnp.zeros((G,), jnp.float32),
+    }
+    return params, state
+
+
+def _logit(p):
+    return np.log(p / (1 - p)) if isinstance(p, (float, np.ndarray)) else jnp.log(p / (1 - p))
+
+
+def quat_to_rotmat(q: jax.Array) -> jax.Array:
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-8)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
+
+
+def project_gaussians(params, alive, w2c: jax.Array, fx, fy, cx, cy, width, height):
+    """EWA projection: world gaussians -> 2D means, 2D covariances, depths.
+
+    cf. gsplat.project_gaussians (used at splatfacto.py:30). Returns per-
+    gaussian (mean2d [G,2], cov2d packed [G,3] (a,b,c), depth [G], radius [G],
+    in_view [G]).
+    """
+    means = params["means"]
+    R = quat_to_rotmat(params["quats"])  # [G, 3, 3]
+    S = jnp.exp(params["log_scales"])  # [G, 3]
+    # world covariance = R diag(S^2) R^T
+    RS = R * S[:, None, :]
+    cov3d = RS @ jnp.swapaxes(RS, -1, -2)  # [G, 3, 3]
+
+    means_cam = means @ w2c[:3, :3].T + w2c[:3, 3]
+    depth = -means_cam[:, 2]  # camera looks down -z
+    x, y = means_cam[:, 0], means_cam[:, 1]
+    z = jnp.where(jnp.abs(means_cam[:, 2]) < 1e-6, -1e-6, means_cam[:, 2])
+
+    mean2d = jnp.stack([fx * (x / -z) + cx, fy * (-y / -z) + cy], axis=-1)  # pixel coords (row-major y down)
+
+    # Jacobian of the projection (2x3), rotated into camera frame
+    J = jnp.stack(
+        [
+            jnp.stack([fx / -z, jnp.zeros_like(z), fx * x / (z * z)], -1),
+            jnp.stack([jnp.zeros_like(z), -fy / -z, -fy * y / (z * z) * -1.0], -1),
+        ],
+        axis=-2,
+    )  # [G, 2, 3]
+    W = jnp.broadcast_to(w2c[:3, :3], (means.shape[0], 3, 3))
+    cov_cam = W @ cov3d @ jnp.swapaxes(W, -1, -2)
+    cov2d = J @ cov_cam @ jnp.swapaxes(J, -1, -2)  # [G, 2, 2]
+    a = cov2d[:, 0, 0] + 0.3
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1] + 0.3
+
+    lam_max = 0.5 * (a + c) + jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 1e-8))
+    radius = 3.0 * jnp.sqrt(jnp.maximum(lam_max, 1e-8))
+
+    in_view = (
+        alive
+        & (depth > 0.1)
+        & (mean2d[:, 0] > -radius) & (mean2d[:, 0] < width + radius)
+        & (mean2d[:, 1] > -radius) & (mean2d[:, 1] < height + radius)
+    )
+    return mean2d, jnp.stack([a, b, c], -1), depth, radius, in_view
+
+
+def rasterize(params, alive, w2c, fx, fy, cx, cy, height: int, width: int, top_k: int):
+    """Tile-based alpha compositing (cf. gsplat.rasterize_gaussians).
+
+    Returns rgb [H, W, 3], alpha [H, W, 1], depth [H, W, 1], plus the per-
+    gaussian screen-gradient surrogate inputs (mean2d) for densification.
+    """
+    mean2d, cov2d, depth, radius, in_view = project_gaussians(
+        params, alive, w2c, fx, fy, cx, cy, width, height
+    )
+    G = mean2d.shape[0]
+    th, tw = height // TILE, width // TILE
+    n_tiles = th * tw
+
+    # tile centers [T, 2] (x, y pixel coords)
+    ty, tx = jnp.meshgrid(jnp.arange(th), jnp.arange(tw), indexing="ij")
+    centers = jnp.stack([tx.reshape(-1) * TILE + TILE / 2, ty.reshape(-1) * TILE + TILE / 2], -1)
+
+    # overlap: gaussian circle (3 sigma) vs tile circle
+    tile_r = TILE * 0.7071 + 1.0
+    d2 = jnp.sum((centers[:, None, :] - mean2d[None, :, :]) ** 2, -1)  # [T, G]
+    overlap = jnp.sqrt(d2) < (radius[None, :] + tile_r)
+    # score: prefer overlapping; among them the nearest (depth) gaussians
+    score = jnp.where(overlap & in_view[None, :], -depth[None, :], -jnp.inf)
+    top_score, top_idx = jax.lax.top_k(score, min(top_k, G))  # [T, K] (nearest first)
+    valid = jnp.isfinite(top_score)
+
+    # gather per-tile gaussian attributes [T, K, ...]
+    g_mean = mean2d[top_idx]
+    g_cov = cov2d[top_idx]
+    g_depth = depth[top_idx]
+    g_op = jax.nn.sigmoid(params["opacity_logits"][..., 0])[top_idx]
+    g_rgb = jax.nn.sigmoid(params["rgb_logits"])[top_idx]  # [T, K, 3]
+
+    # pixel coords within tile [T, P, 2]
+    py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
+    pix = jnp.stack([px.reshape(-1), py.reshape(-1)], -1).astype(jnp.float32) + 0.5  # [P, 2]
+    tile_origin = jnp.stack([centers[:, 0] - TILE / 2, centers[:, 1] - TILE / 2], -1)
+    pix_xy = tile_origin[:, None, :] + pix[None, :, :]  # [T, P, 2]
+
+    # gaussian weight per (tile, pixel, k)
+    dx = pix_xy[:, :, None, 0] - g_mean[:, None, :, 0]  # [T, P, K]
+    dy = pix_xy[:, :, None, 1] - g_mean[:, None, :, 1]
+    a, b, c = g_cov[..., 0], g_cov[..., 1], g_cov[..., 2]
+    det = jnp.maximum(a * c - b * b, 1e-8)
+    ia = (c / det)[:, None, :]
+    ib = (-b / det)[:, None, :]
+    ic = (a / det)[:, None, :]
+    power = -0.5 * (ia * dx * dx + 2 * ib * dx * dy + ic * dy * dy)
+    alpha = jnp.clip(g_op[:, None, :] * jnp.exp(jnp.minimum(power, 0.0)), 0.0, 0.999)
+    alpha = jnp.where(valid[:, None, :], alpha, 0.0)
+
+    # front-to-back compositing along K (already depth-sorted by top_k score)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    w = alpha * trans  # [T, P, K]
+    rgb_t = jnp.einsum("tpk,tkc->tpc", w, g_rgb)
+    alpha_t = jnp.sum(w, axis=-1, keepdims=True)
+    depth_t = jnp.einsum("tpk,tk->tp", w, g_depth)[..., None]
+
+    def untile(x):
+        ch = x.shape[-1]
+        return (
+            x.reshape(th, tw, TILE, TILE, ch).transpose(0, 2, 1, 3, 4).reshape(height, width, ch)
+        )
+
+    return untile(rgb_t), untile(alpha_t), untile(depth_t), (mean2d, radius, in_view)
+
+
+def render_splats(config: SplatfactoConfig, params, state, camera, background=None):
+    """Full render for one camera dict {w2c [3,4] or c2w, fx, fy, cx, cy, H, W}."""
+    rgb, alpha, depth, aux = rasterize(
+        params, state["alive"], camera["w2c"], camera["fx"], camera["fy"], camera["cx"],
+        camera["cy"], camera["height"], camera["width"], config.tile_top_k,
+    )
+    if background is None:
+        background = jnp.ones(3)
+    rgb = rgb + (1 - alpha) * background
+    return {"rgb": rgb, "alpha": alpha, "depth": depth, "aux": aux}
+
+
+def splat_loss(config: SplatfactoConfig, params, state, camera, gt_rgb):
+    """0.8 L1 + 0.2 (1 - SSIM) (cf. splatfacto.py get_loss_dict)."""
+    out = render_splats(config, params, state, camera)
+    l1 = jnp.mean(jnp.abs(out["rgb"] - gt_rgb))
+    ssim = _ssim(out["rgb"], gt_rgb)
+    loss = (1 - config.ssim_lambda) * l1 + config.ssim_lambda * (1 - ssim)
+    return loss, out
+
+
+def _ssim(a, b, c1=0.01**2, c2=0.03**2):
+    """Windowed SSIM via average pooling (7x7)."""
+    def pool(x):
+        return jax.lax.reduce_window(x, 0.0, jax.lax.add, (7, 7, 1), (1, 1, 1), "VALID") / 49.0
+
+    mu_a, mu_b = pool(a), pool(b)
+    var_a = pool(a * a) - mu_a**2
+    var_b = pool(b * b) - mu_b**2
+    cov = pool(a * b) - mu_a * mu_b
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / ((mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2))
+    return jnp.mean(s)
+
+
+def accumulate_grad_stats(state, grads_means2d_norm, in_view):
+    """Track screen-space gradient magnitudes for densification
+    (cf. splatfacto densification stats)."""
+    return {
+        **state,
+        "grad_accum": state["grad_accum"] + jnp.where(in_view, grads_means2d_norm, 0.0),
+        "grad_count": state["grad_count"] + in_view.astype(jnp.float32),
+    }
+
+
+def refine_gaussians(config: SplatfactoConfig, params, state, rng):
+    """Densify (clone small / split large high-gradient gaussians) and cull
+    transparent ones — all fixed-capacity masked array ops (no reallocation,
+    cf. splatfacto densify/cull callbacks which realloc tensors).
+    """
+    G = config.max_gaussians
+    alive = state["alive"]
+    avg_grad = state["grad_accum"] / jnp.maximum(state["grad_count"], 1.0)
+    opacity = jax.nn.sigmoid(params["opacity_logits"][..., 0])
+
+    # cull
+    keep = alive & (opacity > config.cull_alpha_thresh)
+
+    # densify candidates
+    scales = jnp.exp(params["log_scales"]).max(-1)
+    wants = keep & (avg_grad > config.densify_grad_thresh)
+    split = wants & (scales > config.densify_scale_thresh)
+    clone = wants & ~split
+
+    # rank free slots and candidates; copy the best candidates into free slots
+    free = ~keep
+    n_free = jnp.sum(free)
+    cand_score = jnp.where(clone | split, avg_grad, -jnp.inf)
+    order = jnp.argsort(-cand_score)  # best candidates first
+    free_order = jnp.argsort(~free)  # free slots first (True sorts before False via ~)
+
+    k = G  # static loop bound; masked by validity below
+    src = order
+    dst = free_order
+    can_copy = (jnp.arange(G) < n_free) & jnp.isfinite(cand_score[src])
+
+    noise = jax.random.normal(rng, (G, 3)) * jnp.exp(params["log_scales"][src])
+    new_means = params["means"][src] + jnp.where(split[src][:, None], noise, 0.0)
+    new_logscales = params["log_scales"][src] - jnp.where(split[src][:, None], jnp.log(1.6), 0.0)
+
+    def scatter(dest, src_vals, mask):
+        idx = jnp.where(mask, dst, G)  # drop masked
+        return dest.at[idx].set(jnp.where(mask[:, None] if src_vals.ndim == 2 else mask, src_vals, 0.0),
+                                mode="drop")
+
+    params = dict(params)
+    params["means"] = scatter(params["means"], new_means, can_copy)
+    params["log_scales"] = scatter(params["log_scales"], new_logscales, can_copy)
+    params["quats"] = scatter(params["quats"], params["quats"][src], can_copy)
+    params["opacity_logits"] = scatter(params["opacity_logits"], params["opacity_logits"][src], can_copy)
+    params["rgb_logits"] = scatter(params["rgb_logits"], params["rgb_logits"][src], can_copy)
+    # split also shrinks the source gaussian
+    params["log_scales"] = jnp.where(split[:, None], params["log_scales"] - jnp.log(1.6), params["log_scales"])
+
+    new_alive = keep.at[jnp.where(can_copy, dst, G)].set(True, mode="drop")
+    state = {
+        "alive": new_alive,
+        "grad_accum": jnp.zeros((G,), jnp.float32),
+        "grad_count": jnp.zeros((G,), jnp.float32),
+    }
+    return params, state

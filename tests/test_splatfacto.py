@@ -1,0 +1,115 @@
+"""Splatfacto (TPU 3DGS) tests: projection, rasterization, loss/grads,
+fixed-capacity densify/cull."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuradar_tpu.models import splatfacto as sf
+
+
+def make_setup(n=64, H=32, W=32):
+    cfg = sf.SplatfactoConfig(max_gaussians=256, tile_top_k=64, init_scale=0.3)
+    rng = np.random.RandomState(0)
+    pts = rng.randn(n, 3).astype(np.float32) * 2
+    pts[:, 2] -= 8  # in front of the camera (camera at origin looking -z)
+    colors = rng.rand(n, 3).astype(np.float32)
+    params, state = sf.init_gaussians(cfg, pts, colors)
+    camera = {
+        "w2c": jnp.eye(3, 4),
+        "fx": 40.0, "fy": 40.0, "cx": W / 2, "cy": H / 2,
+        "height": H, "width": W,
+    }
+    return cfg, params, state, camera
+
+
+def test_projection_in_view():
+    cfg, params, state, camera = make_setup()
+    mean2d, cov2d, depth, radius, in_view = sf.project_gaussians(
+        params, state["alive"], camera["w2c"], camera["fx"], camera["fy"],
+        camera["cx"], camera["cy"], camera["width"], camera["height"],
+    )
+    iv = np.asarray(in_view)
+    assert iv[:64].sum() > 32  # most seeded points visible
+    assert not iv[64:].any()  # dead slots never in view
+    assert (np.asarray(depth)[iv] > 0).all()
+    # covariances positive definite
+    a, b, c = [np.asarray(cov2d)[iv, i] for i in range(3)]
+    assert (a * c - b * b > 0).all()
+
+
+def test_render_shapes_and_ranges():
+    cfg, params, state, camera = make_setup()
+    out = sf.render_splats(cfg, params, state, camera)
+    assert out["rgb"].shape == (32, 32, 3)
+    assert out["alpha"].shape == (32, 32, 1)
+    r = np.asarray(out["rgb"])
+    assert np.isfinite(r).all() and (r >= 0).all() and (r <= 1.0 + 1e-5).all()
+    a = np.asarray(out["alpha"])
+    assert (a >= 0).all() and (a <= 1.0 + 1e-5).all()
+    assert a.max() > 0.05  # something rendered
+
+
+def test_loss_and_gradients():
+    cfg, params, state, camera = make_setup()
+    gt = jnp.zeros((32, 32, 3))
+
+    def loss_fn(p):
+        loss, _ = sf.splat_loss(cfg, p, state, camera, gt)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    for k in ("means", "log_scales", "quats", "opacity_logits", "rgb_logits"):
+        g = np.asarray(grads[k])
+        assert np.isfinite(g).all(), k
+    assert float(jnp.abs(grads["rgb_logits"]).sum()) > 0
+    assert float(jnp.abs(grads["means"]).sum()) > 0
+
+
+def test_training_reduces_loss():
+    import optax
+
+    cfg, params, state, camera = make_setup()
+    # target: render of a perturbed copy (self-supervised sanity)
+    gt = sf.render_splats(cfg, params, state, camera)["rgb"] * 0 + 0.3
+
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: sf.splat_loss(cfg, p, state, camera, gt), has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(40):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.92, losses[:3] + losses[-3:]
+
+
+def test_refine_densify_and_cull():
+    cfg, params, state, camera = make_setup()
+    # make some gaussians transparent -> culled
+    op = params["opacity_logits"].at[:8].set(-10.0)
+    params = {**params, "opacity_logits": op}
+    # give high grad stats to a band -> densified
+    state = {
+        **state,
+        "grad_accum": state["grad_accum"].at[8:24].set(1.0),
+        "grad_count": jnp.ones_like(state["grad_count"]),
+    }
+    n_alive_before = int(state["alive"].sum())
+    params2, state2 = sf.refine_gaussians(cfg, params, state, jax.random.PRNGKey(0))
+    alive2 = np.asarray(state2["alive"])
+    n_alive_after = int(alive2.sum())
+    # culled 8, cloned 16 (clones may reuse the culled slots)
+    assert n_alive_after == n_alive_before - 8 + 16
+    assert float(state2["grad_accum"].sum()) == 0.0  # stats reset
+    # every alive gaussian is above the cull threshold
+    op2 = np.asarray(jax.nn.sigmoid(params2["opacity_logits"][..., 0]))
+    assert (op2[alive2] > cfg.cull_alpha_thresh).all()
