@@ -164,6 +164,26 @@ def _wod_parser():
 method_configs["neurad-argoverse2"] = _neurad_on(_av2_parser, "neurad-argoverse2")
 method_configs["neurad-wod"] = _neurad_on(_wod_parser, "neurad-wod")
 
+
+def _splatfacto():
+    from neuradar_tpu.data.dataparsers.synthetic import SyntheticDataParserConfig
+    from neuradar_tpu.engine.splatfacto_trainer import SplatfactoTrainerConfig
+
+    return SplatfactoTrainerConfig(dataparser=SyntheticDataParserConfig())
+
+
+def _splatfacto_big():
+    from neuradar_tpu.models.splatfacto import SplatfactoConfig
+
+    cfg = _splatfacto()
+    cfg.method_name = "splatfacto-big"
+    cfg.model = SplatfactoConfig(max_gaussians=262144, tile_top_k=384)
+    return cfg
+
+
+method_configs["splatfacto"] = _splatfacto
+method_configs["splatfacto-big"] = _splatfacto_big
+
 method_descriptions = {
     "neuradar": "Joint camera+lidar+radar NeuRadar on ZOD.",
     "neuradar-vod": "NeuRadar on View-of-Delft.",

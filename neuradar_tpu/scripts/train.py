@@ -50,7 +50,10 @@ def main(argv=None) -> int:
         return 0
     parse_overrides(config, argv)
 
-    from neuradar_tpu.engine.trainer import Trainer
+    if method.startswith("splatfacto"):
+        from neuradar_tpu.engine.splatfacto_trainer import SplatfactoTrainer as Trainer
+    else:
+        from neuradar_tpu.engine.trainer import Trainer
 
     trainer = Trainer(config)
     run_dir = trainer._run_dir
