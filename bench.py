@@ -85,7 +85,7 @@ def main():
     total.block_until_ready()
     log("train step compiled; timing...")
 
-    n_iters = 20
+    n_iters = 12
     t0 = time.perf_counter()
     for i in range(n_iters):
         batch = jax.tree.map(jnp.asarray, pipeline.datamanager.next_train())
@@ -110,7 +110,7 @@ def main():
     )
 
 
-def main_with_retries(attempts: int = 3) -> None:
+def main_with_retries(attempts: int = 4) -> None:
     """Run the measurement in child processes; the axon TPU relay
     occasionally faults transiently ('TPU device error') and a fresh process
     is the only reliable recovery."""
@@ -125,7 +125,7 @@ def main_with_retries(attempts: int = 3) -> None:
                 print(line)
                 return
         print(f"[bench] attempt {attempt + 1}/{attempts} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
-        time.sleep(60)
+        time.sleep(120)  # let a crashed TPU worker restart
     raise SystemExit("bench failed after retries")
 
 
