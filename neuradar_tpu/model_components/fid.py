@@ -43,6 +43,37 @@ class FeatureExtractor:
         return np.concatenate(feats)
 
 
+class PerceptualDistance:
+    """LPIPS-style perceptual distance on the flax VGG trunk.
+
+    cf. the reference's torchmetrics LPIPS (models/neuradar.py:321): unit-
+    normalized feature differences averaged over layers/locations. Without
+    pretrained AlexNet/VGG weights this is a *surrogate* (random filters
+    unless $NEURADAR_VGG19_WEIGHTS is set) — consistent within a run, not
+    comparable to published LPIPS values.
+    """
+
+    def __init__(self, image_hw=(96, 156)):
+        self.module = Vgg19Features()
+        dummy = jnp.zeros((1, *image_hw, 3))
+        self.params = self.module.init(jax.random.PRNGKey(0), dummy)
+
+        def dist(a, b):
+            fa = self.module.apply(self.params, a[None])
+            fb = self.module.apply(self.params, b[None])
+            total = 0.0
+            for x, y in zip(fa, fb):
+                x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-8)
+                y = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-8)
+                total = total + jnp.mean(jnp.sum((x - y) ** 2, axis=-1))
+            return total / len(fa)
+
+        self._fn = jax.jit(dist)
+
+    def __call__(self, pred: np.ndarray, target: np.ndarray) -> float:
+        return float(self._fn(jnp.asarray(pred), jnp.asarray(target)))
+
+
 def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray, eps: float = 1e-6) -> float:
     """Frechet distance between two Gaussians fit to feature sets."""
     from scipy import linalg

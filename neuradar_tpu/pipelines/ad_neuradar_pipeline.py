@@ -408,11 +408,12 @@ class ADNeuRadarPipeline:
         (cf. ad_pipeline.py:146-294, rays/sec timing at :216-221)."""
         import time
 
-        psnrs, ssims = [], []
+        psnrs, ssims, lpips_vals = [], [], []
         u = self.config.model.rgb_upsample_factor
         total_rays = 0
         t0 = time.perf_counter()
         n_images = 0
+        lpips = None
         for cam_idx in self.datamanager.eval_camera_indices():
             rend = self.render_camera(variables, int(cam_idx))
             gt = self.outputs.images[int(cam_idx)].astype(np.float32) / 255.0
@@ -423,10 +424,16 @@ class ADNeuRadarPipeline:
             mse = float(np.mean((rend["rgb"] - gt) ** 2))
             psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
             ssims.append(_ssim_np(rend["rgb"], gt))
+            if lpips is None:
+                from neuradar_tpu.model_components.fid import PerceptualDistance
+
+                lpips = PerceptualDistance(image_hw=(h, w))
+            lpips_vals.append(lpips(rend["rgb"], gt))
         dt = max(time.perf_counter() - t0, 1e-9)
         return {
             "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
             "ssim": float(np.mean(ssims)) if ssims else 0.0,
+            "lpips_vgg": float(np.mean(lpips_vals)) if lpips_vals else 0.0,
             "eval_rays_per_sec": total_rays / dt,
             "fps": n_images / dt,
         }
