@@ -80,6 +80,8 @@ class SplatfactoTrainer:
                 "quats": optax.adam(c.lr_quats),
                 "opacity_logits": optax.adam(c.lr_opacity),
                 "rgb_logits": optax.adam(c.lr_rgb),
+                # SH rest bands train 20x slower than DC (splatfacto convention)
+                "sh_rest": optax.adam(c.lr_rgb / 20.0),
             },
             {k: k for k in self.params},
         )

@@ -35,13 +35,70 @@ class SplatfactoConfig:
     tile_top_k: int = 256
     init_opacity: float = 0.1
     init_scale: float = 0.5
-    sh_degree: int = 0  # DC color only (round-1 scope)
+    sh_degree: int = 3  # view-dependent spherical-harmonics color bands
     cull_alpha_thresh: float = 0.005
     densify_grad_thresh: float = 0.0004
     densify_scale_thresh: float = 2.0  # world units: split if larger
     refine_every: int = 100
     warmup_steps: int = 500
     ssim_lambda: float = 0.2
+
+
+def sh_num_rest(degree: int) -> int:
+    """Number of non-DC real-SH basis functions for bands 1..degree."""
+    return (degree + 1) ** 2 - 1
+
+
+def sh_basis(dirs: jax.Array, degree: int) -> jax.Array:
+    """Real spherical-harmonics basis for bands l=1..degree, [..., B].
+
+    cf. gsplat's sh evaluation used by splatfacto (models/splatfacto.py:30-33);
+    standard 3DGS constants. The DC band is handled separately (sigmoid base
+    color), so only view-dependent bands appear here.
+    """
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    out = []
+    if degree >= 1:
+        out += [-0.4886025119029199 * y, 0.4886025119029199 * z, -0.4886025119029199 * x]
+    if degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        out += [
+            1.0925484305920792 * x * y,
+            -1.0925484305920792 * y * z,
+            0.31539156525252005 * (2.0 * zz - xx - yy),
+            -1.0925484305920792 * x * z,
+            0.5462742152960396 * (xx - yy),
+        ]
+    if degree >= 3:
+        out += [
+            -0.5900435899266435 * y * (3.0 * xx - yy),
+            2.890611442640554 * x * y * z,
+            -0.4570457994644658 * y * (4.0 * zz - xx - yy),
+            0.3731763325901154 * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            -0.4570457994644658 * x * (4.0 * zz - xx - yy),
+            1.445305721320277 * z * (xx - yy),
+            -0.5900435899266435 * x * (xx - 3.0 * yy),
+        ]
+    if not out:
+        return jnp.zeros(dirs.shape[:-1] + (0,), dirs.dtype)
+    return jnp.stack(out, axis=-1)
+
+
+def gaussian_colors(params, cam_origin: jax.Array, sh_degree: int) -> jax.Array:
+    """Per-gaussian RGB at the current viewpoint: sigmoid DC base plus
+    view-dependent SH bands evaluated at the center-to-camera direction
+    (gsplat evaluates SH per gaussian, not per pixel)."""
+    base = jax.nn.sigmoid(params["rgb_logits"])  # [G, 3]
+    if sh_degree <= 0 or "sh_rest" not in params:
+        return base
+    d = params["means"] - cam_origin[None, :]
+    # safe normalize: dead slots sit at the origin, and the gradient of
+    # jnp.linalg.norm at 0 is NaN — rsqrt(|d|^2 + eps) keeps grads finite
+    d = d * jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True) + 1e-12)
+    basis = sh_basis(d, sh_degree)  # [G, B]
+    B = basis.shape[-1]
+    view_dep = jnp.einsum("gb,gbc->gc", basis, params["sh_rest"].reshape(-1, B, 3))
+    return jnp.clip(base + view_dep, 0.0, 1.0)
 
 
 def init_gaussians(config: SplatfactoConfig, points: np.ndarray, colors: np.ndarray) -> Dict[str, jax.Array]:
@@ -60,6 +117,8 @@ def init_gaussians(config: SplatfactoConfig, points: np.ndarray, colors: np.ndar
         "opacity_logits": jnp.full((G, 1), _logit(config.init_opacity), jnp.float32),
         "rgb_logits": jnp.asarray(_logit(np.clip(rgb, 0.01, 0.99))),
     }
+    if config.sh_degree > 0:
+        params["sh_rest"] = jnp.zeros((G, sh_num_rest(config.sh_degree) * 3), jnp.float32)
     state = {
         "alive": jnp.arange(G) < n,
         "grad_accum": jnp.zeros((G,), jnp.float32),
@@ -133,7 +192,8 @@ def project_gaussians(params, alive, w2c: jax.Array, fx, fy, cx, cy, width, heig
     return mean2d, jnp.stack([a, b, c], -1), depth, radius, in_view
 
 
-def rasterize(params, alive, w2c, fx, fy, cx, cy, height: int, width: int, top_k: int):
+def rasterize(params, alive, w2c, fx, fy, cx, cy, height: int, width: int, top_k: int,
+              sh_degree: int = 0):
     """Tile-based alpha compositing (cf. gsplat.rasterize_gaussians).
 
     Returns rgb [H, W, 3], alpha [H, W, 1], depth [H, W, 1], plus the per-
@@ -164,7 +224,8 @@ def rasterize(params, alive, w2c, fx, fy, cx, cy, height: int, width: int, top_k
     g_cov = cov2d[top_idx]
     g_depth = depth[top_idx]
     g_op = jax.nn.sigmoid(params["opacity_logits"][..., 0])[top_idx]
-    g_rgb = jax.nn.sigmoid(params["rgb_logits"])[top_idx]  # [T, K, 3]
+    cam_origin = -w2c[:3, :3].T @ w2c[:3, 3]
+    g_rgb = gaussian_colors(params, cam_origin, sh_degree)[top_idx]  # [T, K, 3]
 
     # pixel coords within tile [T, P, 2]
     py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
@@ -206,6 +267,7 @@ def render_splats(config: SplatfactoConfig, params, state, camera, background=No
     rgb, alpha, depth, aux = rasterize(
         params, state["alive"], camera["w2c"], camera["fx"], camera["fy"], camera["cx"],
         camera["cy"], camera["height"], camera["width"], config.tile_top_k,
+        sh_degree=config.sh_degree,
     )
     if background is None:
         background = jnp.ones(3)
@@ -291,6 +353,8 @@ def refine_gaussians(config: SplatfactoConfig, params, state, rng):
     params["quats"] = scatter(params["quats"], params["quats"][src], can_copy)
     params["opacity_logits"] = scatter(params["opacity_logits"], params["opacity_logits"][src], can_copy)
     params["rgb_logits"] = scatter(params["rgb_logits"], params["rgb_logits"][src], can_copy)
+    if "sh_rest" in params:
+        params["sh_rest"] = scatter(params["sh_rest"], params["sh_rest"][src], can_copy)
     # split also shrinks the source gaussian
     params["log_scales"] = jnp.where(split[:, None], params["log_scales"] - jnp.log(1.6), params["log_scales"])
 

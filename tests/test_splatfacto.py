@@ -92,6 +92,46 @@ def test_training_reduces_loss():
     assert losses[-1] < losses[0] * 0.92, losses[:3] + losses[-3:]
 
 
+def test_sh_view_dependent_colors():
+    """SH bands: color varies with viewpoint, grads reach sh_rest, and the
+    orthonormal basis has the right band count."""
+    cfg, params, state, camera = make_setup()
+    assert cfg.sh_degree == 3 and params["sh_rest"].shape == (256, 45)
+
+    # basis sanity: degree 3 -> 15 rest functions, finite on the sphere
+    dirs = jnp.asarray(np.random.RandomState(1).randn(32, 3), jnp.float32)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    basis = sf.sh_basis(dirs, 3)
+    assert basis.shape == (32, 15) and np.isfinite(np.asarray(basis)).all()
+
+    # nonzero SH coefficients -> renders from two viewpoints differ even
+    # though geometry/opacity/DC are identical
+    params = {**params, "sh_rest": params["sh_rest"].at[:, 0].set(0.4)}
+    out_front = sf.render_splats(cfg, params, state, camera)["rgb"]
+    cam_side = dict(camera)
+    th = 0.6
+    rot = jnp.asarray(
+        [[np.cos(th), 0, np.sin(th), 0], [0, 1, 0, 0], [-np.sin(th), 0, np.cos(th), 0]],
+        jnp.float32,
+    )
+    cam_side["w2c"] = rot
+    out_side = sf.render_splats(cfg, params, state, cam_side)["rgb"]
+    assert float(jnp.abs(out_front - out_side).max()) > 1e-3
+
+    # gradient flows into sh_rest
+    gt = jnp.zeros((32, 32, 3))
+    grads = jax.grad(lambda p: sf.splat_loss(cfg, p, state, camera, gt)[0])(params)
+    assert float(jnp.abs(grads["sh_rest"]).sum()) > 0
+
+    # degree-0 config has no sh_rest and still renders
+    cfg0 = sf.SplatfactoConfig(max_gaussians=64, tile_top_k=32, sh_degree=0)
+    p0, s0 = sf.init_gaussians(cfg0, np.zeros((4, 3), np.float32) + [0, 0, -8],
+                               np.full((4, 3), 0.5, np.float32))
+    assert "sh_rest" not in p0
+    r0 = sf.render_splats(cfg0, p0, s0, camera)["rgb"]
+    assert np.isfinite(np.asarray(r0)).all()
+
+
 def test_refine_densify_and_cull():
     cfg, params, state, camera = make_setup()
     # make some gaussians transparent -> culled
