@@ -30,6 +30,7 @@ class CameraType(enum.IntEnum):
     FISHEYE = 2
     EQUIRECTANGULAR = 3
     ORTHOPHOTO = 6
+    FISHEYE624 = 7
 
 
 @struct.dataclass
@@ -97,6 +98,47 @@ def _undistort(coords: jax.Array, dist: jax.Array, num_iters: int = 3) -> jax.Ar
     return out
 
 
+def fisheye624_distort(w: jax.Array, dist: jax.Array) -> jax.Array:
+    """Forward FISHEYE624 distortion on equidistant-projected coords.
+
+    cf. the reference's fisheye624 path (nerfstudio cameras.py FISHEYE624 /
+    camera_utils.fisheye624_project): w = theta * (x, y)/r is the ideal
+    equidistant projection (OpenCV frame, y down); dist packs
+    [k1..k6, p1, p2, s1..s4]. Radial polynomial acts on theta, tangential and
+    thin-prism terms on the radially-distorted coords.
+    """
+    k = [dist[..., i] for i in range(6)]
+    p1, p2 = dist[..., 6], dist[..., 7]
+    s1, s2, s3, s4 = dist[..., 8], dist[..., 9], dist[..., 10], dist[..., 11]
+    wx, wy = w[..., 0], w[..., 1]
+    th2 = wx * wx + wy * wy
+    poly = 1.0 + th2 * (k[0] + th2 * (k[1] + th2 * (k[2] + th2 * (k[3] + th2 * (k[4] + th2 * k[5])))))
+    ur, vr = wx * poly, wy * poly
+    r2 = ur * ur + vr * vr
+    u = ur + 2.0 * p1 * ur * vr + p2 * (r2 + 2.0 * ur * ur) + s1 * r2 + s2 * r2 * r2
+    v = vr + p1 * (r2 + 2.0 * vr * vr) + 2.0 * p2 * ur * vr + s3 * r2 + s4 * r2 * r2
+    return jnp.stack([u, v], axis=-1)
+
+
+def _undistort_fisheye624(m: jax.Array, dist: jax.Array, num_iters: int = 8) -> jax.Array:
+    """Invert fisheye624_distort with a fixed-iteration 2x2 Newton solve
+    (jvp-built Jacobian columns — no per-ray autodiff graphs, jit-friendly).
+    """
+    f = lambda w: fisheye624_distort(w, dist) - m
+    e1 = jnp.broadcast_to(jnp.asarray([1.0, 0.0], m.dtype), m.shape)
+    e2 = jnp.broadcast_to(jnp.asarray([0.0, 1.0], m.dtype), m.shape)
+    w = m
+    for _ in range(num_iters):
+        r, j1 = jax.jvp(f, (w,), (e1,))  # column d f / d wx
+        _, j2 = jax.jvp(f, (w,), (e2,))  # column d f / d wy
+        det = j1[..., 0] * j2[..., 1] - j2[..., 0] * j1[..., 1]
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        dx = (r[..., 0] * j2[..., 1] - r[..., 1] * j2[..., 0]) / det
+        dy = (j1[..., 0] * r[..., 1] - j1[..., 1] * r[..., 0]) / det
+        w = w - jnp.stack([dx, dy], axis=-1)
+    return w
+
+
 def _directions_from_coords(unit_coords: jax.Array, cam_type: jax.Array) -> jax.Array:
     """Per-camera-type direction in camera frame (z = -1 forward).
 
@@ -142,17 +184,30 @@ def generate_camera_rays(cameras: Cameras, camera_indices: jax.Array, coords: ja
     rows = coords[..., 0].astype(fx.dtype)[..., None]
     cols = coords[..., 1].astype(fx.dtype)[..., None]
 
-    def unit_coords(r, c):
-        u = (c + 0.5 - cx) / fx
-        v = -(r + 0.5 - cy) / fy
-        uv = jnp.concatenate([u, v], axis=-1)
-        if cameras.distortion_params is not None:
-            uv = _undistort(uv, cameras.distortion_params[idx])
-        return uv
+    dist = cameras.distortion_params[idx] if cameras.distortion_params is not None else None
+    has_624 = dist is not None and dist.shape[-1] >= 12
 
-    dirs_cam = _directions_from_coords(unit_coords(rows, cols), cam_type)
-    dirs_cam_dx = _directions_from_coords(unit_coords(rows, cols + 1), cam_type)
-    dirs_cam_dy = _directions_from_coords(unit_coords(rows + 1, cols), cam_type)
+    def dirs_for(r, c):
+        u = (c + 0.5 - cx) / fx
+        v_cv = (r + 0.5 - cy) / fy  # OpenCV frame (y down)
+        uv = jnp.concatenate([u, -v_cv], axis=-1)
+        if dist is not None:
+            # fisheye624 packs [k1..k6, p1, p2, s1..s4]; the standard path
+            # reads its k1..k4/p1/p2 slots so mixed batches stay well-defined
+            std = jnp.concatenate([dist[..., 0:4], dist[..., 6:8]], -1) if has_624 else dist
+            uv = _undistort(uv, std)
+        d = _directions_from_coords(uv, cam_type)
+        if has_624:
+            w = _undistort_fisheye624(jnp.concatenate([u, v_cv], axis=-1), dist)
+            th = jnp.clip(jnp.linalg.norm(w, axis=-1), 1e-9, jnp.pi)
+            sot = jnp.sin(th) / th
+            d624 = jnp.stack([w[..., 0] * sot, -w[..., 1] * sot, -jnp.cos(th)], axis=-1)
+            d = jnp.where((cam_type == CameraType.FISHEYE624)[..., None], d624, d)
+        return d
+
+    dirs_cam = dirs_for(rows, cols)
+    dirs_cam_dx = dirs_for(rows, cols + 1)
+    dirs_cam_dy = dirs_for(rows + 1, cols)
 
     rot = c2w[..., :3, :3]
     to_world = lambda d: jnp.einsum("rij,rj->ri", rot, d)
