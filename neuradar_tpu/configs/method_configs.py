@@ -184,6 +184,26 @@ def _splatfacto_big():
 method_configs["splatfacto"] = _splatfacto
 method_configs["splatfacto-big"] = _splatfacto_big
 
+
+def _nerfacto():
+    from neuradar_tpu.data.dataparsers.synthetic import SyntheticDataParserConfig
+    from neuradar_tpu.engine.nerfacto_trainer import NerfactoTrainerConfig
+
+    return NerfactoTrainerConfig(dataparser=SyntheticDataParserConfig())
+
+
+def _lidar_nerfacto():
+    from neuradar_tpu.models.nerfacto import NerfactoModelConfig
+
+    cfg = _nerfacto()
+    cfg.method_name = "lidar-nerfacto"
+    cfg.model = NerfactoModelConfig(predict_lidar=True)
+    return cfg
+
+
+method_configs["nerfacto"] = _nerfacto
+method_configs["lidar-nerfacto"] = _lidar_nerfacto
+
 method_descriptions = {
     "neuradar": "Joint camera+lidar+radar NeuRadar on ZOD.",
     "neuradar-vod": "NeuRadar on View-of-Delft.",

@@ -1,0 +1,171 @@
+"""Nerfacto / LidarNerfacto trainer: single-modality per-ray optimization.
+
+cf. reference nerfstudio nerfacto training (models/nerfacto.py with the
+VanillaPipeline/VanillaDataManager) and models/lidar_nerfacto.py:35-137
+(lidar-only variant). TPU shape: the host samples only integer indices
+(frames + pixel coords / packed point ids); ray generation, sampling, field
+eval and losses all run inside one jitted step with static shapes, exactly
+like the flagship NeuRadar trainer.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dataclass_field
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neuradar_tpu.data.datamanager import ADDataManager, ADDataManagerConfig, build_train_bundle
+from neuradar_tpu.data.dataparsers.base import DataparserOutputs
+from neuradar_tpu.models.nerfacto import NerfactoModel, NerfactoModelConfig
+from neuradar_tpu.utils.writer import EventWriter
+
+
+@dataclass
+class NerfactoTrainerConfig:
+    """cf. the 'nerfacto' method preset (nerfstudio method_configs.py)."""
+
+    method_name: str = "nerfacto"
+    experiment_name: str = "synthetic"
+    output_dir: str = "outputs"
+    model: NerfactoModelConfig = dataclass_field(default_factory=NerfactoModelConfig)
+    max_num_iterations: int = 30000
+    steps_per_log: int = 100
+    steps_per_eval_batch: int = 500
+    seed: int = 42
+    lr_init: float = 1e-2
+    lr_final: float = 1e-4
+    warmup_steps: int = 512
+    # batch: camera mode shoots patches (one ray per GT pixel, u=1);
+    # lidar mode shoots packed lidar returns
+    num_rgb_patches: int = 16
+    patch_size: int = 16
+    num_lidar_rays: int = 8192
+    dataparser: object = None
+
+
+class NerfactoTrainer:
+    """One trainer for both variants: ``predict_lidar`` in the model config
+    selects lidar-only training (cf. lidar_nerfacto.py), otherwise
+    camera-only (cf. nerfacto.py)."""
+
+    def __init__(self, config: NerfactoTrainerConfig, dataparser_outputs: Optional[DataparserOutputs] = None):
+        self.config = config
+        if dataparser_outputs is None:
+            dataparser_outputs = config.dataparser.setup().get_dataparser_outputs()
+        self.outputs = dataparser_outputs
+        self.writer = EventWriter(log_dir=self._run_dir / "logs")
+        self._step = 0
+
+    @property
+    def _run_dir(self) -> Path:
+        return Path(self.config.output_dir) / self.config.experiment_name / self.config.method_name
+
+    def setup(self):
+        c = self.config
+        lidar_mode = c.model.predict_lidar
+        dm_cfg = ADDataManagerConfig(
+            num_rgb_patches=0 if lidar_mode else c.num_rgb_patches,
+            patch_size=c.patch_size,
+            num_lidar_rays=c.num_lidar_rays if lidar_mode else 0,
+            num_radar_scans=0,
+        )
+        # one ray per GT pixel: nerfacto has no CNN upsampler
+        self.dm = ADDataManager(self.outputs, dm_cfg, rgb_upsample_factor=1)
+        self.layout = self.dm.layout
+        tables = self.dm.tables
+
+        num_embeds = tables.num_cam_frames + (tables.num_lidar_frames if lidar_mode else 0)
+        self.model = NerfactoModel(
+            config=c.model,
+            static_scale=float(np.abs(self.outputs.scene_box.aabb).max()),
+            num_embeds=max(num_embeds, 1),
+        )
+
+        # init on a tiny single-ray layout (fast trace), reuse for the real shapes
+        host = self.dm.sample_train_batch()
+        init_bundle = build_train_bundle(tables, jax.tree.map(jnp.asarray, host), self.layout, 1)
+        k = jax.random.PRNGKey(c.seed)
+        self.variables = self.model.init(
+            {"params": k, "sampling": jax.random.fold_in(k, 1)},
+            jax.tree.map(lambda x: x[:2], init_bundle),
+            train=True,
+        )
+
+        # single adam, warmup + exponential decay to lr_final
+        # (cf. nerfacto optimizers: fields/proposals at 1e-2 -> 1e-4)
+        sched = optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, c.lr_init, c.warmup_steps),
+                optax.exponential_decay(
+                    c.lr_init, max(c.max_num_iterations - c.warmup_steps, 1),
+                    c.lr_final / c.lr_init,
+                ),
+            ],
+            [c.warmup_steps],
+        )
+        self.tx = optax.adam(sched, eps=1e-15)
+        self.opt_state = self.tx.init(self.variables["params"])
+
+        layout, u = self.layout, 1
+        model, tx = self.model, self.tx
+
+        def loss_fn(params, batch, rng):
+            bundle = build_train_bundle(tables, batch, layout, u)
+            gt: Dict[str, jax.Array] = {}
+            if not lidar_mode:
+                gt["rgb"] = batch["image"].reshape(-1, 3)
+            else:
+                gt["lidar_distance"] = batch["lidar_distance"]
+                gt["lidar_intensity"] = batch["lidar_intensity"]
+                gt["did_return"] = batch["did_return"]
+            total, aux = model.apply(
+                {"params": params}, bundle, gt, train=True,
+                method=model.loss_and_metrics, rngs={"sampling": rng},
+            )
+            return total, aux
+
+        def train_step(params, opt_state, batch, rng):
+            (total, (loss_dict, metrics, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng
+            )
+            updates, opt_state = tx.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, total, loss_dict, metrics
+
+        self._train_step = jax.jit(train_step)
+        self._eval_loss = jax.jit(lambda p, b, r: loss_fn(p, b, r)[0])
+
+    def train(self, max_iters: Optional[int] = None) -> Dict[str, float]:
+        c = self.config
+        iters = c.max_num_iterations if max_iters is None else max_iters
+        params = self.variables["params"]
+        key = jax.random.PRNGKey(c.seed + 7)
+        self.dm.start_prefetch()
+        last: Dict[str, float] = {}
+        t0 = time.time()
+        try:
+            for step in range(self._step, self._step + iters):
+                batch = jax.tree.map(jnp.asarray, self.dm.next_train())
+                key, sub = jax.random.split(key)
+                params, self.opt_state, total, loss_dict, metrics = self._train_step(
+                    params, self.opt_state, batch, sub
+                )
+                if step % c.steps_per_log == 0 or step == self._step + iters - 1:
+                    last = {"loss": float(total), **{k: float(v) for k, v in metrics.items()}}
+                    self.writer.put_scalars(step, last)
+                if c.steps_per_eval_batch and step and step % c.steps_per_eval_batch == 0:
+                    ev = jax.tree.map(jnp.asarray, self.dm.sample_eval_batch())
+                    key, sub = jax.random.split(key)
+                    self.writer.put_scalar(step, "eval_loss", float(self._eval_loss(params, ev, sub)))
+                self._step = step + 1
+        finally:
+            self.dm.stop()
+        self.variables = {"params": params}
+        last["iters_per_sec"] = iters / max(time.time() - t0, 1e-9)
+        return last

@@ -52,6 +52,8 @@ def main(argv=None) -> int:
 
     if method.startswith("splatfacto"):
         from neuradar_tpu.engine.splatfacto_trainer import SplatfactoTrainer as Trainer
+    elif "nerfacto" in method:
+        from neuradar_tpu.engine.nerfacto_trainer import NerfactoTrainer as Trainer
     else:
         from neuradar_tpu.engine.trainer import Trainer
 

@@ -1,0 +1,51 @@
+"""Nerfacto/LidarNerfacto trainer wiring: a few steps on the synthetic scene
+optimize the loss (cf. the reference's nerfacto + lidar_nerfacto methods)."""
+
+import numpy as np
+
+from neuradar_tpu.configs.method_configs import get_method
+from neuradar_tpu.engine.nerfacto_trainer import NerfactoTrainer
+
+
+def _small(cfg, tmp_path):
+    cfg.output_dir = str(tmp_path)
+    cfg.max_num_iterations = 30
+    cfg.steps_per_log = 5
+    cfg.steps_per_eval_batch = 0
+    cfg.num_rgb_patches = 4
+    cfg.patch_size = 8
+    cfg.num_lidar_rays = 512
+    cfg.warmup_steps = 8
+    m = cfg.model
+    m.num_proposal_samples_per_ray = (32, 16)
+    m.num_nerf_samples_per_ray = 8
+    m.log2_hashmap_size = 12
+    m.num_levels = 4
+    m.max_res = 256
+    m.hidden_dim = m.hidden_dim_color = 16
+    m.appearance_embedding_dim = 4
+    return cfg
+
+
+def _losses(trainer, iters=30):
+    trainer.setup()
+    losses = []
+    orig = trainer.writer.put_scalars
+    trainer.writer.put_scalars = lambda step, sc: (losses.append(sc.get("loss")), orig(step, sc))
+    trainer.train(iters)
+    return [l for l in losses if l is not None]
+
+
+def test_nerfacto_camera_trains(tmp_path):
+    cfg = _small(get_method("nerfacto"), tmp_path)
+    losses = _losses(NerfactoTrainer(cfg))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_lidar_nerfacto_trains(tmp_path):
+    cfg = _small(get_method("lidar-nerfacto"), tmp_path)
+    assert cfg.model.predict_lidar
+    losses = _losses(NerfactoTrainer(cfg))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
