@@ -36,7 +36,10 @@ def write_ply(path: Path, points: np.ndarray, colors: np.ndarray | None = None) 
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("command", choices=("pointcloud", "radar-pointcloud", "sdf-surface"))
+    parser.add_argument(
+        "command",
+        choices=("pointcloud", "radar-pointcloud", "sdf-surface", "sdf-mesh", "tsdf-mesh"),
+    )
     parser.add_argument("--load-config", type=Path, required=True)
     parser.add_argument("--output-path", type=Path, default=Path("exports/points.ply"))
     parser.add_argument("--max-scans", type=int, default=8)
@@ -53,10 +56,30 @@ def main(argv=None) -> int:
     variables = trainer.eval_variables()
 
     all_pts = []
-    if args.command == "sdf-surface":
-        # SDF zero-crossing surface points on a voxel grid (the TSDF/marching-
-        # cubes analogue of exporter.py:50-620; no mesh libs in this image, so
-        # edge crossings are exported as a dense surface point cloud).
+    if args.command == "tsdf-mesh":
+        # fuse rendered eval-camera depth maps into a TSDF and mesh it
+        # (cf. exporter.py ExportTSDFMesh; open3d-free numpy fusion)
+        from neuradar_tpu.utils.meshing import marching_tetrahedra, tsdf_fuse, write_ply_mesh
+
+        u = pipeline.config.model.rgb_upsample_factor
+        cam_idxs = list(pipeline.datamanager.eval_camera_indices())[: args.max_scans]
+        depths, intr, c2ws = [], [], []
+        for ci in cam_idxs:
+            depths.append(pipeline.render_camera(variables, int(ci))["depth"])
+            intr.append(np.asarray(pipeline.outputs.intrinsics[int(ci), :4]))
+            c2ws.append(np.asarray(pipeline.outputs.camera_to_worlds[int(ci)]))
+        tsdf, _, spacing = tsdf_fuse(
+            np.stack(depths), np.stack(intr), np.stack(c2ws),
+            bounds=args.bounds, resolution=args.grid_resolution, depth_stride=u,
+        )
+        verts, faces = marching_tetrahedra(tsdf, np.array([-args.bounds] * 3), spacing)
+        write_ply_mesh(args.output_path, verts, faces)
+        print(f"wrote mesh ({len(verts)} verts, {len(faces)} faces) to {args.output_path}")
+        return 0
+    if args.command in ("sdf-surface", "sdf-mesh"):
+        # SDF zero-crossings on a voxel grid (cf. ExportMarchingCubesMesh,
+        # exporter.py:50-620): 'sdf-mesh' extracts a triangle mesh via
+        # marching tetrahedra; 'sdf-surface' exports the crossings as points.
         import jax
         import jax.numpy as jnp
 
@@ -73,6 +96,14 @@ def main(argv=None) -> int:
             pts = np.stack([np.full(yy.size, x), yy.reshape(-1), zz.reshape(-1)], 1)
             out = query(variables, jnp.asarray(pts.reshape(res, res, 3)))
             sdf[i] = np.asarray(out)[..., 0]
+        if args.command == "sdf-mesh":
+            from neuradar_tpu.utils.meshing import marching_tetrahedra, write_ply_mesh
+
+            spacing = 2 * b / (res - 1)
+            verts, faces = marching_tetrahedra(sdf, np.array([-b] * 3), spacing)
+            write_ply_mesh(args.output_path, verts, faces)
+            print(f"wrote mesh ({len(verts)} verts, {len(faces)} faces) to {args.output_path}")
+            return 0
         surf = []
         for axis in range(3):
             a = np.moveaxis(sdf, axis, 0)

@@ -1,0 +1,188 @@
+"""Mesh extraction utilities: marching tetrahedra + TSDF fusion.
+
+cf. reference nerfstudio/scripts/exporter.py (ExportTSDFMesh / ExportMarchingCubesMesh,
+:50-620) and nerfstudio/exporter/tsdf_utils.py: the reference leans on
+open3d/torchmarchingcubes; neither exists in this image, so both pieces are
+implemented here in vectorized numpy. Marching *tetrahedra* (6 tets per cube,
+16-case table) replaces marching cubes — no 256-entry table, same
+zero-crossing surface up to triangulation.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+# tet decomposition of a cube: corners indexed by bits (x, y, z) -> 0..7 with
+# vertex v = (i + dx, j + dy, k + dz), index = dx*4 + dy*2 + dz. All six tets
+# share the main diagonal 0-7.
+_CUBE_TETS = np.array(
+    [
+        [0, 1, 3, 7],
+        [0, 3, 2, 7],
+        [0, 2, 6, 7],
+        [0, 6, 4, 7],
+        [0, 4, 5, 7],
+        [0, 5, 1, 7],
+    ],
+    np.int64,
+)
+
+# tet edges as (vertex a, vertex b) pairs
+_TET_EDGES = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], np.int64)
+
+# case -> up to 2 triangles of edge ids (-1 = unused); bit i set = vertex i
+# is inside (value < level)
+_TET_TRIS = -np.ones((16, 2, 3), np.int64)
+_TET_TRIS[0x1, 0] = (0, 1, 2)
+_TET_TRIS[0x2, 0] = (0, 4, 3)
+_TET_TRIS[0x4, 0] = (1, 3, 5)
+_TET_TRIS[0x8, 0] = (2, 5, 4)
+_TET_TRIS[0x3] = ((1, 2, 4), (1, 4, 3))
+_TET_TRIS[0x5] = ((0, 3, 5), (0, 5, 2))
+_TET_TRIS[0x9] = ((0, 4, 5), (0, 5, 1))
+_TET_TRIS[0x6] = ((0, 5, 4), (0, 1, 5))
+_TET_TRIS[0xA] = ((0, 5, 3), (0, 2, 5))
+_TET_TRIS[0xC] = ((1, 4, 2), (1, 3, 4))
+_TET_TRIS[0x7] = ((2, 4, 5), (-1, -1, -1))
+_TET_TRIS[0xB] = ((1, 5, 3), (-1, -1, -1))
+_TET_TRIS[0xD] = ((0, 3, 4), (-1, -1, -1))
+_TET_TRIS[0xE] = ((0, 2, 1), (-1, -1, -1))
+
+
+def marching_tetrahedra(
+    grid: np.ndarray,
+    origin: np.ndarray,
+    spacing: float,
+    level: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Extract the `level` isosurface of a scalar grid as a triangle mesh.
+
+    Args:
+        grid: [Nx, Ny, Nz] scalar field (e.g. signed distance).
+        origin: world position of voxel (0, 0, 0).
+        spacing: voxel edge length.
+    Returns:
+        (verts [V, 3] float32 world coords, faces [F, 3] int32). Vertices are
+        deduplicated on edge identity so faces share vertices.
+    """
+    nx, ny, nz = grid.shape
+    origin = np.asarray(origin, np.float64)
+    verts_all = []
+    # slab-wise over x to bound memory (each slab: (ny-1)*(nz-1)*6 tets)
+    jj, kk = np.meshgrid(np.arange(ny - 1), np.arange(nz - 1), indexing="ij")
+    jj, kk = jj.reshape(-1), kk.reshape(-1)
+    corner_off = np.array([(d >> 2 & 1, d >> 1 & 1, d & 1) for d in range(8)], np.int64)  # [8, 3]
+    for i in range(nx - 1):
+        # cube corner values [M, 8] and integer coords [M, 8, 3]
+        ci = np.stack([np.full_like(jj, i), jj, kk], axis=-1)  # [M, 3]
+        corners = ci[:, None, :] + corner_off[None]  # [M, 8, 3]
+        vals = grid[corners[..., 0], corners[..., 1], corners[..., 2]] - level  # [M, 8]
+
+        tv = vals[:, _CUBE_TETS]  # [M, 6, 4]
+        tc = corners[:, _CUBE_TETS]  # [M, 6, 4, 3]
+        tv = tv.reshape(-1, 4)
+        tc = tc.reshape(-1, 4, 3)
+        case = ((tv < 0) * np.array([1, 2, 4, 8])).sum(-1)  # [T]
+        tris = _TET_TRIS[case]  # [T, 2, 3]
+        t_idx, tri_idx = np.nonzero(tris[..., 0] >= 0)
+        if len(t_idx) == 0:
+            continue
+        edges = tris[t_idx, tri_idx]  # [K, 3] edge ids
+        va = tv[t_idx[:, None], _TET_EDGES[edges][..., 0]]  # [K, 3]
+        vb = tv[t_idx[:, None], _TET_EDGES[edges][..., 1]]
+        pa = tc[t_idx[:, None], _TET_EDGES[edges][..., 0]].astype(np.float64)  # [K, 3, 3]
+        pb = tc[t_idx[:, None], _TET_EDGES[edges][..., 1]].astype(np.float64)
+        t = (va / (va - vb + 1e-30))[..., None]
+        verts_all.append((pa + t * (pb - pa)).reshape(-1, 3))
+
+    if not verts_all:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    v = np.concatenate(verts_all)  # [3F, 3] grid coords, 3 per face in order
+    # dedupe vertices (quantized to 1e-5 voxel) so faces share them
+    key = np.round(v * 1e5).astype(np.int64)
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    order = np.zeros(len(uniq), np.int64)
+    order[inv] = np.arange(len(v))  # a representative per unique vertex
+    verts = v[order] * spacing + origin
+    faces = inv.reshape(-1, 3).astype(np.int32)
+    # drop degenerate faces (two corners snapped together)
+    ok = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & (faces[:, 0] != faces[:, 2])
+    return verts.astype(np.float32), faces[ok]
+
+
+def tsdf_fuse(
+    depths: np.ndarray,
+    intrinsics: np.ndarray,
+    c2ws: np.ndarray,
+    bounds: float,
+    resolution: int,
+    trunc: Optional[float] = None,
+    depth_stride: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Fuse per-view euclidean depth maps into a TSDF volume.
+
+    cf. nerfstudio/exporter/tsdf_utils.py:TSDF.integrate_tsdf. Depth maps are
+    along-ray euclidean distances (the renderer's expected-depth output) at
+    `depth_stride` subsampling of the full-res intrinsics (the NeuRadar CNN
+    renders 1 ray per u x u pixel block).
+
+    Returns (tsdf [R, R, R], weights [R, R, R], spacing); surface at tsdf=0.
+    """
+    R = resolution
+    spacing = 2 * bounds / (R - 1)
+    xs = np.linspace(-bounds, bounds, R, dtype=np.float64)
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)  # [N, 3]
+    if trunc is None:
+        trunc = 4.0 * spacing
+
+    tsdf = np.zeros(len(pts), np.float64)
+    weight = np.zeros(len(pts), np.float64)
+    for v in range(len(depths)):
+        fx, fy, cx, cy = intrinsics[v][:4]
+        c2w = np.vstack([c2ws[v][:3], [0, 0, 0, 1]])
+        w2c = np.linalg.inv(c2w)
+        p_cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+        z = -p_cam[:, 2]  # camera looks down -z
+        with np.errstate(divide="ignore", invalid="ignore"):
+            px = fx * (p_cam[:, 0] / z) + cx
+            py = fy * (-p_cam[:, 1] / z) + cy
+        h, w = depths[v].shape
+        col = np.clip((px / depth_stride).astype(np.int64), 0, w - 1)
+        row = np.clip((py / depth_stride).astype(np.int64), 0, h - 1)
+        valid = (z > 0.05) & (px >= 0) & (px < w * depth_stride) & (py >= 0) & (py < h * depth_stride)
+        d_obs = depths[v][row, col]
+        dist = np.linalg.norm(pts - c2w[:3, 3], axis=-1)
+        sdf = d_obs - dist
+        upd = valid & (sdf > -trunc) & np.isfinite(d_obs)
+        val = np.clip(sdf / trunc, -1.0, 1.0)
+        tsdf[upd] = (tsdf[upd] * weight[upd] + val[upd]) / (weight[upd] + 1.0)
+        weight[upd] += 1.0
+
+    # unobserved voxels stay far outside so no phantom surface appears
+    tsdf[weight == 0] = 1.0
+    return tsdf.reshape(R, R, R), weight.reshape(R, R, R), spacing
+
+
+def write_ply_mesh(path: Path, verts: np.ndarray, faces: np.ndarray) -> None:
+    """Binary little-endian PLY with vertex + face elements."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        header = [
+            "ply", "format binary_little_endian 1.0",
+            f"element vertex {len(verts)}",
+            "property float x", "property float y", "property float z",
+            f"element face {len(faces)}",
+            "property list uchar int vertex_indices",
+            "end_header",
+        ]
+        f.write(("\n".join(header) + "\n").encode())
+        verts.astype("<f4").tofile(f)
+        rec = np.zeros(len(faces), dtype=[("n", np.uint8), ("idx", "<i4", 3)])
+        rec["n"] = 3
+        rec["idx"] = faces
+        rec.tofile(f)
