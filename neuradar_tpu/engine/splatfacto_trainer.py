@@ -153,7 +153,33 @@ class SplatfactoTrainer:
             self._step += 1
         last["total_train_time"] = time.perf_counter() - t0
         last.update(self.eval_psnr())
+        self.save_checkpoint()
         return last
+
+    def save_checkpoint(self, path: Optional[Path] = None) -> Path:
+        """Gaussians + refine state to a single npz (cf. the reference's
+        per-step ckpts; 3DGS state is one flat dict, npz is sufficient)."""
+        path = Path(path) if path is not None else self._run_dir / "gaussians.npz"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            path,
+            step=self._step,
+            **{f"param_{k}": np.asarray(v) for k, v in self.params.items()},
+            **{f"state_{k}": np.asarray(v) for k, v in self.state.items()},
+        )
+        return path
+
+    def load_checkpoint(self, path: Path) -> None:
+        with np.load(path) as z:
+            self._step = int(z["step"])
+            self.params = {k[6:]: jnp.asarray(z[k]) for k in z.files if k.startswith("param_")}
+            self.state = {k[6:]: jnp.asarray(z[k]) for k in z.files if k.startswith("state_")}
+        self.opt_state = self.tx.init(self.params)
+
+    def export_ply(self, path: Optional[Path] = None) -> Path:
+        path = Path(path) if path is not None else self._run_dir / "splat.ply"
+        sf.export_gaussians_ply(path, self.params, self.state["alive"])
+        return path
 
     def eval_psnr(self) -> Dict[str, float]:
         psnrs = []

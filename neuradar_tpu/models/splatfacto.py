@@ -297,6 +297,56 @@ def _ssim(a, b, c1=0.01**2, c2=0.03**2):
     return jnp.mean(s)
 
 
+_SH_C0 = 0.28209479177387814
+
+
+def export_gaussians_ply(path, params, alive) -> int:
+    """Write alive gaussians in the standard 3DGS PLY layout
+    (x y z nx ny nz f_dc_* f_rest_* opacity scale_* rot_*), interoperable
+    with gsplat/inria viewers (cf. the reference exporter's gaussian-splat
+    path). Our sigmoid DC maps to f_dc via (c - 0.5) / C0; sh_rest is stored
+    channel-major like inria's f_rest. Returns the number of gaussians written.
+    """
+    from pathlib import Path
+
+    import numpy as np  # noqa: F811 (module-level alias is jnp-heavy code)
+
+    keep = np.asarray(alive)
+    means = np.asarray(params["means"])[keep]
+    n = len(means)
+    dc = (1.0 / (1.0 + np.exp(-np.asarray(params["rgb_logits"])[keep])) - 0.5) / _SH_C0
+    if "sh_rest" in params:
+        rest = np.asarray(params["sh_rest"])[keep]
+        B = rest.shape[-1] // 3
+        rest = rest.reshape(n, B, 3).transpose(0, 2, 1).reshape(n, 3 * B)
+    else:
+        rest = np.zeros((n, 0), np.float32)
+    opac = np.asarray(params["opacity_logits"])[keep]
+    scales = np.asarray(params["log_scales"])[keep]
+    quats = np.asarray(params["quats"])[keep]
+    quats = quats / np.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-8)
+
+    cols = (
+        ["x", "y", "z", "nx", "ny", "nz"]
+        + [f"f_dc_{i}" for i in range(3)]
+        + [f"f_rest_{i}" for i in range(rest.shape[1])]
+        + ["opacity", "scale_0", "scale_1", "scale_2", "rot_0", "rot_1", "rot_2", "rot_3"]
+    )
+    data = np.concatenate(
+        [means, np.zeros((n, 3), np.float32), dc, rest, opac, scales, quats], axis=1
+    ).astype("<f4")
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
+        header += [f"property float {c}" for c in cols]
+        header += ["end_header"]
+        f.write(("\n".join(header) + "\n").encode())
+        data.tofile(f)
+    return n
+
+
 def accumulate_grad_stats(state, grads_means2d_norm, in_view):
     """Track screen-space gradient magnitudes for densification
     (cf. splatfacto densification stats)."""

@@ -38,7 +38,7 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "command",
-        choices=("pointcloud", "radar-pointcloud", "sdf-surface", "sdf-mesh", "tsdf-mesh"),
+        choices=("pointcloud", "radar-pointcloud", "sdf-surface", "sdf-mesh", "tsdf-mesh", "gaussian-ply"),
     )
     parser.add_argument("--load-config", type=Path, required=True)
     parser.add_argument("--output-path", type=Path, default=Path("exports/points.ply"))
@@ -48,9 +48,24 @@ def main(argv=None) -> int:
     parser.add_argument("--bounds", type=float, default=60.0, help="half-extent of the export cube (m)")
     args = parser.parse_args(argv)
 
+    run_dir = args.load_config if args.load_config.is_dir() else args.load_config.parent
+    if args.command == "gaussian-ply":
+        # splatfacto run -> standard 3DGS PLY (cf. the reference exporter's
+        # gaussian-splat path); reads the trainer's gaussians.npz directly
+        import jax.numpy as jnp
+
+        from neuradar_tpu.models.splatfacto import export_gaussians_ply
+
+        ckpt = run_dir / "gaussians.npz" if run_dir.is_dir() else run_dir
+        with np.load(ckpt) as z:
+            params = {k[6:]: jnp.asarray(z[k]) for k in z.files if k.startswith("param_")}
+            alive = z["state_alive"]
+        n = export_gaussians_ply(args.output_path, params, alive)
+        print(f"wrote {n} gaussians to {args.output_path}")
+        return 0
+
     from neuradar_tpu.scripts.render import _load_trainer
 
-    run_dir = args.load_config if args.load_config.is_dir() else args.load_config.parent
     trainer = _load_trainer(run_dir)
     pipeline = trainer.pipeline
     variables = trainer.eval_variables()

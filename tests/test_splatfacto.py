@@ -132,6 +132,24 @@ def test_sh_view_dependent_colors():
     assert np.isfinite(np.asarray(r0)).all()
 
 
+def test_export_gaussians_ply(tmp_path):
+    cfg, params, state, camera = make_setup()
+    p = tmp_path / "splat.ply"
+    n = sf.export_gaussians_ply(p, params, state["alive"])
+    assert n == int(state["alive"].sum())
+    data = p.read_bytes()
+    head = data[: data.index(b"end_header")]
+    assert f"element vertex {n}".encode() in head
+    # standard 3DGS attribute names present (degree 3 -> 45 f_rest)
+    for name in (b"f_dc_0", b"f_rest_44", b"opacity", b"scale_2", b"rot_3"):
+        assert b"property float " + name in head
+    # payload parses back: n rows x 59 floats
+    body = data[data.index(b"end_header") + len(b"end_header") + 1:]
+    arr = np.frombuffer(body, "<f4").reshape(n, -1)
+    assert arr.shape[1] == 3 + 3 + 3 + 45 + 1 + 3 + 4
+    np.testing.assert_allclose(arr[:, :3], np.asarray(params["means"])[np.asarray(state["alive"])], atol=1e-6)
+
+
 def test_refine_densify_and_cull():
     cfg, params, state, camera = make_setup()
     # make some gaussians transparent -> culled
