@@ -55,6 +55,14 @@ class Frustums:
         std = (area * multisample_dist[..., None, :]) ** (1.0 / 3.0)
         return GaussiansStd(mean=mean, std=std)
 
+    def get_hexagonal_gaussian(self) -> GaussiansStd:
+        """ZipNeRF 6-point hexagonal multisample (cf. reference
+        utils/math.py:230-320); heavier but more accurate than the fast
+        isotropic default."""
+        from neuradar_tpu.utils.math import hexify_frustums
+
+        return hexify_frustums(self.origins, self.directions, self.starts, self.ends, self.pixel_area)
+
 
 @struct.dataclass
 class RaySamples:

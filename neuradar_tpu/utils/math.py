@@ -94,6 +94,83 @@ def intersect_aabb(
     return t_min, t_max
 
 
+def intersect_obb(
+    origins: jax.Array,
+    directions: jax.Array,
+    centers: jax.Array,
+    rotations: jax.Array,
+    half_extents: jax.Array,
+    max_bound: float = 1e10,
+    invalid_value: float = 1e10,
+) -> Tuple[jax.Array, jax.Array]:
+    """Ray/oriented-box intersection, cf. reference utils/math.py (intersect_obb).
+
+    Rotates rays into the box frame and reuses the AABB slab test; t values
+    are in world units (rotation preserves norms).
+
+    Args:
+        origins/directions: [N, 3] world-frame rays.
+        centers: [3] box center; rotations: [3, 3] box-to-world rotation;
+        half_extents: [3].
+    """
+    o_box = (origins - centers) @ rotations  # world->box: R^T (o - c)
+    d_box = directions @ rotations
+    aabb = jnp.concatenate([-half_extents, half_extents])
+    return intersect_aabb(o_box, d_box, aabb, max_bound=max_bound, invalid_value=invalid_value)
+
+
+_HEX_ANGLES = jnp.arange(6) * (2.0 * jnp.pi / 6.0)
+
+
+def hexify_frustums(
+    origins: jax.Array,
+    directions: jax.Array,
+    starts: jax.Array,
+    ends: jax.Array,
+    pixel_area: jax.Array,
+    rotate_per_ray: bool = True,
+) -> GaussiansStd:
+    """ZipNeRF-style hexagonal multisampling of conical frustums.
+
+    cf. reference utils/math.py:230-320 (conical_frustum_to_gaussian's
+    multisample pattern): 6 points per frustum arranged on a spiral —
+    stratified along the axis, 60 degrees apart in angle, at radial offset
+    r/sqrt(2) so the point set matches the cone cross-section's second
+    moment (uniform disk: E[x^2] = r^2/4 per axis; 6 points at radius rho
+    give rho^2/2 — equal at rho = r/sqrt(2)). Residual per-point std r/2.
+
+    Args:
+        origins/directions: [R, 3]; starts/ends: [R, S, 1];
+        pixel_area: [R, 1].
+    Returns:
+        GaussiansStd with mean [R, S, 6, 3] and std [R, S, 6, 1].
+    """
+    # per-ray orthonormal basis perpendicular to the direction
+    d = directions / jnp.linalg.norm(directions, axis=-1, keepdims=True).clip(1e-8)
+    helper = jnp.where(jnp.abs(d[..., 2:3]) < 0.9, jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray([1.0, 0.0, 0.0]))
+    u = jnp.cross(helper, d)
+    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True).clip(1e-8)
+    v = jnp.cross(d, u)
+
+    j = jnp.arange(6, dtype=starts.dtype)
+    t = starts + (ends - starts) * (2.0 * j + 1.0) / 12.0  # [R, S, 6] stratified
+    # pixel radius growth per unit distance (disk of area pixel_area at t=1)
+    r_dot = jnp.sqrt(pixel_area / jnp.pi)[:, None, :]  # [R, 1, 1]
+    radius = r_dot * t  # [R, S, 6]
+    theta = _HEX_ANGLES.astype(starts.dtype)
+    if rotate_per_ray:
+        # decorrelate neighboring rays (cf. ZipNeRF's per-ray rotation) with a
+        # cheap hash of the origin — deterministic, no rng threading
+        phase = jnp.sum(origins * jnp.asarray([12.9898, 78.233, 37.719]), axis=-1)
+        theta = theta + (phase[:, None, None] % (2.0 * jnp.pi))
+    offset = (radius / jnp.sqrt(2.0))[..., None] * (
+        jnp.cos(theta)[..., None] * u[:, None, None, :] + jnp.sin(theta)[..., None] * v[:, None, None, :]
+    )  # [R, S, 6, 3]
+    mean = origins[:, None, None, :] + t[..., None] * d[:, None, None, :] + offset
+    std = (radius / 2.0)[..., None]
+    return GaussiansStd(mean=mean, std=std)
+
+
 def chamfer_distance(
     pred: jax.Array,
     gt: jax.Array,

@@ -168,6 +168,72 @@ def exp_map_SE3(tangent: jax.Array) -> jax.Array:
     return jnp.concatenate([R, t[..., None]], axis=-1)
 
 
+def matrix_to_quaternion(m: jax.Array) -> jax.Array:
+    """Rotation matrix [..., 3, 3] -> unit quaternion [..., 4] (w, x, y, z).
+
+    Branch-free Shepperd variant (cf. the reference's pytorch3d-style
+    conversion in camera_utils): builds all four candidate quaternions and
+    picks the numerically best by largest denominator — jit/vmap safe.
+    """
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    tr = m00 + m11 + m22
+    # squared components (guaranteed >= 0 up to fp noise)
+    qw2 = jnp.maximum(1.0 + tr, 0.0)
+    qx2 = jnp.maximum(1.0 + m00 - m11 - m22, 0.0)
+    qy2 = jnp.maximum(1.0 - m00 + m11 - m22, 0.0)
+    qz2 = jnp.maximum(1.0 - m00 - m11 + m22, 0.0)
+    cand = jnp.stack(
+        [
+            jnp.stack([qw2, m21 - m12, m02 - m20, m10 - m01], -1),
+            jnp.stack([m21 - m12, qx2, m01 + m10, m02 + m20], -1),
+            jnp.stack([m02 - m20, m01 + m10, qy2, m12 + m21], -1),
+            jnp.stack([m10 - m01, m02 + m20, m12 + m21, qz2], -1),
+        ],
+        axis=-2,
+    )  # [..., 4 candidates, 4]
+    mags = jnp.stack([qw2, qx2, qy2, qz2], -1)
+    best = jnp.argmax(mags, axis=-1)
+    q = jnp.take_along_axis(cand, best[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
+    denom = 2.0 * jnp.sqrt(jnp.take_along_axis(mags, best[..., None], axis=-1).clip(1e-12))
+    q = q / denom
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
+
+
+def quaternion_to_matrix(q: jax.Array) -> jax.Array:
+    """Unit quaternion [..., 4] (w, x, y, z) -> rotation matrix [..., 3, 3]."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
+
+
+def quaternion_slerp(q0: jax.Array, q1: jax.Array, t: jax.Array) -> jax.Array:
+    """Spherical linear interpolation between unit quaternions
+    (cf. reference camera_utils.quaternion_slerp). Takes the short arc; falls
+    back to normalized lerp when the quaternions are nearly parallel."""
+    q0 = q0 / jnp.linalg.norm(q0, axis=-1, keepdims=True).clip(1e-12)
+    q1 = q1 / jnp.linalg.norm(q1, axis=-1, keepdims=True).clip(1e-12)
+    dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = jnp.where(dot < 0, -q1, q1)  # short arc
+    dot = jnp.abs(dot).clip(-1.0, 1.0)
+    theta = jnp.arccos(dot.clip(max=1.0 - 1e-7))
+    sin_theta = jnp.sin(theta)
+    t = jnp.asarray(t)[..., None] if jnp.ndim(t) == q0.ndim - 1 else jnp.asarray(t)
+    w0 = jnp.sin((1.0 - t) * theta) / sin_theta
+    w1 = jnp.sin(t * theta) / sin_theta
+    nearly_parallel = dot > 1.0 - 1e-6
+    out = jnp.where(nearly_parallel, (1.0 - t) * q0 + t * q1, w0 * q0 + w1 * q1)
+    return out / jnp.linalg.norm(out, axis=-1, keepdims=True).clip(1e-12)
+
+
 def skew_symmetric(v: jax.Array) -> jax.Array:
     """[..., 3] -> [..., 3, 3] skew-symmetric matrices."""
     zero = jnp.zeros_like(v[..., 0])

@@ -106,3 +106,77 @@ def test_transform_points_pairwise():
     pts = jnp.array([[1.0, 0.0, 0.0]])
     out = poses.transform_points_pairwise(pts, pose[:, :3])
     np.testing.assert_allclose(np.asarray(out), [[1.0, 3.0, 3.0]], atol=1e-6)
+
+
+def test_intersect_obb():
+    import jax.numpy as jnp
+    from neuradar_tpu.utils.math import intersect_aabb, intersect_obb
+    from neuradar_tpu.utils.poses import quaternion_to_matrix
+
+    # identity-rotation OBB == AABB
+    origins = jnp.asarray([[-5.0, 0.2, 0.1], [0.0, 5.0, 0.0]])
+    dirs = jnp.asarray([[1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+    he = jnp.asarray([1.0, 1.0, 1.0])
+    t0, t1 = intersect_obb(origins, dirs, jnp.zeros(3), jnp.eye(3), he)
+    a0, a1 = intersect_aabb(origins, dirs, jnp.concatenate([-he, he]))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(a0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(a1), atol=1e-5)
+
+    # 45-degree-rotated unit box: at y=0 its x cross-section spans [-sqrt2, sqrt2]
+    rot = quaternion_to_matrix(jnp.asarray([np.cos(np.pi / 8), 0.0, 0.0, np.sin(np.pi / 8)]))
+    o = jnp.asarray([[-5.0, 0.0, 0.1]])
+    t0, t1 = intersect_obb(o, dirs[:1], jnp.zeros(3), rot, he)
+    np.testing.assert_allclose(float(t0[0]), 5.0 - np.sqrt(2), atol=1e-4)
+    np.testing.assert_allclose(float(t1[0]), 5.0 + np.sqrt(2), atol=1e-4)
+
+
+def test_quaternion_slerp_and_conversions():
+    import jax.numpy as jnp
+    from neuradar_tpu.utils.poses import matrix_to_quaternion, quaternion_slerp, quaternion_to_matrix
+
+    rng = np.random.RandomState(3)
+    q = rng.randn(32, 4)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    # round trip through matrices (up to sign)
+    q_rt = np.asarray(matrix_to_quaternion(quaternion_to_matrix(jnp.asarray(q))))
+    sign = np.sign(np.sum(q_rt * q, -1, keepdims=True))
+    np.testing.assert_allclose(q_rt * sign, q, atol=1e-5)
+
+    # slerp endpoints + midpoint of a 90-degree z-rotation
+    q0 = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    q1 = jnp.asarray([np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4)])
+    np.testing.assert_allclose(np.asarray(quaternion_slerp(q0, q1, 0.0)), np.asarray(q0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(quaternion_slerp(q0, q1, 1.0)), np.asarray(q1), atol=1e-6)
+    mid = np.asarray(quaternion_slerp(q0, q1, 0.5))
+    np.testing.assert_allclose(mid, [np.cos(np.pi / 8), 0, 0, np.sin(np.pi / 8)], atol=1e-6)
+    # constant angular velocity: angle(t) linear in t
+    for t in (0.25, 0.75):
+        qt = np.asarray(quaternion_slerp(q0, q1, t))
+        assert abs(2 * np.arccos(qt[0]) - t * np.pi / 2) < 1e-5
+
+
+def test_hexagonal_multisample_moments():
+    import jax.numpy as jnp
+    from neuradar_tpu.utils.math import hexify_frustums
+
+    R, S = 4, 8
+    origins = jnp.zeros((R, 3))
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (R, 1))
+    starts = jnp.tile(jnp.linspace(1.0, 8.0, S)[None, :, None], (R, 1, 1))
+    ends = starts + 1.0
+    pixel_area = jnp.full((R, 1), np.pi * 0.01**2)  # r_dot = 0.01
+
+    g = hexify_frustums(origins, dirs, starts, ends, pixel_area, rotate_per_ray=False)
+    assert g.mean.shape == (R, S, 6, 3) and g.std.shape == (R, S, 6, 1)
+    m = np.asarray(g.mean)
+    # along-axis (z) positions stratified inside each frustum
+    z = m[..., 2]
+    assert (z >= np.asarray(starts) - 1e-6).all() and (z <= np.asarray(ends) + 1e-6).all()
+    # radial second moment matches the uniform-disk value r^2/4 per axis
+    t = z.reshape(-1)
+    rad2 = (m[..., 0] ** 2 + m[..., 1] ** 2).reshape(-1)
+    r_cone = 0.01 * t
+    np.testing.assert_allclose(rad2, r_cone**2 / 2, rtol=1e-4)
+    # std grows linearly with distance
+    s = np.asarray(g.std)[..., 0]
+    np.testing.assert_allclose(s, 0.01 * z / 2, rtol=1e-5)
