@@ -201,8 +201,20 @@ def _lidar_nerfacto():
     return cfg
 
 
+def _nerfacto_data():
+    """Generic posed-image capture (COLMAP/polycam via transforms.json);
+    point --dataparser.data at the processed directory."""
+    from neuradar_tpu.data.dataparsers.nerfstudio_format import NerfstudioFormatDataParserConfig
+
+    cfg = _nerfacto()
+    cfg.method_name = "nerfacto-data"
+    cfg.dataparser = NerfstudioFormatDataParserConfig()
+    return cfg
+
+
 method_configs["nerfacto"] = _nerfacto
 method_configs["lidar-nerfacto"] = _lidar_nerfacto
+method_configs["nerfacto-data"] = _nerfacto_data
 
 method_descriptions = {
     "neuradar": "Joint camera+lidar+radar NeuRadar on ZOD.",

@@ -89,7 +89,12 @@ def build_sensor_tables(out: DataparserOutputs) -> SensorTables:
         times=jnp.asarray(out.lidar_times[:, None], jnp.float32),
         metadata=lidar_meta,
     )
-    fov = out.radar_fov
+    # camera-only datasets (e.g. transforms.json ingestion) carry no radar
+    # FoV; any placeholder works since num_radar_frames == 0 gates all use
+    fov = out.radar_fov or {
+        "min_azimuth": -0.5, "max_azimuth": 0.5, "min_elevation": -0.1,
+        "max_elevation": 0.1, "azimuth_step": 0.1, "elevation_step": 0.1,
+    }
     radars = Radars(
         radar_to_worlds=jnp.asarray(out.radar_to_worlds),
         radar_type=jnp.zeros((len(out.radar_to_worlds), 1), jnp.int32),

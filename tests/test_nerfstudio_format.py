@@ -1,0 +1,60 @@
+"""transforms.json ingestion parser (cf. reference process_data output format
++ nerfstudio_dataparser)."""
+
+import json
+
+import numpy as np
+
+
+def _make_dataset(root, n=6, h=24, w=32):
+    from PIL import Image
+
+    (root / "images").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    frames = []
+    for i in range(n):
+        name = f"images/frame_{i:03d}.png"
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(root / name)
+        th = i / n * 2 * np.pi
+        c2w = np.eye(4)
+        c2w[:3, 3] = [3 * np.cos(th), 3 * np.sin(th), 1.0]
+        frames.append({"file_path": name, "transform_matrix": c2w.tolist(), "time": i * 0.1})
+    meta = {
+        "camera_model": "OPENCV",
+        "fl_x": 30.0, "fl_y": 31.0, "cx": w / 2, "cy": h / 2,
+        "k1": 0.01, "k2": 0.0, "p1": 0.0, "p2": 0.0,
+        "frames": frames,
+    }
+    (root / "transforms.json").write_text(json.dumps(meta))
+
+
+def test_parse_transforms_json(tmp_path):
+    from neuradar_tpu.data.dataparsers.nerfstudio_format import NerfstudioFormatDataParserConfig
+
+    _make_dataset(tmp_path, n=6)
+    out = NerfstudioFormatDataParserConfig(data=str(tmp_path)).setup().get_dataparser_outputs()
+    assert out.images.shape == (6, 24, 32, 3)
+    assert out.camera_to_worlds.shape == (6, 3, 4)
+    np.testing.assert_allclose(out.intrinsics[0], [30.0, 31.0, 16.0, 12.0])
+    assert out.distortion_params[0, 0] == np.float32(0.01)
+    # recentered: mean camera position at origin
+    np.testing.assert_allclose(out.camera_to_worlds[:, :, 3].mean(0), 0.0, atol=1e-5)
+    # splits cover all frames disjointly
+    tr, ev = set(out.camera_split.train.tolist()), set(out.camera_split.eval.tolist())
+    assert tr | ev == set(range(6)) and not (tr & ev)
+    assert len(out.lidar_points) == 0 and out.radar_to_worlds.shape[0] == 0
+
+
+def test_rays_from_parsed_cameras(tmp_path):
+    import jax.numpy as jnp
+
+    from neuradar_tpu.data.datamanager import build_sensor_tables
+    from neuradar_tpu.data.dataparsers.nerfstudio_format import NerfstudioFormatDataParserConfig
+
+    _make_dataset(tmp_path, n=4)
+    out = NerfstudioFormatDataParserConfig(data=str(tmp_path)).setup().get_dataparser_outputs()
+    tables = build_sensor_tables(out)
+    rb = tables.cameras.generate_rays(jnp.zeros((8,), jnp.int32), jnp.tile(jnp.asarray([[12.0, 16.0]]), (8, 1)))
+    d = np.asarray(rb.directions)
+    assert np.isfinite(d).all()
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
