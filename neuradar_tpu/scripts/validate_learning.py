@@ -22,6 +22,10 @@ def main(argv=None) -> int:
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--chunks", type=int, default=8)
     parser.add_argument("--output", default="/tmp/learning_check.json")
+    parser.add_argument(
+        "--scale", choices=("full", "small"), default="full",
+        help="small = quarter batch; same learning dynamics, smaller device program",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -34,11 +38,15 @@ def main(argv=None) -> int:
     from neuradar_tpu.engine.trainer import Trainer, TrainerConfig
     from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipelineConfig
 
-    pipe = ADNeuRadarPipelineConfig(
-        datamanager=ADDataManagerConfig(
+    if args.scale == "small":
+        dm = ADDataManagerConfig(
+            num_rgb_patches=10, patch_size=32, num_lidar_rays=4096, num_radar_scans=4, max_radar_gt=256
+        )
+    else:
+        dm = ADDataManagerConfig(
             num_rgb_patches=40, patch_size=32, num_lidar_rays=16384, num_radar_scans=16, max_radar_gt=256
         )
-    )
+    pipe = ADNeuRadarPipelineConfig(datamanager=dm)
     pipe.model.loss.vgg_mult = 0.0
     pipe.model.compute_dtype = "bfloat16" if args.bf16 else "float32"
     pipe.model.nff_chunks = args.chunks
