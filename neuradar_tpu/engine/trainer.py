@@ -94,6 +94,12 @@ class TrainerConfig:
     dataparser: Any = None  # set by method configs / CLI
     vis: str = "none"  # none | viewer (http orbit viewer, cf. reference viser)
     viewer_port: int = 7007
+    profiler: str = "none"
+    """none | basic | jax (cf. reference LoggingConfig.profiler
+    {none,basic,pytorch}, configs/base_config.py:118): 'basic' keeps
+    running-average wall times per annotated function, printed at exit;
+    'jax' additionally captures a device trace around steps 12-17
+    (the reference profiles steps {12, 17} with torch.profiler)."""
 
 
 class Trainer:
@@ -115,6 +121,10 @@ class Trainer:
 
     def setup(self):
         cfg = self.config
+        if cfg.profiler != "none":
+            from neuradar_tpu.utils import profiler
+
+            profiler.enable(cfg.profiler)
         self.variables = self.pipeline.init_variables(cfg.seed)
         self.params = self.variables["params"]
         self.batch_stats = self.variables.get("batch_stats", {})
@@ -162,16 +172,28 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         last_metrics: Dict[str, float] = {}
 
+        from neuradar_tpu.utils import profiler
+
         t_train_start = time.perf_counter()
         for local_i in range(n_iters):
             step = self._step
+            # device trace window, cf. the reference's torch.profiler capture
+            # around steps {12, 17} (utils/profiler.py:134-179)
+            if cfg.profiler == "jax":
+                if local_i == 12:
+                    jax.profiler.start_trace(str(self._run_dir / "profiles"))
+                    self._tracing = True
+                elif local_i == 17 and getattr(self, "_tracing", False):
+                    jax.profiler.stop_trace()
+                    self._tracing = False
             t0 = time.perf_counter()
-            batch = self.pipeline.datamanager.next_train()
-            batch = jax.tree.map(jnp.asarray, batch)
-            step_rng = jax.random.fold_in(rng, step)
-            self.params, self.opt_state, self.batch_stats, total, loss_dict, metrics = self._train_step(
-                self.params, self.opt_state, self.batch_stats, batch, step_rng
-            )
+            with profiler.time_function(name="train_iteration"):
+                batch = self.pipeline.datamanager.next_train()
+                batch = jax.tree.map(jnp.asarray, batch)
+                step_rng = jax.random.fold_in(rng, step)
+                self.params, self.opt_state, self.batch_stats, total, loss_dict, metrics = self._train_step(
+                    self.params, self.opt_state, self.batch_stats, batch, step_rng
+                )
 
             if step % cfg.steps_per_log == 0 or local_i == n_iters - 1:
                 total = float(total)  # sync
@@ -212,6 +234,9 @@ class Trainer:
                     break
             self._step += 1
 
+        if getattr(self, "_tracing", False):  # loop shorter than the trace window
+            jax.profiler.stop_trace()
+            self._tracing = False
         last_metrics["total_train_time"] = time.perf_counter() - t_train_start
         self.save_checkpoint()
         self.pipeline.datamanager.stop()

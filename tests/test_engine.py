@@ -113,3 +113,24 @@ def test_writer_jsonl(tmp_path):
 
     lines = [json.loads(l) for l in open(w.log_path)]
     assert lines[0]["loss"] == 1.0 and lines[1]["psnr"] == 20.0
+
+
+def test_profiler_basic_and_config():
+    from neuradar_tpu.engine.trainer import TrainerConfig
+    from neuradar_tpu.utils import profiler
+
+    assert TrainerConfig().profiler == "none"
+    profiler.enable("basic")
+    try:
+        @profiler.time_function
+        def f(x):
+            return x + 1
+
+        assert f(1) == 2
+        with profiler.time_function(name="blk"):
+            pass
+        assert any("f" in k for k in profiler._TIMES)
+        assert "blk" in profiler._TIMES
+    finally:
+        profiler._ENABLED = False
+        profiler._TIMES.clear()
