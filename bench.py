@@ -29,7 +29,7 @@ def log(msg):
 T0 = time.perf_counter()
 
 
-def main():
+def main(chunks: int = 8, scale: str = "full"):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
@@ -46,13 +46,17 @@ def main():
     parser_cfg = SyntheticDataParserConfig(num_frames=24, image_height=96, image_width=156,
                                            lidar_points_per_scan=32768)
     outputs = SyntheticDataParser(parser_cfg).get_dataparser_outputs()
-    pipe_cfg = ADNeuRadarPipelineConfig(
-        datamanager=ADDataManagerConfig(
-            num_rgb_patches=40, patch_size=32, num_lidar_rays=16384, num_radar_scans=16, max_radar_gt=256
-        )
-    )
+    if scale == "quarter":
+        # last-resort fallback when the TPU worker cannot survive the
+        # full-scale program: a real (conservative) rays/s at 1/4 batch
+        dm = ADDataManagerConfig(num_rgb_patches=10, patch_size=32, num_lidar_rays=4096,
+                                 num_radar_scans=4, max_radar_gt=256)
+    else:
+        dm = ADDataManagerConfig(num_rgb_patches=40, patch_size=32, num_lidar_rays=16384,
+                                 num_radar_scans=16, max_radar_gt=256)
+    pipe_cfg = ADNeuRadarPipelineConfig(datamanager=dm)
     pipe_cfg.model.loss.vgg_mult = 0.0  # no pretrained VGG in this image
-    pipe_cfg.model.nff_chunks = 8  # bound padded HBM footprint (see models/neuradar.py)
+    pipe_cfg.model.nff_chunks = chunks  # bound padded HBM footprint (see models/neuradar.py)
     pipe_cfg.model.compute_dtype = "bfloat16"
     pipeline = ADNeuRadarPipeline(pipe_cfg, outputs)
     layout = pipeline.layout
@@ -110,27 +114,42 @@ def main():
     )
 
 
-def main_with_retries(attempts: int = 4) -> None:
+def main_with_retries() -> None:
     """Run the measurement in child processes; the axon TPU relay
-    occasionally faults transiently ('TPU device error') and a fresh process
-    is the only reliable recovery."""
+    occasionally faults ('TPU device error' / worker crash) and a fresh
+    process is the only reliable recovery. Escalating ladder: two attempts
+    at the reference batch, then more chunks (smaller live footprint), then
+    a quarter batch as a last resort (a real, conservative rays/s)."""
     import subprocess
 
-    for attempt in range(attempts):
+    ladder = [
+        ["--chunks", "8", "--scale", "full"],
+        ["--chunks", "8", "--scale", "full"],
+        ["--chunks", "16", "--scale", "full"],
+        ["--chunks", "16", "--scale", "quarter"],
+    ]
+    for attempt, extra in enumerate(ladder):
         proc = subprocess.run(
-            [sys.executable, __file__, "--worker"], capture_output=True, text=True, timeout=3600
+            [sys.executable, __file__, "--worker", *extra], capture_output=True, text=True, timeout=3600
         )
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
+                if "quarter" in extra:
+                    print("[bench] NOTE: measured at 1/4 batch (full-scale program "
+                          "crashed the TPU worker repeatedly)", file=sys.stderr)
                 print(line)
                 return
-        print(f"[bench] attempt {attempt + 1}/{attempts} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
+        print(f"[bench] attempt {attempt + 1}/{len(ladder)} ({extra}) failed:\n{proc.stderr[-2000:]}",
+              file=sys.stderr)
         time.sleep(120)  # let a crashed TPU worker restart
     raise SystemExit("bench failed after retries")
 
 
 if __name__ == "__main__":
     if "--worker" in sys.argv:
-        main()
+        a = sys.argv
+        chunks = int(a[a.index("--chunks") + 1]) if "--chunks" in a else 8
+        scale = a[a.index("--scale") + 1] if "--scale" in a else "full"
+        main(chunks=chunks, scale=scale)
     else:
         main_with_retries()
