@@ -42,7 +42,7 @@ def _save_image(path: Path, img: np.ndarray) -> None:
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="command", required=True)
-    for cmd in ("dataset", "lane-shift"):
+    for cmd in ("dataset", "lane-shift", "interpolated"):
         p = sub.add_parser(cmd)
         p.add_argument("--load-config", type=Path, required=True)
         p.add_argument("--output-dir", type=Path, default=Path("renders/camera"))
@@ -50,6 +50,9 @@ def main(argv=None) -> int:
         p.add_argument("--max-frames", type=int, default=16)
         if cmd == "lane-shift":
             p.add_argument("--shift", type=float, default=2.0, help="lateral shift in meters")
+        if cmd == "interpolated":
+            p.add_argument("--steps-per-transition", type=int, default=4,
+                           help="in-between frames per keyframe pair")
     args = parser.parse_args(argv)
 
     run_dir = args.load_config if args.load_config.is_dir() else args.load_config.parent
@@ -69,6 +72,35 @@ def main(argv=None) -> int:
         pipeline.datamanager.tables = tables.replace(
             cameras=tables.cameras.replace(camera_to_worlds=new_c2w)
         )
+
+    if args.command == "interpolated":
+        # smooth camera path through the dataset poses: slerp rotations,
+        # lerp translations (cf. reference render.py 'interpolate' path,
+        # scripts/render.py:284)
+        import jax.numpy as jnp
+
+        from neuradar_tpu.utils.poses import matrix_to_quaternion, quaternion_slerp, quaternion_to_matrix
+
+        split_idx = list(pipeline.datamanager.eval_camera_indices() if args.split == "eval"
+                         else pipeline.outputs.camera_split.train)[: args.max_frames]
+        keys = np.asarray(pipeline.outputs.camera_to_worlds[np.asarray(split_idx, np.int64)])
+        out_dir = args.output_dir / args.command
+        n_out = 0
+        for a, b in zip(keys[:-1], keys[1:]):
+            qa, qb = matrix_to_quaternion(jnp.asarray(a[:3, :3])), matrix_to_quaternion(jnp.asarray(b[:3, :3]))
+            for s in range(args.steps_per_transition):
+                t = s / args.steps_per_transition
+                rot = np.asarray(quaternion_to_matrix(quaternion_slerp(qa, qb, t)))
+                trans = (1 - t) * a[:3, 3] + t * b[:3, 3]
+                c2w = np.concatenate([rot, trans[:, None]], axis=1)
+                img = pipeline.render_pose(variables, c2w.astype(np.float32))
+                _save_image(out_dir / f"frame_{n_out:05d}.png", np.asarray(img, np.float32) / 255.0)
+                n_out += 1
+        (out_dir / "render_info.json").write_text(
+            json.dumps({"command": "interpolated", "keyframes": [int(i) for i in split_idx], "frames": n_out})
+        )
+        print(f"wrote {n_out} interpolated frames to {out_dir}")
+        return 0
 
     split = pipeline.datamanager.eval_camera_indices() if args.split == "eval" else \
         pipeline.outputs.camera_split.train
