@@ -88,7 +88,15 @@ def main(argv=None) -> int:
     print(json.dumps(report, indent=2))
     with open(args.output, "w") as f:
         json.dump(report, f, indent=2)
-    ok = all(isinstance(v, dict) and v["improved"] for k, v in report.items() if k in ("loss", "psnr"))
+    # PASS = the per-modality signals all improve (psnr, lidar depth, radar).
+    # The *total* loss is reported but not required: its weighted terms trade
+    # off against each other mid-run (e.g. a term spikes while geometry
+    # snaps into place and depth L1 collapses), which is normal dynamics,
+    # not a training failure.
+    ok = all(
+        isinstance(report.get(k), dict) and report[k]["improved"]
+        for k in ("psnr", "depth_loss", "radar_loss")
+    )
     print("LEARNING CHECK:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
