@@ -66,7 +66,7 @@ def main(argv=None) -> int:
 
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="command", required=True)
-    for cmd in ("dataset", "pose-shift", "actor-shift"):
+    for cmd in ("dataset", "pose-shift", "actor-shift", "interpolated", "full-sensor-set"):
         p = sub.add_parser(cmd)
         p.add_argument("--load-config", type=Path, required=True)
         p.add_argument("--output-dir", type=Path, default=Path("renders/radar"))
@@ -78,6 +78,10 @@ def main(argv=None) -> int:
             p.add_argument("--actor-longitudinal", type=float, default=0.0)
             p.add_argument("--actor-rotation", type=float, default=0.0)
             p.add_argument("--actor-index", type=int, default=-1)
+        if cmd == "interpolated":
+            p.add_argument("--steps-per-transition", type=int, default=2)
+        if cmd == "full-sensor-set":
+            p.add_argument("--frame", type=int, default=0, help="index into the eval split")
     args = parser.parse_args(argv)
 
     run_dir = args.load_config if args.load_config.is_dir() else args.load_config.parent
@@ -104,6 +108,86 @@ def main(argv=None) -> int:
         shift = jnp.einsum("nij,j->ni", r2w[..., :3, :3], jnp.asarray([0.0, args.lateral_shift, 0.0]))
         new_r2w = r2w.at[..., :3, 3].add(shift)
         pipeline.datamanager.tables = tables.replace(radars=tables.radars.replace(radar_to_worlds=new_r2w))
+
+    if args.command == "interpolated":
+        # radar renders along a smooth pose path between eval scans
+        # (cf. reference render_radar.py:284 interpolated rendering); the
+        # source scan's timestamp is kept so actor poses stay frame-aligned
+        import jax.numpy as jnp
+
+        from neuradar_tpu.utils.poses import matrix_to_quaternion, quaternion_slerp, quaternion_to_matrix
+
+        scans = list(pipeline.datamanager.eval_radar_indices())[: args.max_scans]
+        tables0 = pipeline.datamanager.tables
+        r2w0 = np.asarray(tables0.radars.radar_to_worlds)
+        out_dir = args.output_dir / args.command
+        n_out = 0
+        for a, b in zip(scans[:-1], scans[1:]):
+            pa, pb = r2w0[int(a)], r2w0[int(b)]
+            qa, qb = matrix_to_quaternion(jnp.asarray(pa[:3, :3])), matrix_to_quaternion(jnp.asarray(pb[:3, :3]))
+            for s in range(args.steps_per_transition):
+                t = s / args.steps_per_transition
+                rot = np.asarray(quaternion_to_matrix(quaternion_slerp(qa, qb, t)))
+                trans = (1 - t) * pa[:3, 3] + t * pb[:3, 3]
+                pose = np.concatenate([rot, trans[:, None]], axis=1)
+                new_r2w = jnp.asarray(r2w0).at[int(a)].set(jnp.asarray(pose, jnp.float32))
+                pipeline.datamanager.tables = tables0.replace(
+                    radars=tables0.radars.replace(radar_to_worlds=new_r2w)
+                )
+                ro = pipeline.render_radar(variables, int(a))["radar_output"]
+                rng, sub_rng = jax.random.split(rng)
+                pts, keep = sample_radar_points(
+                    np.asarray(ro), cfg.loss.radar_loss_type, rng=sub_rng,
+                    threshold=cfg.existence_probability_threshold,
+                )
+                pred = np.asarray(pts)[np.asarray(keep)]
+                _save_scan(out_dir, f"interp_{n_out:04d}", pred, np.zeros((0, 3)))
+                n_out += 1
+        pipeline.datamanager.tables = tables0
+        print(f"wrote {n_out} interpolated scans to {out_dir}")
+        return 0
+
+    if args.command == "full-sensor-set":
+        # one timestamp across every sensor: rgb + depth image, predicted
+        # lidar cloud, predicted radar cloud (cf. render_radar.py:933)
+        from neuradar_tpu.scripts.exporter import write_ply
+
+        out_dir = args.output_dir / args.command
+        out_dir.mkdir(parents=True, exist_ok=True)
+        cams = list(pipeline.datamanager.eval_camera_indices())
+        lids = list(pipeline.datamanager.eval_lidar_indices())
+        rads = list(pipeline.datamanager.eval_radar_indices())
+        written = {}
+        if cams:
+            ci = int(cams[min(args.frame, len(cams) - 1)])
+            rend = pipeline.render_camera(variables, ci)
+            from PIL import Image
+
+            Image.fromarray((np.clip(rend["rgb"], 0, 1) * 255).astype(np.uint8)).save(out_dir / "rgb.png")
+            d = rend["depth"]
+            Image.fromarray((np.clip(d / max(d.max(), 1e-6), 0, 1) * 255).astype(np.uint8)).save(
+                out_dir / "depth.png")
+            written["camera_frame"] = ci
+        if lids:
+            li = int(lids[min(args.frame, len(lids) - 1)])
+            lr = pipeline.render_lidar(variables, li)
+            keep = lr["ray_drop_prob"][:, 0] < 0.5
+            dirs = lr["points"][:, :3] / np.linalg.norm(lr["points"][:, :3], axis=-1, keepdims=True).clip(1e-6)
+            write_ply(out_dir / "lidar.ply", (dirs * lr["depth"])[keep])
+            written["lidar_scan"] = li
+        if rads:
+            ri = int(rads[min(args.frame, len(rads) - 1)])
+            ro = pipeline.render_radar(variables, ri)["radar_output"]
+            rng, sub_rng = jax.random.split(rng)
+            pts, keep = sample_radar_points(
+                np.asarray(ro), cfg.loss.radar_loss_type, rng=sub_rng,
+                threshold=cfg.existence_probability_threshold,
+            )
+            write_ply(out_dir / "radar.ply", np.asarray(pts)[np.asarray(keep)][:, :3])
+            written["radar_scan"] = ri
+        (out_dir / "info.json").write_text(json.dumps(written))
+        print(f"wrote full sensor set to {out_dir}: {written}")
+        return 0
 
     scans = list(pipeline.datamanager.eval_radar_indices())[: args.max_scans]
     for scan_idx in scans:
