@@ -51,6 +51,9 @@ def main(chunks: int = 8, scale: str = "full"):
         # full-scale program: a real (conservative) rays/s at 1/4 batch
         dm = ADDataManagerConfig(num_rgb_patches=10, patch_size=32, num_lidar_rays=4096,
                                  num_radar_scans=4, max_radar_gt=256)
+    elif scale == "half":
+        dm = ADDataManagerConfig(num_rgb_patches=20, patch_size=32, num_lidar_rays=8192,
+                                 num_radar_scans=8, max_radar_gt=256)
     else:
         dm = ADDataManagerConfig(num_rgb_patches=40, patch_size=32, num_lidar_rays=16384,
                                  num_radar_scans=16, max_radar_gt=256)
@@ -125,7 +128,7 @@ def main_with_retries() -> None:
     ladder = [
         ["--chunks", "8", "--scale", "full"],
         ["--chunks", "8", "--scale", "full"],
-        ["--chunks", "16", "--scale", "full"],
+        ["--chunks", "8", "--scale", "half"],
         ["--chunks", "16", "--scale", "quarter"],
         ["--chunks", "8", "--scale", "full"],
     ]
