@@ -47,6 +47,57 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
+    """(data, model) mesh: rays sharded over 'data', the hash tables —
+    the dominant parameter mass — sharded over 'model'. On real hardware lay
+    the model axis over the faster ICI ring (jax orders devices accordingly
+    under jax.distributed)."""
+    devices = np.asarray(jax.devices()[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devices, ("data", "model"))
+
+
+def param_shardings(params: Any, mesh: Mesh, table_key: str = "hash_table", axis_name: str = "model") -> Any:
+    """Tensor-parallel placement: flat hash tables (1-D, named `hash_table`,
+    see field_components/encodings.py:230) are sharded across the model axis
+    — XLA turns the combined feature gather into per-shard gathers + an
+    all-to-all over ICI; every other parameter is replicated. Works for any
+    params-shaped tree (adam moments included) because placement is decided
+    by the path name + divisibility."""
+    n_model = mesh.shape[axis_name]
+
+    def place(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if (
+            any(table_key in str(n) for n in names)
+            and getattr(leaf, "ndim", 0) == 1
+            and leaf.shape[0] % n_model == 0
+        ):
+            return NamedSharding(mesh, P(axis_name))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_params(params: Any, shardings: Any) -> Any:
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def multichip_train_step_tp(train_step_fn, mesh: Mesh, params: Any, opt_state: Any):
+    """jit a (params, opt_state, batch_stats, batch, rng) step over a 2-D
+    (data, model) mesh: batch sharded on 'data', hash tables on 'model'
+    (param_shardings), everything else replicated. XLA inserts the psum for
+    data-parallel gradients and the table gathers' collectives."""
+    p_shard = param_shardings(params, mesh)
+    o_shard = param_shardings(opt_state, mesh)
+    rep = replicated(mesh)
+    batch_s = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step_fn,
+        in_shardings=(p_shard, o_shard, rep, batch_s, rep),
+        out_shardings=(p_shard, o_shard, rep, rep, rep, rep),
+    )
+
+
 def multichip_train_step(train_step_fn, mesh: Mesh, axis_name: str = "data"):
     """Wrap a (params, opt_state, batch_stats, batch, rng) step with
     replicated-state / sharded-batch in_shardings. XLA propagates the ray

@@ -29,6 +29,37 @@ def test_sharded_grad_step_psum():
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5)
 
 
+def test_param_shardings_tensor_parallel():
+    """Hash tables (flat 1-D 'hash_table' leaves) shard over the model axis;
+    everything else replicates; a sharded gather matches the replicated one."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from neuradar_tpu.parallel.sharding import make_mesh_2d, param_shardings, shard_params
+
+    mesh = make_mesh_2d(4, 2)
+    params = {
+        "field": {"grid": {"hash_table": jnp.arange(1024.0)}, "mlp": {"kernel": jnp.ones((8, 8))}},
+        "decoder": {"bias": jnp.zeros((3,))},
+    }
+    sh = param_shardings(params, mesh)
+    assert sh["field"]["grid"]["hash_table"].spec == P("model")
+    assert sh["field"]["mlp"]["kernel"].spec == P()
+    assert sh["decoder"]["bias"].spec == P()
+
+    placed = shard_params(params, sh)
+    idx = jnp.asarray(np.random.RandomState(0).randint(0, 1024, (64,)))
+    idx = jax.device_put(idx, NamedSharding(mesh, P()))
+
+    @jax.jit
+    def gather(tbl, i):
+        return tbl[i].sum()
+
+    got = gather(placed["field"]["grid"]["hash_table"], idx)
+    want = np.arange(1024.0)[np.asarray(idx)].sum()
+    np.testing.assert_allclose(float(got), want)
+
+
 def test_shard_batch_layout():
     from neuradar_tpu.parallel.sharding import batch_sharding, make_mesh, shard_batch
 
