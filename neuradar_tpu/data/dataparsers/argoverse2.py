@@ -170,7 +170,8 @@ class Argoverse2DataParser:
         for rec in by_uuid.values():
             if len(rec["ts"]) < 2:
                 continue
+            # av2 stores (length, width, height) already — no WLH reorder
             out.append(dict(timestamps=np.asarray(rec["ts"]), poses=np.stack(rec["poses"]),
-                            dims=np.asarray(rec["dims"], np.float32)[[1, 0, 2]],
+                            dims=np.asarray(rec["dims"], np.float32),
                             symmetric=rec["cat"] in ALLOWED, deformable=rec["cat"] in DEFORMABLE))
         return out

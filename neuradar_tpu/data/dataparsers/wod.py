@@ -124,9 +124,10 @@ class WodDataParser:
                 rec["ts"].append(t_frame)
                 rec["poses"].append(pose.astype(np.float32))
 
+        # WOD boxes store (length, width, height) already — no WLH reorder
         trajectories = [
             dict(timestamps=np.asarray(r["ts"]), poses=np.stack(r["poses"]),
-                 dims=np.asarray(r["dims"], np.float32)[[1, 0, 2]],
+                 dims=np.asarray(r["dims"], np.float32),
                  symmetric=r["type"] in ALLOWED_TYPES, deformable=r["type"] in DEFORMABLE_TYPES)
             for r in by_track.values() if len(r["ts"]) >= 2
         ]
