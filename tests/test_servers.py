@@ -1,0 +1,107 @@
+"""HTTP services: orbit viewer + closed-loop simulator server
+(cf. reference nerfstudio/viewer/ and scripts/closed_loop/server.py)."""
+
+import json
+import threading
+import types
+import urllib.request
+
+import numpy as np
+
+
+def _free_port():
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_viewer_server_roundtrip():
+    from neuradar_tpu.viewer.viewer import ViewerServer
+
+    calls = []
+
+    def render_fn(c2w):
+        calls.append(np.asarray(c2w))
+        return np.full((12, 16, 3), 128, np.uint8)
+
+    port = _free_port()
+    v = ViewerServer(render_fn=render_fn, stats_fn=lambda: {"step": 7}, port=port)
+    v.start()
+    try:
+        # stats endpoint
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=10) as r:
+            assert json.loads(r.read())["step"] == 7
+        # index page served
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=10) as r:
+            assert b"<html" in r.read().lower()
+        # render: look-at camera from eye/target
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/render",
+            data=json.dumps({"eye": [0, 0, 2], "target": [5, 0, 1]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            body = r.read()
+            assert r.headers["Content-Type"] == "image/jpeg" and body[:2] == b"\xff\xd8"
+        assert len(calls) == 1 and calls[0].shape == (3, 4)
+        # camera looks from eye toward target: -z axis points at the target
+        fwd = -calls[0][:, 2]
+        want = np.asarray([5, 0, 1.0]) - np.asarray([0, 0, 2.0])
+        want = want / np.linalg.norm(want)
+        np.testing.assert_allclose(fwd / np.linalg.norm(fwd), want, atol=1e-5)
+    finally:
+        v.stop()
+
+
+def test_closed_loop_server():
+    from neuradar_tpu.scripts.closed_loop import serve
+
+    edits = {}
+
+    class FakeState:
+        pipeline = types.SimpleNamespace(
+            outputs=types.SimpleNamespace(
+                trajectories=[{"timestamps": np.arange(3.0), "dims": np.asarray([4.0, 2.0, 1.5])}],
+            )
+        )
+
+        def render(self, pose, time_s, hw):
+            assert np.asarray(pose).size == 12
+            return np.zeros((hw[0], hw[1], 3), np.uint8)
+
+        def set_edits(self, d):
+            edits.update(d)
+
+        def info(self):
+            return {"duration": 10.0, "num_actors": 1}
+
+    port = _free_port()
+    server = serve(FakeState(), port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/info", timeout=10) as r:
+            assert json.loads(r.read())["num_actors"] == 1
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/actors", timeout=10) as r:
+            trajs = json.loads(r.read())["trajectories"]
+            assert trajs[0]["dims"] == [4.0, 2.0, 1.5]
+        pose = np.hstack([np.eye(3), np.zeros((3, 1))]).tolist()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/render",
+            data=json.dumps({"pose": pose, "hw": [8, 10]}).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.headers["Content-Type"] == "image/png" and r.read()[:4] == b"\x89PNG"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/actors",
+            data=json.dumps({"index": 0, "lateral": 1.5}).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert json.loads(r.read())["ok"]
+        assert edits == {"index": 0, "lateral": 1.5}
+    finally:
+        server.shutdown()
