@@ -101,3 +101,21 @@ def test_chamfer_np():
     assert radar_utils.chamfer_distance_np(x, x) == 0.0
     y = x + np.array([1.0, 0, 0])
     np.testing.assert_allclose(radar_utils.chamfer_distance_np(x, y), 2.0)
+
+
+def test_prev_frame_baseline_metrics():
+    """cf. reference radar_eval_baseline.py: previous frame as prediction."""
+    from neuradar_tpu.scripts.radar_eval_baseline import evaluate_prev_frame_baseline
+
+    rng = np.random.RandomState(0)
+    # drifting cloud: consecutive scans close together, so the baseline beats
+    # a random prediction by a wide margin
+    scans = [rng.randn(24, 3) + i * 0.1 for i in range(6)]
+    out = evaluate_prev_frame_baseline(scans, eval_indices=[2, 4])
+    assert set(out) >= {"chamfer_mean", "emd_mean", "gospa_mean"}
+    assert out["num_scans"] == 2
+    assert np.isfinite(out["chamfer_mean"]) and out["chamfer_mean"] > 0
+    # identical scans -> zero chamfer
+    same = [scans[0]] * 4
+    out0 = evaluate_prev_frame_baseline(same, eval_indices=[1, 2])
+    assert out0["chamfer_mean"] < 1e-9
