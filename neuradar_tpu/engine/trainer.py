@@ -259,6 +259,7 @@ class Trainer:
             h, w = rend["rgb"].shape[:2]
             mse = float(np.mean((rend["rgb"] - gt[:h, :w]) ** 2))
             scalars["eval_image_psnr"] = -10.0 * np.log10(max(mse, 1e-10))
+            self.writer.put_image(step, "eval_rgb", rend["rgb"])
         radar_ids = pipeline.datamanager.eval_radar_indices()
         if len(radar_ids):
             import jax as _jax

@@ -37,3 +37,19 @@ class EventWriter:
 
     def put_scalar(self, step: int, name: str, value: float) -> None:
         self.put_scalars(step, {name: value})
+
+    def put_image(self, step: int, name: str, image) -> None:
+        """Save an image event as a PNG under <log_dir>/images
+        (cf. reference writer.put_image; no wandb/tensorboard backends here).
+        Accepts float [0,1] or uint8 arrays."""
+        if self.log_path is None:
+            return
+        import numpy as np
+        import PIL.Image
+
+        img = np.asarray(image)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+        out_dir = self.log_path.parent / "images"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        PIL.Image.fromarray(img).save(out_dir / f"{name}_{step:06d}.png")

@@ -134,3 +134,16 @@ def test_profiler_basic_and_config():
     finally:
         profiler._ENABLED = False
         profiler._TIMES.clear()
+
+
+def test_writer_put_image(tmp_path):
+    import numpy as np
+
+    from neuradar_tpu.utils.writer import EventWriter
+
+    w = EventWriter(log_dir=tmp_path, verbose=False)
+    w.put_image(12, "eval_rgb", np.random.rand(8, 10, 3))
+    w.put_image(13, "eval_rgb", np.zeros((8, 10, 3), np.uint8))
+    files = sorted((tmp_path / "images").iterdir())
+    assert [f.name for f in files] == ["eval_rgb_000012.png", "eval_rgb_000013.png"]
+    assert files[0].read_bytes()[:4] == b"\x89PNG"
