@@ -54,6 +54,9 @@ def main(chunks: int = 8, scale: str = "full"):
     elif scale == "half":
         dm = ADDataManagerConfig(num_rgb_patches=20, patch_size=32, num_lidar_rays=8192,
                                  num_radar_scans=8, max_radar_gt=256)
+    elif scale == "three8":
+        dm = ADDataManagerConfig(num_rgb_patches=15, patch_size=32, num_lidar_rays=6144,
+                                 num_radar_scans=6, max_radar_gt=256)
     else:
         dm = ADDataManagerConfig(num_rgb_patches=40, patch_size=32, num_lidar_rays=16384,
                                  num_radar_scans=16, max_radar_gt=256)
