@@ -131,7 +131,9 @@ def main_with_retries() -> None:
     ladder = [
         ["--chunks", "8", "--scale", "full"],
         ["--chunks", "8", "--scale", "full"],
-        ["--chunks", "8", "--scale", "half"],
+        # degraded-relay bisect (2026-08-16): full (112k rays) and half (56k)
+        # crash the worker; 3/8 (42k) survives — largest measurable fallback
+        ["--chunks", "8", "--scale", "three8"],
         ["--chunks", "16", "--scale", "quarter"],
         ["--chunks", "8", "--scale", "full"],
     ]
