@@ -171,3 +171,43 @@ def test_refine_densify_and_cull():
     # every alive gaussian is above the cull threshold
     op2 = np.asarray(jax.nn.sigmoid(params2["opacity_logits"][..., 0]))
     assert (op2[alive2] > cfg.cull_alpha_thresh).all()
+
+
+def test_projection_analytic_ewa():
+    """Hand-computed EWA parity (the gsplat math): a unit-quat gaussian at
+    (0, 0, -z0) with diagonal scales projects to mean (cx, cy), depth z0, and
+    cov2d = J S^2 J^T + 0.3 I with J = diag(fx/z0, fy/z0)."""
+    cfg = sf.SplatfactoConfig(max_gaussians=4, tile_top_k=4, sh_degree=0)
+    z0, fx, fy, cx, cy = 8.0, 50.0, 60.0, 16.0, 12.0
+    sx, sy, sz = 0.4, 0.2, 0.1
+    params = {
+        "means": jnp.asarray([[0.0, 0.0, -z0]] * 4),
+        "log_scales": jnp.log(jnp.asarray([[sx, sy, sz]] * 4)),
+        "quats": jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (4, 1)),
+        "opacity_logits": jnp.zeros((4, 1)),
+        "rgb_logits": jnp.zeros((4, 3)),
+    }
+    alive = jnp.asarray([True, True, False, False])
+    mean2d, cov2d, depth, radius, in_view = sf.project_gaussians(
+        params, alive, jnp.eye(3, 4), fx, fy, cx, cy, 32, 24
+    )
+    np.testing.assert_allclose(np.asarray(mean2d[0]), [cx, cy], atol=1e-5)
+    np.testing.assert_allclose(float(depth[0]), z0, atol=1e-6)
+    # on-axis: no perspective cross terms; a = (fx/z0)^2 sx^2 + 0.3 etc.
+    a_want = (fx / z0) ** 2 * sx**2 + 0.3
+    c_want = (fy / z0) ** 2 * sy**2 + 0.3
+    np.testing.assert_allclose(float(cov2d[0, 0]), a_want, rtol=1e-5)
+    np.testing.assert_allclose(abs(float(cov2d[0, 1])), 0.0, atol=1e-5)
+    np.testing.assert_allclose(float(cov2d[0, 2]), c_want, rtol=1e-5)
+    # 3-sigma radius of the dominant eigenvalue
+    np.testing.assert_allclose(float(radius[0]), 3 * np.sqrt(max(a_want, c_want)), rtol=1e-5)
+    assert bool(in_view[0]) and not bool(in_view[2])
+
+    # 90-degree z-rotation swaps the x/y scales in screen space
+    q_z90 = jnp.asarray([np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4)])
+    params_rot = {**params, "quats": jnp.tile(q_z90, (4, 1))}
+    _, cov_rot, _, _, _ = sf.project_gaussians(
+        params_rot, alive, jnp.eye(3, 4), fx, fy, cx, cy, 32, 24
+    )
+    np.testing.assert_allclose(float(cov_rot[0, 0]), (fx / z0) ** 2 * sy**2 + 0.3, rtol=1e-4)
+    np.testing.assert_allclose(float(cov_rot[0, 2]), (fy / z0) ** 2 * sx**2 + 0.3, rtol=1e-4)
