@@ -134,6 +134,8 @@ class ActorEdits:
     longitudinal: float = 0.0
     rotation: float = 0.0
     index: int = -1  # -1 = all actors
+    remove: bool = False  # teleport selected actors out of the scene
+    # (cf. the reference's actor-removal rendering, render_radar.py:603)
 
 
 class DynamicActors(nn.Module):
@@ -187,10 +189,15 @@ class DynamicActors(nn.Module):
 
     def _apply_edits(self, b2w: jax.Array, edits: ActorEdits) -> jax.Array:
         """Shift/rotate selected actors (cf. edit_boxes2world, :158-181)."""
-        if edits.lateral == 0.0 and edits.longitudinal == 0.0 and edits.rotation == 0.0:
+        if not edits.remove and edits.lateral == 0.0 and edits.longitudinal == 0.0 and edits.rotation == 0.0:
             return b2w
         A = b2w.shape[1]
         sel = jnp.ones((A,), bool) if edits.index < 0 else (jnp.arange(A) == edits.index)
+        if edits.remove:
+            # push far outside the scene box: no ray/box hit can survive
+            far = b2w[..., :3, 3] + jnp.asarray([0.0, 0.0, 1e6], b2w.dtype)
+            gone = jnp.concatenate([b2w[..., :3, :3], far[..., None]], axis=-1)
+            return jnp.where(sel[None, :, None, None], gone, b2w)
         shift = jnp.asarray([edits.lateral, edits.longitudinal, 0.0], b2w.dtype)
         new_t = b2w[..., :3, 3] + jnp.einsum("qaij,j->qai", b2w[..., :3, :3], shift)
         c, s = np.cos(edits.rotation), np.sin(edits.rotation)

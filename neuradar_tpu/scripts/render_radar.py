@@ -78,6 +78,9 @@ def main(argv=None) -> int:
             p.add_argument("--actor-longitudinal", type=float, default=0.0)
             p.add_argument("--actor-rotation", type=float, default=0.0)
             p.add_argument("--actor-index", type=int, default=-1)
+            p.add_argument("--actor-remove", action="store_true",
+                           help="remove the selected actor(s) instead of shifting "
+                                "(cf. reference render_radar.py:603)")
         if cmd == "interpolated":
             p.add_argument("--steps-per-transition", type=int, default=2)
         if cmd == "full-sensor-set":
@@ -98,6 +101,7 @@ def main(argv=None) -> int:
             longitudinal=args.actor_longitudinal,
             rotation=args.actor_rotation,
             index=args.actor_index,
+            remove=args.actor_remove,
         )
     if args.command == "pose-shift":
         # shift all radar poses laterally before rendering (cf. render_radar.py:437)

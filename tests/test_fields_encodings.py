@@ -130,6 +130,34 @@ def test_dynamic_actors_edits():
     np.testing.assert_allclose(np.asarray(b2w[0, 0, 0, 3]), 11.0, atol=1e-5)  # identity rot -> +x lateral
 
 
+def test_dynamic_actors_removal():
+    """ActorEdits(remove=True) teleports actors out of the scene so no ray
+    candidates survive (cf. reference actor-removal rendering)."""
+    traj = _make_actors(1)
+    actors = DynamicActors(trajectories=traj)
+    params = actors.init(jax.random.PRNGKey(0), jnp.array([0.0]), method=DynamicActors.get_boxes2world)
+    edits = ActorEdits(remove=True, index=-1)
+    b2w, _ = actors.apply(params, jnp.array([0.0]), edits, method=DynamicActors.get_boxes2world)
+    assert float(jnp.abs(b2w[0, 0, 2, 3])) > 1e5  # pushed far in z
+    # a ray straight at the original actor finds no candidates after removal
+    ray_times = jnp.zeros((1,))
+    pts = jnp.zeros((1, 3))
+    dirs = jnp.array([[1.0, 0.0, 0.0]])
+    cands_before = actors.apply(params, ray_times, pts, dirs, method=DynamicActors.get_ray_candidates)
+    cands_after = actors.apply(params, ray_times, pts, dirs, edits=edits,
+                               method=DynamicActors.get_ray_candidates)
+    assert bool(cands_before.valid.any())
+    assert not bool(cands_after.valid.any())
+    # selective removal: only the chosen actor disappears
+    traj2 = _make_actors(2)
+    actors2 = DynamicActors(trajectories=traj2)
+    params2 = actors2.init(jax.random.PRNGKey(0), jnp.array([0.0]), method=DynamicActors.get_boxes2world)
+    b2w2, _ = actors2.apply(params2, jnp.array([0.0]), ActorEdits(remove=True, index=0),
+                            method=DynamicActors.get_boxes2world)
+    assert float(jnp.abs(b2w2[0, 0, 2, 3])) > 1e5
+    np.testing.assert_allclose(np.asarray(b2w2[0, 1, 0, 3]), 20.0, atol=1e-5)
+
+
 def test_ray_candidates_and_assignment():
     traj = _make_actors(2)
     actors = DynamicActors(trajectories=traj, config=DynamicActorsConfig(max_actors_per_ray=2))
