@@ -123,6 +123,11 @@ class NeuRadarModelConfig:
     """bfloat16 halves hashgrid gather bandwidth + runs MLPs on the MXU in
     bf16 (the TPU analogue of the reference's AMP, trainer.py:200)."""
     nff_chunks: int = 1
+    radar_decode_chunks: int = 4
+    """Radar scans are decoded in this many groups (remat'd): the encoder's
+    self-attention materializes [scans, rays, rays] — 16 x 3424^2 at the
+    reference batch — and grouping bounds that live buffer the same way
+    nff_chunks bounds the field eval."""
     """Sequential ray chunks for the NFF core (nn.scan); bounds the padded
     HBM footprint of [rays, samples] intermediates. Must divide total rays."""
     nff_remat: bool = True
@@ -228,7 +233,12 @@ class NeuRadarModel(nn.Module):
                 position_scale=self.scene.static_scale,
             )
         else:
-            self.radar_decoder = RadarDecoder(d_model=n_features)
+            # remat: the backward pass recomputes each group's attention
+            # instead of keeping every [g, nr, nr] residual alive
+            decoder_cls = (
+                nn.remat(RadarDecoder, static_argnums=(3,)) if cfg.radar_decode_chunks > 1 else RadarDecoder
+            )
+            self.radar_decoder = decoder_cls(d_model=n_features)
         self.vgg_loss = VGGPerceptualLossPix2Pix()
 
     # -- forward ------------------------------------------------------------
@@ -274,7 +284,23 @@ class NeuRadarModel(nn.Module):
             depth = layout.radar(outputs["depth"]).reshape(ns, nr, 1)
             spher = layout.radar(ray_bundle.metadata["directions_spher"]).reshape(ns, nr, 2)
             geometry = spherical_to_cartesian(depth, spher[..., 1:2], spher[..., 0:1])
-            radar_output, radar_angles = self.radar_decoder(radar_feats, geometry, train=train)
+            # decode scans in groups: attention within a scan is independent
+            # across scans, so grouping only bounds the [g, nr, nr] live
+            # buffer (remat recomputes it in the backward pass per group)
+            n_groups = max(1, min(cfg.radar_decode_chunks, ns))
+            while ns % n_groups:
+                n_groups -= 1
+            if n_groups > 1:
+                g = ns // n_groups
+                outs = [
+                    self.radar_decoder(radar_feats[i * g : (i + 1) * g],
+                                       geometry[i * g : (i + 1) * g], train)
+                    for i in range(n_groups)
+                ]
+                radar_output = jnp.concatenate([o for o, _ in outs], axis=0)
+                radar_angles = jnp.concatenate([a for _, a in outs], axis=0)
+            else:
+                radar_output, radar_angles = self.radar_decoder(radar_feats, geometry, train)
             outputs["radar_output"] = radar_output
             outputs["radar_angles"] = radar_angles
 

@@ -58,3 +58,35 @@ def test_chunked_train_gradients(setup):
     grads = jax.grad(loss_fn)(params)
     gsum = sum(float(abs(g).sum()) for g in jax.tree.leaves(grads))
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_radar_decode_chunked_matches_unchunked(setup):
+    """Scan-grouped radar decoding (radar_decode_chunks) is exact: attention
+    is within-scan, so grouping only bounds the live [g, nr, nr] buffer."""
+    model, variables, layout, bundle, batch, cfg, scene = setup
+
+    cfg1 = dataclasses.replace(cfg, radar_decode_chunks=1)
+    cfg2 = dataclasses.replace(cfg, radar_decode_chunks=layout.num_radar_scans)
+    m1 = NeuRadarModel(config=cfg1, scene=scene, trajectories=make_trajectories())
+    m2 = NeuRadarModel(config=cfg2, scene=scene, trajectories=make_trajectories())
+    o1, _ = m1.apply(variables, bundle, layout, train=False, method=NeuRadarModel.get_outputs,
+                     rngs=RNGS, mutable=["batch_stats"])
+    o2, _ = m2.apply(variables, bundle, layout, train=False, method=NeuRadarModel.get_outputs,
+                     rngs=RNGS, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o2["radar_output"]), np.asarray(o1["radar_output"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o2["radar_angles"]), np.asarray(o1["radar_angles"]),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradients flow through the remat'd grouped decoder
+    def loss2(params):
+        total, _ = m2.apply({**variables, "params": params}, bundle, batch, layout, train=True,
+                            method=NeuRadarModel.loss_and_metrics, rngs=RNGS, mutable=["batch_stats"])[0]
+        return total
+
+    import jax as _jax
+
+    grads = _jax.grad(loss2)(variables["params"])
+    leaf = grads["radar_decoder"] if "radar_decoder" in grads else grads
+    total_abs = sum(float(np.abs(np.asarray(x)).sum()) for x in _jax.tree.leaves(leaf))
+    assert np.isfinite(total_abs) and total_abs > 0
