@@ -39,9 +39,28 @@ def _save_image(path: Path, img: np.ndarray) -> None:
     PIL.Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
 
 
+def parse_camera_path(spec: dict) -> list:
+    """Extract [3, 4] c2w matrices from a nerfstudio camera_path.json dict.
+
+    Accepts both the flat 16-float row-major `camera_to_world` layout the
+    viewer exports and nested 4x4 / 3x4 lists."""
+    frames = []
+    for f in spec.get("camera_path", spec.get("keyframes", [])):
+        m = np.asarray(f["camera_to_world"], np.float32)
+        if m.ndim == 1:
+            m = m.reshape(4, 4) if m.size == 16 else m.reshape(3, 4)
+        frames.append(m[:3, :4])
+    return frames
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="command", required=True)
+    cp = sub.add_parser("camera-path")
+    cp.add_argument("--load-config", type=Path, required=True)
+    cp.add_argument("--camera-path-filename", type=Path, required=True,
+                    help="nerfstudio camera_path.json (viewer-exported)")
+    cp.add_argument("--output-dir", type=Path, default=Path("renders/camera"))
     for cmd in ("dataset", "lane-shift", "interpolated"):
         p = sub.add_parser(cmd)
         p.add_argument("--load-config", type=Path, required=True)
@@ -72,6 +91,21 @@ def main(argv=None) -> int:
         pipeline.datamanager.tables = tables.replace(
             cameras=tables.cameras.replace(camera_to_worlds=new_c2w)
         )
+
+    if args.command == "camera-path":
+        # nerfstudio viewer-exported camera_path.json: row-major 4x4 (or 3x4)
+        # camera_to_world per keyframe (cf. reference render.py's camera-path
+        # input, scripts/render.py:238)
+        spec = json.loads(args.camera_path_filename.read_text())
+        frames = parse_camera_path(spec)
+        hw = (int(spec.get("render_height", 96)), int(spec.get("render_width", 156)))
+        out_dir = args.output_dir / "camera_path"
+        for i, c2w in enumerate(frames):
+            img = pipeline.render_pose(variables, c2w, hw=hw)
+            _save_image(out_dir / f"frame_{i:05d}.png", np.asarray(img, np.float32) / 255.0)
+        (out_dir / "render_info.json").write_text(json.dumps({"command": "camera-path", "frames": len(frames)}))
+        print(f"wrote {len(frames)} camera-path frames to {out_dir}")
+        return 0
 
     if args.command == "interpolated":
         # smooth camera path through the dataset poses: slerp rotations,

@@ -105,3 +105,26 @@ def test_closed_loop_server():
         assert edits == {"index": 0, "lateral": 1.5}
     finally:
         server.shutdown()
+
+
+def test_parse_camera_path():
+    """nerfstudio camera_path.json layouts: flat 16, nested 4x4, nested 3x4."""
+    from neuradar_tpu.scripts.render import parse_camera_path
+
+    m = np.eye(4)
+    m[:3, 3] = [1.0, 2.0, 3.0]
+    spec = {
+        "render_height": 64, "render_width": 96,
+        "camera_path": [
+            {"camera_to_world": m.reshape(-1).tolist(), "fov": 60},
+            {"camera_to_world": m.tolist()},
+            {"camera_to_world": m[:3].tolist()},
+        ],
+    }
+    frames = parse_camera_path(spec)
+    assert len(frames) == 3
+    for f in frames:
+        assert f.shape == (3, 4)
+        np.testing.assert_allclose(f[:, 3], [1.0, 2.0, 3.0])
+    # keyframes-style key also accepted
+    assert len(parse_camera_path({"keyframes": [{"camera_to_world": m.tolist()}]})) == 1
