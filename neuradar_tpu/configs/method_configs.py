@@ -39,6 +39,11 @@ def _neuradar() -> TrainerConfig:
         dataparser=ZodDataParserConfig(add_missing_points=True),
     )
     cfg.pipeline.model.camera_optimizer = CameraOptimizerConfig(mode="off")
+    # TPU memory tuning at the full reference batch (112k rays): chunk the
+    # NFF core and run gathers/MLPs in bf16 — without these the padded
+    # [rays, samples] intermediates exceed HBM (see models/neuradar.py)
+    cfg.pipeline.model.nff_chunks = 8
+    cfg.pipeline.model.compute_dtype = "bfloat16"
     return cfg
 
 
