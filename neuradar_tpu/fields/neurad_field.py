@@ -79,6 +79,10 @@ class NeuRADFieldConfig:
     nff_num_layers: int = 3
     nff_out_dim: int = 32
     num_multisamples: int = 1
+    multisample_mode: str = "isotropic"
+    """'isotropic' (NeuRAD's fast single-blob default) or 'hexagonal'
+    (ZipNeRF 6-point spiral, utils/math.hexify_frustums — more accurate
+    anti-aliasing at ~6x hashgrid-gather cost)."""
     use_sdf: bool = True
     sdf_beta: float = 20.0
     learnable_beta: bool = True
@@ -140,7 +144,11 @@ class NeuRADField(nn.Module):
         'density' (cf. neurad_field.py:128-152).
         """
         cfg = self.config
-        gaussians = ray_samples.frustums.get_fast_isotropic_gaussian(cfg.num_multisamples)
+        if cfg.multisample_mode == "hexagonal":
+            gaussians = ray_samples.frustums.get_hexagonal_gaussian()
+        else:
+            gaussians = ray_samples.frustums.get_fast_isotropic_gaussian(cfg.num_multisamples)
+        n_ms = gaussians.mean.shape[-2]
         dirs = jnp.broadcast_to(
             ray_samples.frustums.directions[:, None, :], gaussians.mean[..., 0, :].shape
         )
@@ -149,13 +157,13 @@ class NeuRADField(nn.Module):
         features = None
         from neuradar_tpu.utils.math import GaussiansStd as _G
 
-        for m in range(cfg.num_multisamples):
+        for m in range(n_ms):
             g_m = _G(mean=gaussians.mean[..., m, :], std=gaussians.std[..., m, :])
             f_m, dirs_m = self.hashgrid(g_m, candidates, dirs if m == 0 else None)
             if m == 0:
                 dirs = dirs_m if dirs_m is not None else dirs
             features = f_m if features is None else features + f_m
-        features = features / cfg.num_multisamples
+        features = features / n_ms
 
         geo = self.mlp_geo(features)  # [R, S, 1 + D]
         geo_out, geo_embed = geo[..., :1], geo[..., 1:]

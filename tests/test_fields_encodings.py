@@ -220,6 +220,30 @@ def test_neurad_field_forward():
     assert ((a >= 0) & (a <= 1)).all()
 
 
+def test_neurad_field_hexagonal_multisample():
+    """ZipNeRF hexagonal mode: 6 multisamples averaged, same output shapes,
+    reuses the isotropic-mode parameters (shared hashgrid/MLPs)."""
+    cfg = NeuRADFieldConfig()
+    cfg.grid.static.log2_hashmap_size = 12
+    cfg.grid.actor.log2_hashmap_size = 10
+    field_iso = NeuRADField(config=cfg, static_scale=50.0, n_actors=0)
+    rs = _ray_samples()
+    params = field_iso.init(jax.random.PRNGKey(0), rs, None)
+
+    import dataclasses
+
+    cfg_hex = dataclasses.replace(cfg, multisample_mode="hexagonal")
+    field_hex = NeuRADField(config=cfg_hex, static_scale=50.0, n_actors=0)
+    out_hex = field_hex.apply(params, rs, None)
+    out_iso = field_iso.apply(params, rs, None)
+    assert out_hex["feature"].shape == out_iso["feature"].shape
+    assert np.isfinite(np.asarray(out_hex["feature"])).all()
+    a = np.asarray(out_hex["alpha"])
+    assert ((a >= 0) & (a <= 1)).all()
+    # different sample placement -> different features (but same param tree)
+    assert float(np.abs(np.asarray(out_hex["feature"]) - np.asarray(out_iso["feature"])).max()) > 1e-6
+
+
 def test_proposal_field_forward():
     cfg = NeuRADProposalFieldConfig()
     cfg.grid.static.log2_hashmap_size = 12
