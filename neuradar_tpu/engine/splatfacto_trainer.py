@@ -182,11 +182,16 @@ class SplatfactoTrainer:
         return path
 
     def eval_psnr(self) -> Dict[str, float]:
-        psnrs = []
+        psnrs, ssims = [], []
         for idx in self.outputs.camera_split.eval:
             camera = self._camera(int(idx))
             rend = sf.render_splats(self.config.model, self.params, self.state, camera)
             gt = self.outputs.images[int(idx), : self.H, : self.W].astype(np.float32) / 255.0
-            mse = float(np.mean((np.asarray(rend["rgb"]) - gt) ** 2))
+            pred = np.asarray(rend["rgb"])
+            mse = float(np.mean((pred - gt) ** 2))
             psnrs.append(-10 * np.log10(max(mse, 1e-10)))
-        return {"psnr": float(np.mean(psnrs)) if psnrs else 0.0}
+            ssims.append(float(sf._ssim(jnp.asarray(pred), jnp.asarray(gt))))
+        return {
+            "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
+            "ssim": float(np.mean(ssims)) if ssims else 0.0,
+        }
