@@ -180,3 +180,33 @@ def test_hexagonal_multisample_moments():
     # std grows linearly with distance
     s = np.asarray(g.std)[..., 0]
     np.testing.assert_allclose(s, 0.01 * z / 2, rtol=1e-5)
+
+
+def test_merge_and_concatenate_ray_bundles():
+    """Bundle pytree utilities (cf. reference tensor_dataclass cat/broadcast
+    tests, utils/tensor_dataclass.py:28)."""
+    import jax.numpy as jnp
+    from neuradar_tpu.cameras.rays import RayBundle, concatenate_ray_bundles
+    from neuradar_tpu.data.datamanager import merge_modality_bundles
+
+    def mk(n, v, extra=None):
+        return RayBundle(
+            origins=jnp.full((n, 3), float(v)),
+            directions=jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1)),
+            pixel_area=jnp.ones((n, 1)),
+            camera_indices=jnp.full((n, 1), v, jnp.int32),
+            metadata={"directions_norm": jnp.ones((n, 1)), **(extra or {})},
+        )
+
+    cat = concatenate_ray_bundles([mk(2, 0), mk(3, 1)])
+    assert cat.origins.shape == (5, 3)
+    assert np.asarray(cat.camera_indices)[:, 0].tolist() == [0, 0, 1, 1, 1]
+
+    # lidar segment carries is_lidar; the camera segment gets default-False
+    lidar_b = mk(3, 1, {"is_lidar": jnp.ones((3, 1), bool)})
+    merged = merge_modality_bundles(mk(2, 0), lidar_b, None)
+    assert merged.origins.shape == (5, 3)
+    # modality flags default-filled for segments lacking them
+    assert "is_lidar" in merged.metadata
+    flags = np.asarray(merged.metadata["is_lidar"])[:, 0]
+    assert flags.tolist() == [False, False, True, True, True]
