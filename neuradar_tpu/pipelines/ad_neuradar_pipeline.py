@@ -175,9 +175,10 @@ class ADNeuRadarPipeline:
         """Jitted NFF-only forward for one ray chunk (camera rays)."""
         model = self.model
 
-        @functools.partial(jax.jit, static_argnames=("layout",))
-        def run(variables, bundle, layout):
-            out = model.apply(variables, bundle, layout, False, method=NeuRadarModel.get_nff_outputs)
+        @functools.partial(jax.jit, static_argnames=("layout", "actor_edits"))
+        def run(variables, bundle, layout, actor_edits=None):
+            out = model.apply(variables, bundle, layout, False, actor_edits,
+                              method=NeuRadarModel.get_nff_outputs)
             return {"features": out["features"], "depth": out["depth"], "accumulation": out["accumulation"]}
 
         return run
@@ -192,10 +193,11 @@ class ADNeuRadarPipeline:
 
         return run
 
-    def render_camera(self, variables, cam_idx: int) -> Dict[str, np.ndarray]:
+    def render_camera(self, variables, cam_idx: int, actor_edits=None) -> Dict[str, np.ndarray]:
         """Full-image render at 1/upsample resolution, CNN-upsampled, with
         NFF chunking at eval_num_rays_per_chunk
-        (cf. get_outputs_for_camera_ray_bundle, models/neuradar.py:905-969)."""
+        (cf. get_outputs_for_camera_ray_bundle, models/neuradar.py:905-969).
+        actor_edits shifts/removes actors for simulation renders."""
         out = self.outputs
         u = self.config.model.rgb_upsample_factor
         H, W = out.image_size
@@ -217,7 +219,7 @@ class ADNeuRadarPipeline:
             cam_ids = jnp.full((chunk,), cam_idx, jnp.int32)
             bundle = generate_camera_rays(self.datamanager.tables.cameras, cam_ids, coords)
             bundle = merge_modality_bundles(bundle, None, None)
-            o = self._eval_nff_features(variables, bundle, layout)
+            o = self._eval_nff_features(variables, bundle, layout, actor_edits)
             feats.append(np.asarray(o["features"]))
             depths.append(np.asarray(o["depth"]))
             accs.append(np.asarray(o["accumulation"]))

@@ -61,7 +61,7 @@ def main(argv=None) -> int:
     cp.add_argument("--camera-path-filename", type=Path, required=True,
                     help="nerfstudio camera_path.json (viewer-exported)")
     cp.add_argument("--output-dir", type=Path, default=Path("renders/camera"))
-    for cmd in ("dataset", "lane-shift", "interpolated"):
+    for cmd in ("dataset", "lane-shift", "interpolated", "actor-shift"):
         p = sub.add_parser(cmd)
         p.add_argument("--load-config", type=Path, required=True)
         p.add_argument("--output-dir", type=Path, default=Path("renders/camera"))
@@ -72,12 +72,30 @@ def main(argv=None) -> int:
         if cmd == "interpolated":
             p.add_argument("--steps-per-transition", type=int, default=4,
                            help="in-between frames per keyframe pair")
+        if cmd == "actor-shift":
+            p.add_argument("--actor-lateral", type=float, default=0.0)
+            p.add_argument("--actor-longitudinal", type=float, default=0.0)
+            p.add_argument("--actor-rotation", type=float, default=0.0)
+            p.add_argument("--actor-index", type=int, default=-1)
+            p.add_argument("--actor-remove", action="store_true",
+                           help="remove instead of shifting (actor-removal renders)")
     args = parser.parse_args(argv)
 
     run_dir = args.load_config if args.load_config.is_dir() else args.load_config.parent
     trainer = _load_trainer(run_dir)
     pipeline = trainer.pipeline
     variables = trainer.eval_variables()
+
+    edits = None
+    if args.command == "actor-shift":
+        # camera renders with shifted/removed actors (cf. reference
+        # render.py actor-removal renders + the FID actor-shift views)
+        from neuradar_tpu.model_components.dynamic_actors import ActorEdits
+
+        edits = ActorEdits(
+            lateral=args.actor_lateral, longitudinal=args.actor_longitudinal,
+            rotation=args.actor_rotation, index=args.actor_index, remove=args.actor_remove,
+        )
 
     if args.command == "lane-shift":
         # shift camera poses laterally (FID-style novel views,
@@ -141,7 +159,7 @@ def main(argv=None) -> int:
     out_dir = args.output_dir / args.command
     frames = list(split)[: args.max_frames]
     for cam_idx in frames:
-        rend = pipeline.render_camera(variables, int(cam_idx))
+        rend = pipeline.render_camera(variables, int(cam_idx), actor_edits=edits)
         _save_image(out_dir / f"frame_{int(cam_idx):05d}.png", rend["rgb"])
         depth = rend["depth"]
         depth_vis = np.clip(depth / max(depth.max(), 1e-6), 0, 1)
