@@ -276,8 +276,14 @@ class ADDataManager:
         tl_r = self.rng.randint(0, H - gt_patch + 1, size=c.num_rgb_patches)
         tl_c = self.rng.randint(0, W - gt_patch + 1, size=c.num_rgb_patches)
         top_left = np.stack([tl_r, tl_c], axis=1)
-        # threaded native gathers (C++); numpy fallback inside
-        rgb = native.sample_patches(self.images_u8, cam_frames, top_left, gt_patch)
+        # gather GT patches in uint8 and normalize on DEVICE: 4x less
+        # host->device traffic than f32 (the biggest per-step transfer)
+        if c.num_rgb_patches > 0:
+            rgb = np.stack(
+                [self.images_u8[f, r : r + gt_patch, c_ : c_ + gt_patch] for f, (r, c_) in zip(cam_frames, top_left)]
+            )
+        else:
+            rgb = np.zeros((0, gt_patch, gt_patch, 3), np.uint8)
 
         pt_idx = self.rng.randint(0, len(packed_pts), size=c.num_lidar_rays)
         lidar_points, lidar_scan_idx = native.sample_points(packed_pts, packed_ids, pt_idx)
@@ -287,7 +293,7 @@ class ADDataManager:
         return {
             "cam_frame_idx": cam_frames.astype(np.int32),
             "patch_tl": np.stack([tl_r, tl_c], axis=1).astype(np.int32),
-            "image": rgb.astype(np.float32),
+            "image": rgb,  # uint8; normalized to [0,1] f32 on device
             "lidar_scan_idx": lidar_scan_idx.astype(np.int32),
             "lidar_points": lidar_points.astype(np.float32),
             "lidar_distance": np.linalg.norm(lidar_points[:, :3], axis=-1, keepdims=True).astype(np.float32),

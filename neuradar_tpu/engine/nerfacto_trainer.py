@@ -119,7 +119,10 @@ class NerfactoTrainer:
             bundle = build_train_bundle(tables, batch, layout, u)
             gt: Dict[str, jax.Array] = {}
             if not lidar_mode:
-                gt["rgb"] = batch["image"].reshape(-1, 3)
+                img = batch["image"]
+                if img.dtype == jnp.uint8:  # shipped compact; normalize on device
+                    img = img.astype(jnp.float32) / 255.0
+                gt["rgb"] = img.reshape(-1, 3)
             else:
                 gt["lidar_distance"] = batch["lidar_distance"]
                 gt["lidar_intensity"] = batch["lidar_intensity"]

@@ -151,7 +151,9 @@ class Trainer:
         loss_fn = self.pipeline.make_train_loss_fn()
         tx = self.tx
 
-        @jax.jit
+        # donated buffers: the param/Adam-state update happens in-place in
+        # HBM rather than allocating fresh output copies each step
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, opt_state, batch_stats, batch, rng):
             (total, (loss_dict, metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_stats, batch, rng

@@ -535,6 +535,8 @@ class NeuRadarModel(nn.Module):
         # ---- rgb
         if "rgb" in outputs and "image" in batch:
             image = batch["image"]
+            if image.dtype == jnp.uint8:  # shipped compact; normalize on device
+                image = image.astype(jnp.float32) / 255.0
             rgb = outputs["rgb"]
             loss_dict["rgb_loss"] = jnp.mean((image - rgb) ** 2) * conf.rgb_mult
             if conf.vgg_mult > 0.0:

@@ -66,11 +66,16 @@ def main(argv=None) -> int:
 
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="command", required=True)
-    for cmd in ("dataset", "pose-shift", "actor-shift", "interpolated", "full-sensor-set"):
+    for cmd in ("dataset", "pose-shift", "actor-shift", "interpolated", "full-sensor-set", "camera-path"):
         p = sub.add_parser(cmd)
         p.add_argument("--load-config", type=Path, required=True)
         p.add_argument("--output-dir", type=Path, default=Path("renders/radar"))
         p.add_argument("--max-scans", type=int, default=16)
+        if cmd == "camera-path":
+            p.add_argument("--camera-path-filename", type=Path, required=True,
+                           help="nerfstudio camera_path.json; each keyframe pose is "
+                                "used as the radar-to-world pose "
+                                "(cf. reference render_radar.py:238)")
         if cmd == "pose-shift":
             p.add_argument("--lateral-shift", type=float, default=2.0)
         if cmd == "actor-shift":
@@ -112,6 +117,41 @@ def main(argv=None) -> int:
         shift = jnp.einsum("nij,j->ni", r2w[..., :3, :3], jnp.asarray([0.0, args.lateral_shift, 0.0]))
         new_r2w = r2w.at[..., :3, 3].add(shift)
         pipeline.datamanager.tables = tables.replace(radars=tables.radars.replace(radar_to_worlds=new_r2w))
+
+    if args.command == "camera-path":
+        # radar renders along a viewer-exported pose path: each keyframe's
+        # camera_to_world is applied as the scan's radar-to-world pose
+        # (cf. reference render_radar.py camera-path rendering, :238)
+        import jax.numpy as jnp
+
+        from neuradar_tpu.scripts.render import parse_camera_path
+
+        spec = json.loads(args.camera_path_filename.read_text())
+        frames = parse_camera_path(spec)[: args.max_scans] if args.max_scans else parse_camera_path(spec)
+        scans = list(pipeline.datamanager.eval_radar_indices())
+        if not scans:
+            print("no eval radar scans available")
+            return 1
+        base_scan = int(scans[0])
+        tables0 = pipeline.datamanager.tables
+        r2w0 = np.asarray(tables0.radars.radar_to_worlds)
+        out_dir = args.output_dir / args.command
+        for i, pose in enumerate(frames):
+            new_r2w = jnp.asarray(r2w0).at[base_scan].set(jnp.asarray(pose[:3, :4], jnp.float32))
+            pipeline.datamanager.tables = tables0.replace(
+                radars=tables0.radars.replace(radar_to_worlds=new_r2w)
+            )
+            ro = pipeline.render_radar(variables, base_scan)["radar_output"]
+            rng, sub_rng = jax.random.split(rng)
+            pts, keep = sample_radar_points(
+                np.asarray(ro), cfg.loss.radar_loss_type, rng=sub_rng,
+                threshold=cfg.existence_probability_threshold,
+            )
+            pred = np.asarray(pts)[np.asarray(keep)]
+            _save_scan(out_dir, f"path_{i:04d}", pred, None)
+        pipeline.datamanager.tables = tables0
+        print(f"wrote {len(frames)} camera-path radar scans to {out_dir}")
+        return 0
 
     if args.command == "interpolated":
         # radar renders along a smooth pose path between eval scans

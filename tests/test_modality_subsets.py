@@ -54,3 +54,21 @@ def test_camera_only():
     assert np.isfinite(total)
     assert "depth_loss" not in loss_dict and "radar_loss" not in loss_dict
     assert "rgb_loss" in loss_dict
+
+
+def test_uint8_image_batch_matches_float():
+    """GT images ship uint8 (4x less H2D) and are normalized on device: the
+    loss must match a pre-normalized float batch exactly."""
+    pipeline = make_pipeline(num_lidar=0, num_radar_scans=0)
+    variables = pipeline.init_variables(0)
+    loss_fn = pipeline.make_train_loss_fn()
+    batch = pipeline.datamanager.sample_train_batch()
+    assert batch["image"].dtype == np.uint8
+    b_u8 = jax.tree.map(jnp.asarray, batch)
+    b_f32 = dict(b_u8)
+    b_f32["image"] = b_u8["image"].astype(jnp.float32) / 255.0
+    rng = jax.random.PRNGKey(0)
+    t1, (ld1, _, _) = loss_fn(variables["params"], variables.get("batch_stats", {}), b_u8, rng)
+    t2, (ld2, _, _) = loss_fn(variables["params"], variables.get("batch_stats", {}), b_f32, rng)
+    np.testing.assert_allclose(float(t1), float(t2), rtol=1e-6)
+    np.testing.assert_allclose(float(ld1["rgb_loss"]), float(ld2["rgb_loss"]), rtol=1e-6)
