@@ -30,7 +30,7 @@ def log(msg):
 T0 = time.perf_counter()
 
 
-def main(chunks: int = 8, scale: str = "full"):
+def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
@@ -79,33 +79,53 @@ def main(chunks: int = 8, scale: str = "full"):
     loss_fn = pipeline.make_train_loss_fn()
 
     # donate params/opt_state/batch_stats: the optimizer update is in-place
-    # in HBM instead of allocating a second ~1.5 GB param+Adam-state copy
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, opt_state, batch_stats, batch, rng):
-        (total, (loss_dict, metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, batch, rng
+    # in HBM instead of allocating a second ~1.5 GB param+Adam-state copy.
+    # K training steps run per dispatch via lax.scan over K stacked batches:
+    # the host<->device round trip (measured ~37 ms through the axon relay)
+    # amortizes over K real optimizer steps.
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("k",))
+    def train_steps(params, opt_state, batch_stats, batches, rng, k):
+        def body(carry, xs):
+            params, opt_state, batch_stats = carry
+            batch, step_rng = xs
+            (total, (loss_dict, metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, batch, step_rng
+            )
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_opt_state, new_bs), total
+
+        rngs = jax.random.split(rng, k)
+        (params, opt_state, batch_stats), totals = jax.lax.scan(
+            body, (params, opt_state, batch_stats), (batches, rngs)
         )
-        updates, new_opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), new_opt_state, new_bs, total
+        return params, opt_state, batch_stats, totals[-1]
+
+    def stack_batches(k):
+        bs = [pipeline.datamanager.next_train() for _ in range(k)]
+        return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *bs)
 
     pipeline.datamanager.start_prefetch()
     rng = jax.random.PRNGKey(0)
 
-    # warmup (compile)
-    batch = jax.tree.map(jnp.asarray, pipeline.datamanager.next_train())
+    # warmup (compile). NOTE: on the relay backend block_until_ready returns
+    # before execution finishes — only a value fetch synchronizes, so all
+    # timing boundaries below fetch the loss scalar.
     log("compiling train step...")
-    params, opt_state, batch_stats, total = train_step(params, opt_state, batch_stats, batch, rng)
-    total.block_until_ready()
-    log("train step compiled; timing...")
+    params, opt_state, batch_stats, total = train_steps(
+        params, opt_state, batch_stats, stack_batches(scan_steps), rng, scan_steps
+    )
+    warm_loss = float(total)
+    log(f"train step compiled (warmup loss {warm_loss:.4f}); timing...")
 
-    n_iters = 12
+    n_dispatches = max(12 // scan_steps, 2)
+    n_iters = n_dispatches * scan_steps
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        batch = jax.tree.map(jnp.asarray, pipeline.datamanager.next_train())
-        params, opt_state, batch_stats, total = train_step(
-            params, opt_state, batch_stats, batch, jax.random.fold_in(rng, i)
+    for i in range(n_dispatches):
+        params, opt_state, batch_stats, total = train_steps(
+            params, opt_state, batch_stats, stack_batches(scan_steps),
+            jax.random.fold_in(rng, i), scan_steps
         )
-    total.block_until_ready()
+    _ = float(total)  # hard sync: all scheduled steps complete
     dt = time.perf_counter() - t0
     pipeline.datamanager.stop()
 
@@ -146,16 +166,30 @@ def main_with_retries() -> None:
     degraded_thresh = 10_000.0
     history_path = "BENCH_HISTORY.jsonl"
     best = None
+    # a deep relay outage can fail every scale; after a full failed pass,
+    # cool down 10 min and run the ladder once more before giving up
+    ladder = ladder + [["--cooldown"]] + ladder
     for attempt, extra in enumerate(ladder):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--worker", *extra], capture_output=True, text=True, timeout=3600
-        )
+        if extra == ["--cooldown"]:
+            if best is not None:
+                break  # got at least one reading; skip the second pass
+            print("[bench] all first-pass attempts failed; cooling down 600s", file=sys.stderr)
+            time.sleep(600)
+            continue
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--worker", *extra], capture_output=True, text=True, timeout=3600
+            )
+            stdout, stderr = proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as e:  # wedged relay: count as a failed attempt
+            stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            stderr = "attempt timed out after 3600s"
         result = None
-        for line in proc.stdout.splitlines():
+        for line in stdout.splitlines():
             if line.startswith("{"):
                 result = json.loads(line)
         if result is None:
-            print(f"[bench] attempt {attempt + 1}/{len(ladder)} ({extra}) failed:\n{proc.stderr[-2000:]}",
+            print(f"[bench] attempt {attempt + 1}/{len(ladder)} ({extra}) failed:\n{stderr[-2000:]}",
                   file=sys.stderr)
             time.sleep(120)  # let a crashed TPU worker restart
             continue
@@ -195,6 +229,7 @@ if __name__ == "__main__":
         a = sys.argv
         chunks = int(a[a.index("--chunks") + 1]) if "--chunks" in a else 8
         scale = a[a.index("--scale") + 1] if "--scale" in a else "full"
-        main(chunks=chunks, scale=scale)
+        scan_steps = int(a[a.index("--scan-steps") + 1]) if "--scan-steps" in a else 4
+        main(chunks=chunks, scale=scale, scan_steps=scan_steps)
     else:
         main_with_retries()
