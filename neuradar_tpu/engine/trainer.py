@@ -213,7 +213,9 @@ class Trainer:
         local_i = 0
         while local_i < n_iters:
             step = self._step
-            k = min(K, n_iters - local_i)  # tail window may be short
+            # if n_iters isn't a K-multiple, run the short window FIRST so
+            # both executables compile up front (not at iteration ~n_iters)
+            k = (n_iters % K or K) if local_i == 0 else min(K, n_iters - local_i)
             # device trace window, cf. the reference's torch.profiler capture
             # around steps {12, 17} (utils/profiler.py:134-179)
             if cfg.profiler == "jax":
