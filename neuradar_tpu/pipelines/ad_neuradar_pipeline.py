@@ -213,19 +213,19 @@ class ADNeuRadarPipeline:
             coords_np = np.concatenate([coords_np, np.repeat(coords_np[-1:], n_pad, axis=0)])
         layout = SegmentLayout(num_cam=chunk, patch_size=(h, w))
 
-        feats, depths, accs = [], [], []
+        # dispatch ALL chunks before fetching any result: np.asarray is the
+        # only sync point, so device execution overlaps with host dispatch
+        # (one host<->device round trip total instead of one per chunk)
+        outs = []
         for i in range(0, len(coords_np), chunk):
             coords = jnp.asarray(coords_np[i : i + chunk])
             cam_ids = jnp.full((chunk,), cam_idx, jnp.int32)
             bundle = generate_camera_rays(self.datamanager.tables.cameras, cam_ids, coords)
             bundle = merge_modality_bundles(bundle, None, None)
-            o = self._eval_nff_features(variables, bundle, layout, actor_edits)
-            feats.append(np.asarray(o["features"]))
-            depths.append(np.asarray(o["depth"]))
-            accs.append(np.asarray(o["accumulation"]))
-        features = np.concatenate(feats)[:n_rays]
-        depth = np.concatenate(depths)[:n_rays]
-        acc = np.concatenate(accs)[:n_rays]
+            outs.append(self._eval_nff_features(variables, bundle, layout, actor_edits))
+        features = np.concatenate([np.asarray(o["features"]) for o in outs])[:n_rays]
+        depth = np.concatenate([np.asarray(o["depth"]) for o in outs])[:n_rays]
+        acc = np.concatenate([np.asarray(o["accumulation"]) for o in outs])[:n_rays]
 
         rgb = self._eval_decode_rgb(variables, jnp.asarray(features), (h, w))
         return {
@@ -269,17 +269,25 @@ class ADNeuRadarPipeline:
         rgb = self._eval_decode_rgb(variables, o["features"], (h, w))
         return (np.clip(np.asarray(rgb[0]), 0, 1) * 255).astype(np.uint8)
 
-    def render_radar(self, variables, scan_idx: int, actor_edits=None) -> Dict[str, np.ndarray]:
-        """Render one radar scan -> multi-Bernoulli output [n_mb, 7]."""
+    def _render_radar_deferred(self, variables, scan_idx: int, actor_edits=None) -> jax.Array:
+        """Dispatch one radar scan render; returns the DEVICE array [1, n_mb, 7]
+        (callers fetch with np.asarray — the sync point)."""
         tables = self.datamanager.tables
         bundle = tables.radars.generate_rays(jnp.asarray([scan_idx], jnp.int32))
         layout = SegmentLayout(num_radar_scans=1, rays_per_scan=int(tables.radars.rays_per_scan))
         bundle = merge_modality_bundles(None, None, bundle)
         outputs = self._eval_nff_chunk(variables, bundle, layout, actor_edits)
-        return {"radar_output": np.asarray(outputs["radar_output"][0])}
+        return outputs["radar_output"]
 
-    def render_lidar(self, variables, scan_idx: int, max_points: int = 16384) -> Dict[str, np.ndarray]:
-        """Render rays for a (subsampled) lidar scan."""
+    def render_radar(self, variables, scan_idx: int, actor_edits=None) -> Dict[str, np.ndarray]:
+        """Render one radar scan -> multi-Bernoulli output [n_mb, 7]."""
+        return {"radar_output": np.asarray(self._render_radar_deferred(variables, scan_idx, actor_edits)[0])}
+
+    def render_lidar(
+        self, variables, scan_idx: int, max_points: int = 16384, _defer: bool = False
+    ) -> Dict[str, np.ndarray]:
+        """Render rays for a (subsampled) lidar scan. With ``_defer`` the
+        dict holds device arrays (no host sync) — see _fetch_deferred."""
         pts = self.outputs.lidar_points[scan_idx]
         if len(pts) > max_points:
             sel = np.random.RandomState(0).choice(len(pts), max_points, replace=False)
@@ -293,19 +301,26 @@ class ADNeuRadarPipeline:
         layout = SegmentLayout(num_lidar=max_points)
         bundle = merge_modality_bundles(None, bundle, None)
         outputs = self._eval_nff_chunk(variables, bundle, layout)
-        return {
-            "depth": np.asarray(outputs["depth"]),
-            "intensity": np.asarray(outputs["intensity"]),
-            "ray_drop_prob": 1 / (1 + np.exp(-np.asarray(outputs["ray_drop_logits"]))),
+        rend = {
+            "depth": outputs["depth"],
+            "intensity": outputs["intensity"],
+            "ray_drop_logits": outputs["ray_drop_logits"],
             "points": pts,
         }
+        return rend if _defer else _fetch_deferred(rend)
 
     def get_average_eval_lidar_metrics(self, variables, max_points: int = 16384) -> Dict[str, float]:
         """Depth/intensity/ray-drop/chamfer over eval lidar scans
         (cf. models/neuradar.py:738-769 and ad_model.get_outputs_for_lidar)."""
         med_l2, rel_l2, rmses, drop_accs, chamfers = [], [], [], [], []
-        for scan_idx in self.datamanager.eval_lidar_indices():
-            rend = self.render_lidar(variables, int(scan_idx), max_points=max_points)
+        # dispatch every scan's render before fetching the first result
+        # (device overlaps with host dispatch; one sync per scan otherwise)
+        rends = [
+            self.render_lidar(variables, int(scan_idx), max_points=max_points, _defer=True)
+            for scan_idx in self.datamanager.eval_lidar_indices()
+        ]
+        for rend in rends:
+            rend = _fetch_deferred(rend)
             pts = rend["points"]
             gt_dist = np.linalg.norm(pts[:, :3], axis=1, keepdims=True)
             did_return = (gt_dist < 1e3)[:, 0]
@@ -345,8 +360,12 @@ class ADNeuRadarPipeline:
         rounds = sampling_rounds or (self.config.radar_sampling_rounds if loss_type == "nll" else 1)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         chamfers, emds, gospas, locs, misses, falses = ([] for _ in range(6))
-        for scan_idx in self.datamanager.eval_radar_indices():
-            ro = self.render_radar(variables, int(scan_idx))["radar_output"]
+        scan_ids = [int(s) for s in self.datamanager.eval_radar_indices()]
+        # dispatch all scans, then fetch (one pipeline drain instead of a
+        # host<->device sync per scan)
+        deferred = [self._render_radar_deferred(variables, s) for s in scan_ids]
+        for scan_idx, dro in zip(scan_ids, deferred):
+            ro = np.asarray(dro)[0]
             gt = self.outputs.radar_points[int(scan_idx)][:, :3]
             for i in range(rounds):
                 rng, sub = jax.random.split(rng)
@@ -439,6 +458,15 @@ class ADNeuRadarPipeline:
             "eval_rays_per_sec": total_rays / dt,
             "fps": n_images / dt,
         }
+
+
+def _fetch_deferred(rend: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Materialize a deferred render dict on host (the sync point) and derive
+    ray_drop_prob from the logits."""
+    out = {k: np.asarray(v) for k, v in rend.items()}
+    if "ray_drop_logits" in out:
+        out["ray_drop_prob"] = 1 / (1 + np.exp(-out.pop("ray_drop_logits")))
+    return out
 
 
 def _ssim_np(a: np.ndarray, b: np.ndarray, c1=0.01**2, c2=0.03**2, win=7) -> float:
