@@ -145,10 +145,23 @@ class Trainer:
         self._train_step = self._build_train_step()
         self.pipeline.datamanager.start_prefetch()
         if cfg.vis == "viewer":
+            from neuradar_tpu.model_components.dynamic_actors import ActorEdits
             from neuradar_tpu.viewer.viewer import ViewerServer
 
+            def viewer_render(c2w, actor=None):
+                edits = None
+                if actor:
+                    edits = ActorEdits(
+                        lateral=float(actor.get("lateral", 0.0)),
+                        longitudinal=float(actor.get("longitudinal", 0.0)),
+                        rotation=float(actor.get("rotation", 0.0)),
+                        index=int(actor.get("index", -1)),
+                        remove=bool(actor.get("remove", False)),
+                    )
+                return self.pipeline.render_pose(self.eval_variables(), c2w, actor_edits=edits)
+
             self._viewer = ViewerServer(
-                render_fn=lambda c2w: self.pipeline.render_pose(self.eval_variables(), c2w),
+                render_fn=viewer_render,
                 stats_fn=lambda: {"step": self._step},
                 port=cfg.viewer_port,
             )

@@ -234,10 +234,13 @@ class ADNeuRadarPipeline:
             "accumulation": acc.reshape(h, w),
         }
 
-    def render_pose(self, variables, c2w: np.ndarray, hw: Tuple[int, int] = (96, 156)) -> np.ndarray:
+    def render_pose(
+        self, variables, c2w: np.ndarray, hw: Tuple[int, int] = (96, 156), actor_edits=None
+    ) -> np.ndarray:
         """Render an arbitrary camera pose (viewer path): c2w [3, 4] -> rgb
         uint8 [hw[0], hw[1], 3]. Uses the scene's first camera intrinsics
-        scaled to the requested resolution."""
+        scaled to the requested resolution. actor_edits shifts/removes
+        dynamic actors (viewer actor controls)."""
         from neuradar_tpu.cameras.cameras import Cameras
 
         u = self.config.model.rgb_upsample_factor
@@ -265,7 +268,7 @@ class ADNeuRadarPipeline:
         bundle = generate_camera_rays(cam, jnp.zeros((h * w,), jnp.int32), coords)
         bundle = merge_modality_bundles(bundle, None, None)
         layout = SegmentLayout(num_cam=h * w, patch_size=(h, w))
-        o = self._eval_nff_features(variables, bundle, layout)
+        o = self._eval_nff_features(variables, bundle, layout, actor_edits)
         rgb = self._eval_decode_rgb(variables, o["features"], (h, w))
         return (np.clip(np.asarray(rgb[0]), 0, 1) * 255).astype(np.uint8)
 

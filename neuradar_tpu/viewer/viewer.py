@@ -7,6 +7,15 @@ camera move POSTs a pose and receives a freshly rendered JPEG from the model.
 Renders run on the shared device between train steps (the reference
 serializes with train_lock at trainer.py:312; here device dispatch order
 provides the same exclusion).
+
+Feature parity with the reference viewer beyond orbiting:
+  * actor editing (lateral/longitudinal/rotation shift or removal of dynamic
+    actors, cf. the reference's viewer actor controls wired into
+    DynamicActors.edit_boxes2world) — the HUD fields POST an `actor` dict
+    which the trainer converts to ActorEdits,
+  * camera-path authoring: "add keyframe" collects poses server-side and
+    GET /camera_path returns a nerfstudio-style camera_path.json consumable
+    by `render.py camera-path` and `render_radar.py camera-path`.
 """
 
 from __future__ import annotations
@@ -15,7 +24,7 @@ import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Callable, Optional
+from typing import Callable, List, Optional
 
 import numpy as np
 
@@ -23,10 +32,21 @@ _PAGE = """<!DOCTYPE html>
 <html><head><title>neuradar-tpu viewer</title><style>
 body { margin:0; background:#111; color:#eee; font-family:monospace; }
 #hud { position:fixed; top:8px; left:8px; background:#000a; padding:8px; border-radius:6px; }
+#hud input { width:52px; background:#222; color:#eee; border:1px solid #444; }
 canvas { display:block; margin:auto; }
+button { background:#333; color:#eee; border:1px solid #555; border-radius:4px; }
 </style></head><body>
 <div id="hud">neuradar-tpu viewer &mdash; drag to orbit, wheel to zoom, WASD to move<br/>
-<span id="stats"></span></div>
+<span id="stats"></span><br/>
+actor <input id="aidx" type="number" value="-1" title="actor index (-1 = all)"/>
+lat <input id="alat" type="number" value="0" step="0.5"/>
+long <input id="along" type="number" value="0" step="0.5"/>
+rot <input id="arot" type="number" value="0" step="0.1"/>
+<label><input id="arem" type="checkbox" style="width:auto"/>remove</label>
+<button onclick="render()">apply</button><br/>
+<button onclick="keyframe()">add keyframe</button>
+<a href="/camera_path" download="camera_path.json" style="color:#8cf">download path</a>
+<span id="kf"></span></div>
 <canvas id="view" width="624" height="384"></canvas>
 <script>
 let az = 0, el = 0.15, dist = 12, cx = 0, cy = 0, cz = 1.5;
@@ -35,7 +55,14 @@ const canvas = document.getElementById('view');
 const ctx = canvas.getContext('2d');
 function pose() {
   const fx = Math.cos(el) * Math.cos(az), fy = Math.cos(el) * Math.sin(az), fz = Math.sin(el);
-  return {eye: [cx - dist * fx, cy - dist * fy, cz - dist * fz], target: [cx, cy, cz]};
+  const body = {eye: [cx - dist * fx, cy - dist * fy, cz - dist * fz], target: [cx, cy, cz]};
+  const aidx = +document.getElementById('aidx').value;
+  const lat = +document.getElementById('alat').value;
+  const lng = +document.getElementById('along').value;
+  const rot = +document.getElementById('arot').value;
+  const rem = document.getElementById('arem').checked;
+  if (lat || lng || rot || rem) body.actor = {index: aidx, lateral: lat, longitudinal: lng, rotation: rot, remove: rem};
+  return body;
 }
 async function render() {
   if (pending) return; pending = true;
@@ -44,6 +71,11 @@ async function render() {
   const img = await createImageBitmap(blob);
   ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
   pending = false;
+}
+async function keyframe() {
+  const r = await fetch('/keyframe', {method: 'POST', body: JSON.stringify(pose())});
+  const j = await r.json();
+  document.getElementById('kf').textContent = ' keyframes: ' + j.count;
 }
 canvas.onmousedown = e => { dragging = true; lx = e.clientX; ly = e.clientY; };
 window.onmouseup = () => dragging = false;
@@ -90,14 +122,38 @@ def _look_at(eye: np.ndarray, target: np.ndarray, up=np.array([0.0, 0.0, 1.0])) 
 class ViewerServer:
     """Threaded HTTP viewer bound to a render callback.
 
-    render_fn(c2w [3,4]) -> rgb uint8 [H, W, 3]; stats_fn() -> dict.
+    render_fn(c2w [3,4]) -> rgb uint8 [H, W, 3], or
+    render_fn(c2w, actor: Optional[dict]) if it accepts actor edits
+    (detected by arity); stats_fn() -> dict.
     """
 
     def __init__(self, render_fn: Callable, stats_fn: Optional[Callable] = None, port: int = 7007):
         self.render_fn = render_fn
         self.stats_fn = stats_fn or (lambda: {})
         self.port = port
+        self.keyframes: List[np.ndarray] = []
         self._server: Optional[ThreadingHTTPServer] = None
+        import inspect
+
+        try:
+            self._takes_actor = len(inspect.signature(render_fn).parameters) >= 2
+        except (TypeError, ValueError):
+            self._takes_actor = False
+
+    def _render(self, c2w: np.ndarray, actor: Optional[dict]):
+        if self._takes_actor:
+            return self.render_fn(c2w, actor)
+        return self.render_fn(c2w)
+
+    def camera_path_json(self) -> dict:
+        """nerfstudio-style camera_path.json from the collected keyframes
+        (flat row-major 4x4 camera_to_world per frame)."""
+        frames = []
+        for c2w in self.keyframes:
+            m = np.eye(4, dtype=np.float32)
+            m[:3, :4] = c2w
+            frames.append({"camera_to_world": m.reshape(-1).tolist()})
+        return {"camera_path": frames, "render_height": 384, "render_width": 624}
 
     def start(self) -> None:
         viewer = self
@@ -110,19 +166,27 @@ class ViewerServer:
                 if self.path.startswith("/stats"):
                     body = json.dumps(viewer.stats_fn()).encode()
                     self._send(200, "application/json", body)
+                elif self.path.startswith("/camera_path"):
+                    body = json.dumps(viewer.camera_path_json()).encode()
+                    self._send(200, "application/json", body)
                 else:
                     self._send(200, "text/html", _PAGE.encode())
 
             def do_POST(self):
-                if not self.path.startswith("/render"):
-                    self._send(404, "text/plain", b"not found")
-                    return
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 eye = np.asarray(req.get("eye", [0, 0, 2.0]), np.float32)
                 target = np.asarray(req.get("target", [10, 0, 1.0]), np.float32)
+                c2w = _look_at(eye, target)
+                if self.path.startswith("/keyframe"):
+                    viewer.keyframes.append(c2w)
+                    self._send(200, "application/json", json.dumps({"count": len(viewer.keyframes)}).encode())
+                    return
+                if not self.path.startswith("/render"):
+                    self._send(404, "text/plain", b"not found")
+                    return
                 try:
-                    rgb = viewer.render_fn(_look_at(eye, target))
+                    rgb = viewer._render(c2w, req.get("actor"))
                     import PIL.Image
 
                     buf = io.BytesIO()

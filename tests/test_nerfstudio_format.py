@@ -58,3 +58,29 @@ def test_rays_from_parsed_cameras(tmp_path):
     d = np.asarray(rb.directions)
     assert np.isfinite(d).all()
     np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+
+
+def test_benchmarking_harness(tmp_path):
+    """Multi-scene benchmarking CLI (cf. reference scripts/benchmarking/):
+    trains nerfacto-data briefly on two synthetic transforms.json scenes and
+    writes the aggregate table."""
+    for scene in ("sceneA", "sceneB"):
+        _make_dataset(tmp_path / scene, n=4)
+    from neuradar_tpu.scripts.benchmarking import main
+
+    out = tmp_path / "bench.json"
+    rc = main([
+        "--data-root", str(tmp_path), "--max-iters", "3",
+        "--output", str(out), "--output-dir", str(tmp_path / "runs"),
+        "--override", "num_rgb_patches=2", "--override", "patch_size=4",
+        "--override", "model.num_proposal_samples_per_ray=8,4",
+        "--override", "model.num_nerf_samples_per_ray=4",
+        "--override", "model.log2_hashmap_size=10",
+        "--override", "model.num_levels=4", "--override", "model.max_res=64",
+        "--override", "model.hidden_dim=8", "--override", "model.hidden_dim_color=8",
+        "--override", "steps_per_eval_batch=0",
+    ])
+    assert rc == 0
+    table = json.loads(out.read_text())
+    assert set(table["scenes"]) == {"sceneA", "sceneB"}
+    assert np.isfinite(table["mean_psnr"])

@@ -128,3 +128,46 @@ def test_parse_camera_path():
         np.testing.assert_allclose(f[:, 3], [1.0, 2.0, 3.0])
     # keyframes-style key also accepted
     assert len(parse_camera_path({"keyframes": [{"camera_to_world": m.tolist()}]})) == 1
+
+
+def test_viewer_actor_edits_and_camera_path():
+    """Actor-edit fields pass through to the render callback; keyframes
+    accumulate server-side and export as a nerfstudio camera_path.json."""
+    from neuradar_tpu.viewer.viewer import ViewerServer
+
+    seen = []
+
+    def render_fn(c2w, actor=None):
+        seen.append((np.asarray(c2w), actor))
+        return np.full((12, 16, 3), 64, np.uint8)
+
+    port = _free_port()
+    v = ViewerServer(render_fn=render_fn, port=port)
+    v.start()
+    try:
+        body = {"eye": [0, 0, 2], "target": [5, 0, 1],
+                "actor": {"index": 1, "lateral": 2.0, "remove": False}}
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/render",
+                                     data=json.dumps(body).encode())
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 200
+        assert seen[-1][1] == {"index": 1, "lateral": 2.0, "remove": False}
+
+        # two keyframes -> downloadable camera path
+        for _ in range(2):
+            req = urllib.request.Request(f"http://127.0.0.1:{port}/keyframe",
+                                         data=json.dumps(body).encode())
+            with urllib.request.urlopen(req, timeout=10) as r:
+                count = json.loads(r.read())["count"]
+        assert count == 2
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/camera_path", timeout=10) as r:
+            path = json.loads(r.read())
+        assert len(path["camera_path"]) == 2
+        assert len(path["camera_path"][0]["camera_to_world"]) == 16
+        # the exported path parses with the render scripts' loader
+        from neuradar_tpu.scripts.render import parse_camera_path
+
+        frames = parse_camera_path(path)
+        assert len(frames) == 2 and frames[0].shape == (3, 4)
+    finally:
+        v.stop()
