@@ -21,6 +21,8 @@ def main(argv=None) -> int:
     parser.add_argument("--iters", type=int, default=300)
     parser.add_argument("--bf16", action="store_true", default=True)
     parser.add_argument("--chunks", type=int, default=8)
+    parser.add_argument("--steps-per-dispatch", type=int, default=4,
+                        help="optimizer steps per device dispatch (amortizes the relay round trip)")
     parser.add_argument("--output", default="/tmp/learning_check.json")
     parser.add_argument(
         "--scale", choices=("full", "small"), default="full",
@@ -52,6 +54,7 @@ def main(argv=None) -> int:
     pipe.model.nff_chunks = args.chunks
     cfg = TrainerConfig(
         pipeline=pipe,
+        steps_per_dispatch=args.steps_per_dispatch,
         max_num_iterations=args.iters,
         steps_per_eval_batch=0,
         steps_per_eval_image=0,
