@@ -212,7 +212,11 @@ def main_with_retries() -> None:
         hist_best = 0.0
         try:
             with open(history_path) as f:
-                hist_best = max((json.loads(l).get("value", 0.0) for l in f if l.strip()), default=0.0)
+                for line in f:
+                    try:
+                        hist_best = max(hist_best, json.loads(line).get("value", 0.0))
+                    except (json.JSONDecodeError, AttributeError):
+                        continue  # truncated/corrupt line from a killed append
         except OSError:
             pass
         hist_best = max(hist_best, 278883.0)  # best healthy r1 reading (ROADMAP.md)

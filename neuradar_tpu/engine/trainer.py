@@ -119,6 +119,13 @@ class Trainer:
         self.writer = EventWriter(log_dir=self._run_dir / "logs")
         self.tracker = MetricTracker(config.tracker)
         self._step = 0
+        import threading
+
+        # serializes viewer renders against train dispatches (cf. the
+        # reference's train_lock, trainer.py:182,312). Required here because
+        # the donated train step deletes the params/opt-state buffers a
+        # concurrent viewer render may still be reading.
+        self.train_lock = threading.Lock()
 
     @property
     def _run_dir(self) -> Path:
@@ -158,7 +165,9 @@ class Trainer:
                         index=int(actor.get("index", -1)),
                         remove=bool(actor.get("remove", False)),
                     )
-                return self.pipeline.render_pose(self.eval_variables(), c2w, actor_edits=edits)
+                with self.train_lock:  # see __init__: donation would delete
+                    # the params this render reads if a step ran concurrently
+                    return self.pipeline.render_pose(self.eval_variables(), c2w, actor_edits=edits)
 
             self._viewer = ViewerServer(
                 render_fn=viewer_render,
@@ -238,7 +247,7 @@ class Trainer:
                 elif local_i >= 17 and getattr(self, "_tracing", False):
                     jax.profiler.stop_trace()
                     self._tracing = False
-            with profiler.time_function(name="train_iteration"):
+            with profiler.time_function(name="train_iteration"), self.train_lock:
                 step_rng = jax.random.fold_in(rng, step)
                 if K > 1:
                     hosts = [self.pipeline.datamanager.next_train() for _ in range(k)]
@@ -279,6 +288,9 @@ class Trainer:
                 (>0)? Reduces to `step % c == 0 and step > 0` when k == 1."""
                 return bool(cadence) and step >= cadence and (step // cadence) > ((step - k) // cadence)
 
+            t_aux0 = time.perf_counter()  # eval/save time is excluded from
+            # the next rays/s window (the reference times only train iters)
+
             if crossed(cfg.steps_per_eval_batch):
                 if not hasattr(self, "_eval_loss_fn"):
                     self._eval_loss_fn = self.pipeline.make_eval_loss_fn()
@@ -304,6 +316,7 @@ class Trainer:
                 last_metrics.update(img_metrics)
                 if cfg.early_stopping and self.tracker.update(-img_metrics["psnr"]) and self.tracker.should_stop:
                     break
+            t_last_log += time.perf_counter() - t_aux0  # exclude aux time
 
         if getattr(self, "_tracing", False):  # loop shorter than the trace window
             jax.profiler.stop_trace()

@@ -126,15 +126,20 @@ class ActorCandidates:
         return jax.tree.map(jax.lax.stop_gradient, self)
 
 
-@dataclass(frozen=True)
+@struct.dataclass
 class ActorEdits:
-    """Viewer/render-script actor editing (cf. dynamic_actors.py:158-181)."""
+    """Viewer/render-script actor editing (cf. dynamic_actors.py:158-181).
+
+    A pytree: the numeric fields are traced through jit, so the viewer can
+    sweep shift/rotation values without recompiling (only `remove`, which
+    changes the graph, is a static leaf)."""
 
     lateral: float = 0.0
     longitudinal: float = 0.0
     rotation: float = 0.0
     index: int = -1  # -1 = all actors
-    remove: bool = False  # teleport selected actors out of the scene
+    remove: bool = struct.field(pytree_node=False, default=False)
+    # teleport selected actors out of the scene
     # (cf. the reference's actor-removal rendering, render_radar.py:603)
 
 
@@ -188,20 +193,32 @@ class DynamicActors(nn.Module):
         return b2w, valid
 
     def _apply_edits(self, b2w: jax.Array, edits: ActorEdits) -> jax.Array:
-        """Shift/rotate selected actors (cf. edit_boxes2world, :158-181)."""
-        if not edits.remove and edits.lateral == 0.0 and edits.longitudinal == 0.0 and edits.rotation == 0.0:
+        """Shift/rotate selected actors (cf. edit_boxes2world, :158-181).
+
+        Numeric edit fields may be traced (viewer sweeps) or plain floats
+        (render scripts); only `remove` branches the graph."""
+        concrete = all(isinstance(v, (int, float)) for v in (edits.lateral, edits.longitudinal, edits.rotation))
+        if concrete and not edits.remove and (edits.lateral, edits.longitudinal, edits.rotation) == (0.0, 0.0, 0.0):
             return b2w
         A = b2w.shape[1]
-        sel = jnp.ones((A,), bool) if edits.index < 0 else (jnp.arange(A) == edits.index)
+        idx = jnp.asarray(edits.index, jnp.int32)
+        sel = (idx < 0) | (jnp.arange(A) == idx)  # [A]
         if edits.remove:
             # push far outside the scene box: no ray/box hit can survive
             far = b2w[..., :3, 3] + jnp.asarray([0.0, 0.0, 1e6], b2w.dtype)
             gone = jnp.concatenate([b2w[..., :3, :3], far[..., None]], axis=-1)
             return jnp.where(sel[None, :, None, None], gone, b2w)
-        shift = jnp.asarray([edits.lateral, edits.longitudinal, 0.0], b2w.dtype)
+        shift = jnp.stack(
+            [jnp.asarray(edits.lateral, b2w.dtype), jnp.asarray(edits.longitudinal, b2w.dtype),
+             jnp.asarray(0.0, b2w.dtype)]
+        )
         new_t = b2w[..., :3, 3] + jnp.einsum("qaij,j->qai", b2w[..., :3, :3], shift)
-        c, s = np.cos(edits.rotation), np.sin(edits.rotation)
-        rot_yaw = jnp.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], b2w.dtype)
+        rot = jnp.asarray(edits.rotation, b2w.dtype)
+        c, s = jnp.cos(rot), jnp.sin(rot)
+        zero, one = jnp.zeros_like(c), jnp.ones_like(c)
+        rot_yaw = jnp.stack(
+            [jnp.stack([c, -s, zero]), jnp.stack([s, c, zero]), jnp.stack([zero, zero, one])]
+        )
         new_R = jnp.einsum("ij,qajk->qaik", rot_yaw, b2w[..., :3, :3])
         edited = jnp.concatenate([new_R, new_t[..., None]], axis=-1)
         return jnp.where(sel[None, :, None, None], edited, b2w)

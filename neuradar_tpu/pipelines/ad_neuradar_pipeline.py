@@ -161,7 +161,7 @@ class ADNeuRadarPipeline:
         """Jitted whole-bundle eval forward (small bundles: radar/lidar)."""
         model = self.model
 
-        @functools.partial(jax.jit, static_argnames=("layout", "actor_edits"))
+        @functools.partial(jax.jit, static_argnames=("layout",))
         def run(variables, bundle, layout, actor_edits=None):
             outputs = model.apply(
                 variables, bundle, layout, False, actor_edits, method=NeuRadarModel.get_outputs,
@@ -175,7 +175,7 @@ class ADNeuRadarPipeline:
         """Jitted NFF-only forward for one ray chunk (camera rays)."""
         model = self.model
 
-        @functools.partial(jax.jit, static_argnames=("layout", "actor_edits"))
+        @functools.partial(jax.jit, static_argnames=("layout",))
         def run(variables, bundle, layout, actor_edits=None):
             out = model.apply(variables, bundle, layout, False, actor_edits,
                               method=NeuRadarModel.get_nff_outputs)

@@ -67,13 +67,12 @@ def main(argv=None) -> int:
         }
         print(f"[benchmarking] {scene}: {results[scene]}")
 
+    psnrs = [r["psnr"] for r in results.values() if r["psnr"] is not None]
     table = {
         "method": "nerfacto-data",
         "scenes": results,
-        "mean_psnr": (
-            sum(r["psnr"] for r in results.values() if r["psnr"] is not None)
-            / max(sum(1 for r in results.values() if r["psnr"] is not None), 1)
-        ),
+        # None (not a fake 0.0) when no scene produced a psnr
+        "mean_psnr": sum(psnrs) / len(psnrs) if psnrs else None,
     }
     args.output.parent.mkdir(parents=True, exist_ok=True)
     args.output.write_text(json.dumps(table, indent=2))

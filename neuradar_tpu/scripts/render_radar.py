@@ -127,7 +127,7 @@ def main(argv=None) -> int:
         from neuradar_tpu.scripts.render import parse_camera_path
 
         spec = json.loads(args.camera_path_filename.read_text())
-        frames = parse_camera_path(spec)[: args.max_scans] if args.max_scans else parse_camera_path(spec)
+        frames = parse_camera_path(spec)[: args.max_scans or None]
         scans = list(pipeline.datamanager.eval_radar_indices())
         if not scans:
             print("no eval radar scans available")

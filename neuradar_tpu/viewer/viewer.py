@@ -64,13 +64,19 @@ function pose() {
   if (lat || lng || rot || rem) body.actor = {index: aidx, lateral: lat, longitudinal: lng, rotation: rot, remove: rem};
   return body;
 }
+let dirty = false;
 async function render() {
-  if (pending) return; pending = true;
-  const r = await fetch('/render', {method: 'POST', body: JSON.stringify(pose())});
-  const blob = await r.blob();
-  const img = await createImageBitmap(blob);
-  ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
-  pending = false;
+  if (pending) { dirty = true; return; }  // re-render after the in-flight one
+  pending = true;
+  try {
+    const r = await fetch('/render', {method: 'POST', body: JSON.stringify(pose())});
+    const blob = await r.blob();
+    const img = await createImageBitmap(blob);
+    ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
+  } finally {
+    pending = false;
+    if (dirty) { dirty = false; render(); }
+  }
 }
 async function keyframe() {
   const r = await fetch('/keyframe', {method: 'POST', body: JSON.stringify(pose())});
