@@ -64,7 +64,6 @@ def trajectories_from_dicts(trajectories) -> ActorTrajectories:
     missing timestamps are filled with the nearest available pose.
     """
     if not trajectories:
-        zero = np.zeros
         return ActorTrajectories(
             unique_timestamps=jnp.zeros((1,), jnp.float32),
             poses_9d=jnp.zeros((1, 0, 9), jnp.float32),

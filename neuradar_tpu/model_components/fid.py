@@ -31,6 +31,8 @@ class FeatureExtractor:
 
     def __call__(self, images: np.ndarray, batch: int = 8) -> np.ndarray:
         """images [N, H, W, 3] float in [0,1] -> [N, D] features."""
+        if len(images) == 0:
+            raise ValueError("FeatureExtractor needs at least one image (empty eval split?)")
         feats = []
         for i in range(0, len(images), batch):
             chunk = images[i : i + batch]

@@ -73,6 +73,16 @@ def _sorted_interp_quad(x: jax.Array, xp: jax.Array, fpdf: jax.Array, fcdf: jax.
     return fcdf0 + (x - xp0) * (fpdf0 + fpdf1 * offset + fpdf0 * (1 - offset)) * 0.5
 
 
+def _pulse_width(i: int) -> float:
+    """ZipNeRF per-round blur widths (losses.py:677 hardcodes [0.03, 0.003]
+    for the standard 2 proposal rounds); extra rounds extrapolate the /10
+    progression instead of crashing."""
+    widths = (0.03, 0.003)
+    if i < len(widths):
+        return widths[i]
+    return widths[-1] / (10 ** (i - len(widths) + 1))
+
+
 def zipnerf_interlevel_loss(
     weights_list: Sequence[jax.Array], ray_samples_list: Sequence[RaySamples]
 ) -> jax.Array:
@@ -81,7 +91,6 @@ def zipnerf_interlevel_loss(
     Supervises each proposal histogram against the (blurred) final NeRF
     histogram; mean-reduced, so pair with the reference's 0.001 multiplier.
     """
-    pulse_widths = [0.03, 0.003]
     c = jax.lax.stop_gradient(ray_samples_to_sdist(ray_samples_list[-1]))
     w = jax.lax.stop_gradient(weights_list[-1][..., 0])
     accum_w = jnp.sum(w, axis=-1, keepdims=True)
@@ -92,7 +101,7 @@ def zipnerf_interlevel_loss(
     for i, (ray_samples, weights) in enumerate(zip(ray_samples_list[:-1], weights_list[:-1])):
         cp = ray_samples_to_sdist(ray_samples)
         wp = weights[..., 0]
-        c_, w_ = _blur_stepfun(c, w_norm, pulse_widths[i])
+        c_, w_ = _blur_stepfun(c, w_norm, _pulse_width(i))
 
         # piecewise linear pdf -> piecewise quadratic cdf
         area = 0.5 * (w_[..., 1:] + w_[..., :-1]) * (c_[..., 1:] - c_[..., :-1])
@@ -117,7 +126,6 @@ def distortion_loss_sdist(sdist: jax.Array, weights: jax.Array) -> jax.Array:
 def zipnerf_interlevel_loss_sdist(sdist_list, weights_list) -> jax.Array:
     """Anti-aliased interlevel loss on raw sdist/weight arrays (final level
     last), cf. :func:`zipnerf_interlevel_loss`."""
-    pulse_widths = [0.03, 0.003]
     c = jax.lax.stop_gradient(sdist_list[-1])
     w = jax.lax.stop_gradient(weights_list[-1])
     accum_w = jnp.sum(w, axis=-1, keepdims=True)
@@ -126,7 +134,7 @@ def zipnerf_interlevel_loss_sdist(sdist_list, weights_list) -> jax.Array:
     w_norm = w / (c[..., 1:] - c[..., :-1])
     loss = 0.0
     for i, (cp, wp) in enumerate(zip(sdist_list[:-1], weights_list[:-1])):
-        c_, w_ = _blur_stepfun(c, w_norm, pulse_widths[i])
+        c_, w_ = _blur_stepfun(c, w_norm, _pulse_width(i))
         area = 0.5 * (w_[..., 1:] + w_[..., :-1]) * (c_[..., 1:] - c_[..., :-1])
         cdf = jnp.concatenate([jnp.zeros_like(area[..., :1]), jnp.cumsum(area, axis=-1)], axis=-1)
         c_ = jnp.concatenate([jnp.zeros_like(c_[..., :1]), c_, jnp.ones_like(c_[..., :1])], axis=-1)
@@ -142,26 +150,6 @@ def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
     """Mean of x over elements where mask is True (static-shape safe)."""
     mask = mask.astype(x.dtype)
     return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-
-
-def masked_quantile(x: jax.Array, mask: jax.Array, q: float) -> jax.Array:
-    """Quantile of the masked elements of a flat array.
-
-    Padded entries are pushed to +inf before sorting so they land past the
-    quantile index. Used for the reference's quantile-masked lidar loss
-    (models/neuradar.py:624); the result is detached from gradients there.
-    """
-    x = x.reshape(-1)
-    mask = mask.reshape(-1)
-    big = jnp.asarray(jnp.inf, x.dtype)
-    vals = jnp.sort(jnp.where(mask, x, big))
-    n = jnp.sum(mask)
-    idx = jnp.clip((q * (n - 1)).astype(jnp.int32), 0, x.shape[0] - 1)
-    lo = vals[idx]
-    hi = vals[jnp.clip(idx + 1, 0, x.shape[0] - 1)]
-    frac = q * (n - 1) - idx
-    hi = jnp.where(jnp.isfinite(hi), hi, lo)
-    return lo + (hi - lo) * frac
 
 
 def binary_cross_entropy_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:

@@ -22,12 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-# VGG-19 feature config up to relu5_2 (the pix2pix slice end, torchvision
-# features[:30]): conv widths with 'M' maxpools.
-_VGG19_LAYOUT = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M", 512, 512, 512, 512, "M", 512, 512]
-# slice boundaries measured in conv-layer count (relu1_1, relu2_1, relu3_1, relu4_1, relu5_1... pix2pix
-# slices end after conv idx 1, 3, 5, 9, 13 in torchvision's feature indices [:2],[2:7],[7:12],[12:21],[21:30])
-_SLICE_AFTER_CONV = [1, 3, 5, 9, 13]
+# VGG-19 feature config up to relu5_1 (the last pix2pix slice end,
+# torchvision features[:30]): conv widths with 'M' maxpools.
+_VGG19_LAYOUT = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M", 512, 512, 512, 512, "M", 512]
+# slice boundaries as 0-based conv indices: the pix2pix slices
+# [:2],[2:7],[7:12],[12:21],[21:30] end right after relu1_1, relu2_1,
+# relu3_1, relu4_1, relu5_1 — i.e. after the 1st, 3rd, 5th, 9th and 13th
+# conv (1-based), which is conv_i 0, 2, 4, 8, 12 here.
+_SLICE_AFTER_CONV = [0, 2, 4, 8, 12]
 
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)

@@ -47,6 +47,7 @@ from neuradar_tpu.model_components.losses import (
     binary_cross_entropy_with_logits,
     distortion_loss_sdist,
     masked_mean,
+    ray_samples_to_sdist,
     zipnerf_interlevel_loss_sdist,
 )
 from neuradar_tpu.model_components.radar_decoder import RadarDecoder, SetRadarDecoder, spherical_to_cartesian
@@ -629,11 +630,7 @@ class NeuRadarModel(nn.Module):
         return total, (loss_dict, metrics, outputs)
 
 
-def _sdist(ray_samples: RaySamples) -> jax.Array:
-    """Normalized bin edges [r, S+1] (cf. losses.ray_samples_to_sdist)."""
-    return jnp.concatenate(
-        [ray_samples.spacing_starts[..., 0], ray_samples.spacing_ends[..., -1:, 0]], axis=-1
-    )
+_sdist = ray_samples_to_sdist  # normalized bin edges [r, S+1]
 
 
 def _depth_l1_with_nonreturns(pred, target, did_return, nonret_dist, nonret_mult):

@@ -235,12 +235,14 @@ class ADNeuRadarPipeline:
         }
 
     def render_pose(
-        self, variables, c2w: np.ndarray, hw: Tuple[int, int] = (96, 156), actor_edits=None
+        self, variables, c2w: np.ndarray, hw: Tuple[int, int] = (96, 156), actor_edits=None,
+        time_s: float = 0.0,
     ) -> np.ndarray:
         """Render an arbitrary camera pose (viewer path): c2w [3, 4] -> rgb
         uint8 [hw[0], hw[1], 3]. Uses the scene's first camera intrinsics
         scaled to the requested resolution. actor_edits shifts/removes
-        dynamic actors (viewer actor controls)."""
+        dynamic actors (viewer actor controls); time_s places dynamic actors
+        at a scene timestamp (closed-loop renders)."""
         from neuradar_tpu.cameras.cameras import Cameras
 
         u = self.config.model.rgb_upsample_factor
@@ -258,7 +260,7 @@ class ADNeuRadarPipeline:
             width=jnp.asarray([[W]], jnp.int32),
             height=jnp.asarray([[H]], jnp.int32),
             camera_type=jnp.asarray([[1]], jnp.int32),
-            times=jnp.zeros((1, 1)),
+            times=jnp.full((1, 1), time_s, jnp.float32),
             metadata={"sensor_idxs": jnp.zeros((1, 1), jnp.int32)},
         )
         rows = np.arange(h) * u + u // 2

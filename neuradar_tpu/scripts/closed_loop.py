@@ -36,7 +36,9 @@ class ClosedLoopState:
 
     def render(self, pose, time_s, hw):
         c2w = np.asarray(pose, np.float32).reshape(3, 4)
-        return self.pipeline.render_pose(self.variables, c2w, hw=tuple(hw))
+        return self.pipeline.render_pose(
+            self.variables, c2w, hw=tuple(hw), time_s=float(time_s), actor_edits=self.edits
+        )
 
     def set_edits(self, d: dict):
         self.edits = self._edits_cls(
@@ -44,6 +46,7 @@ class ClosedLoopState:
             longitudinal=float(d.get("longitudinal", 0.0)),
             rotation=float(d.get("rotation", 0.0)),
             index=int(d.get("index", -1)),
+            remove=bool(d.get("remove", False)),
         )
 
     def info(self) -> dict:

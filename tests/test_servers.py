@@ -171,3 +171,30 @@ def test_viewer_actor_edits_and_camera_path():
         assert len(frames) == 2 and frames[0].shape == (3, 4)
     finally:
         v.stop()
+
+
+def test_closed_loop_state_applies_edits():
+    """POSTed actor edits and the render time must actually reach
+    render_pose (regression: edits were stored but never applied)."""
+    from neuradar_tpu.scripts.closed_loop import ClosedLoopState
+
+    recorded = {}
+
+    class MockPipeline:
+        def render_pose(self, variables, c2w, hw=(96, 156), actor_edits=None, time_s=0.0):
+            recorded.update(edits=actor_edits, time_s=time_s, hw=hw)
+            return np.zeros((hw[0], hw[1], 3), np.uint8)
+
+    class MockTrainer:
+        pipeline = MockPipeline()
+
+        def eval_variables(self):
+            return {}
+
+    state = ClosedLoopState(MockTrainer())
+    state.set_edits({"lateral": 2.0, "index": 1, "remove": True})
+    state.render(np.eye(3, 4).reshape(-1).tolist(), 1.5, [24, 36])
+    assert recorded["edits"].lateral == 2.0
+    assert recorded["edits"].index == 1
+    assert recorded["edits"].remove is True
+    assert recorded["time_s"] == 1.5
