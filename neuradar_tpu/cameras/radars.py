@@ -21,7 +21,6 @@ import numpy as np
 from flax import struct
 
 from neuradar_tpu.cameras.rays import RayBundle
-from neuradar_tpu.utils.math import normalize_with_norm
 from neuradar_tpu.utils.poses import transform_points_pairwise
 
 RADAR_AZIMUTH_RAY_DIVERGENCE = 0.015  # radians
@@ -101,8 +100,10 @@ class Radars:
         dirs_local = jnp.stack(
             [jnp.cos(el) * jnp.cos(az), jnp.cos(el) * jnp.sin(az), jnp.sin(el)], axis=-1
         )
-        dirs_world = transform_points_pairwise(dirs_local, r2w)
-        directions, distance = normalize_with_norm(dirs_world - origins)
+        # rotate-only transform: exact unit directions (adding and then
+        # subtracting the world translation loses precision at large offsets)
+        directions = transform_points_pairwise(dirs_local, r2w, with_translation=False)
+        distance = jnp.ones((directions.shape[0], 1), directions.dtype)
 
         dx = self.azimuth_ray_divergence / 5.0
         dy = self.elevation_ray_divergence / 5.0

@@ -174,7 +174,13 @@ class RayBundle:
 
 
 def concatenate_ray_bundles(bundles) -> RayBundle:
-    """Concatenate ray bundles along the ray axis; metadata keys must match."""
+    """Concatenate ray bundles along the ray axis (cf. TensorDataclass.cat).
+
+    Metadata keys present in only some bundles are DROPPED (intersection
+    semantics), and optional fields (nears/fars/times/...) become None if any
+    bundle lacks them. For modality-aware merging with key-union zero-fill
+    semantics use data.datamanager.merge_modality_bundles — the product path.
+    """
     def cat(*xs):
         return jnp.concatenate(xs, axis=0)
 

@@ -158,29 +158,39 @@ def merge_modality_bundles(cam: Optional[RayBundle], lidar: Optional[RayBundle],
     but with static segment layout instead of boolean masks)."""
     bundles = [b for b in (cam, lidar, radar) if b is not None]
     keys = set()
+    donors = {}
     for b in bundles:
         keys |= set(b.metadata.keys())
+        for k, v in b.metadata.items():
+            donors.setdefault(k, v)
     for b in bundles:
         n = b.origins.shape[0]
         md = dict(b.metadata)
+        # semantic defaults, then generic zero-fill so ANY metadata key union
+        # merges cleanly (camera-only keys, velocities, ...)
         if "did_return" not in md and "did_return" in keys:
-            md["did_return"] = jnp.ones((n, 1), bool)
-        if "is_lidar" not in md and "is_lidar" in keys:
-            md["is_lidar"] = jnp.zeros((n, 1), bool)
-        if "is_radar" not in md and "is_radar" in keys:
-            md["is_radar"] = jnp.zeros((n, 1), bool)
-        if "directions_spher" not in md and "directions_spher" in keys:
-            md["directions_spher"] = jnp.zeros((n, 2), b.origins.dtype)
+            md["did_return"] = jnp.ones((n, 1), bool)  # non-lidar rays count as returns
         if "directions_norm" not in md:
             md["directions_norm"] = jnp.ones((n, 1), b.origins.dtype)
-        if "sensor_idxs" not in md and "sensor_idxs" in keys:
-            md["sensor_idxs"] = jnp.zeros((n, 1), jnp.int32)
+        for k in keys:
+            if k not in md:
+                donor = donors[k]
+                md[k] = jnp.zeros((n, *donor.shape[1:]), donor.dtype)
         b.metadata.clear()
         b.metadata.update(md)
 
     def cat(field):
         vals = [getattr(b, field) for b in bundles]
-        if any(v is None for v in vals):
+        if all(v is None for v in vals):
+            return None
+        if field == "times":
+            # zero-fill bundles without timestamps instead of dropping the
+            # real per-point times other modalities carry
+            vals = [
+                v if v is not None else jnp.zeros((b.origins.shape[0], 1), b.origins.dtype)
+                for v, b in zip(vals, bundles)
+            ]
+        elif any(v is None for v in vals):
             return None
         return jnp.concatenate(vals, axis=0)
 

@@ -116,3 +116,44 @@ def test_radar_generate_rays():
     if len(zero):
         np.testing.assert_allclose(np.asarray(rb.directions[zero[0]]), [1, 0, 0], atol=1e-5)
     assert bool(rb.metadata["is_radar"].all())
+
+
+def test_equirectangular_full_sphere_coverage():
+    """Equirect rays must span the full sphere: phi = pi*(0.5 - y) with the
+    equirect intrinsic convention fx = width/2, fy = height
+    (cf. reference cameras.py:806-818). Regression: a wrong phi formula
+    confined all directions to the upper hemisphere."""
+    H, W = 32, 64
+    cams = make_cameras(n=1, H=H, W=W, cam_type=CameraType.EQUIRECTANGULAR)
+    cams = cams.replace(fx=jnp.full((1, 1), W / 2.0), fy=jnp.full((1, 1), float(H)))
+    rows, cols = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    coords = jnp.asarray(np.stack([rows.reshape(-1), cols.reshape(-1)], 1), jnp.float32)
+    rb = generate_camera_rays(cams, jnp.zeros((H * W,), jnp.int32), coords)
+    d = np.asarray(rb.directions)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    # identity c2w: camera +y is world +y; poles must be reached
+    assert d[:, 1].min() < -0.95 and d[:, 1].max() > 0.95
+    # top row points up, bottom row points down
+    dg = d.reshape(H, W, 3)
+    assert dg[0, :, 1].mean() > 0.9 and dg[-1, :, 1].mean() < -0.9
+    # azimuth sweeps the full circle: forward (-z) and backward (+z) both hit
+    assert dg[H // 2, :, 2].min() < -0.95 and dg[H // 2, :, 2].max() > 0.95
+
+
+def test_undistort_newton_roundtrip():
+    """Newton undistortion inverts OpenCV distortion at fisheye-strength
+    coefficients where plain fixed-point iteration diverges."""
+    from neuradar_tpu.cameras.cameras import _undistort
+
+    dist = jnp.asarray([[-0.2, 0.05, 0.001, 0.0, 0.01, -0.01]])
+    xy = jnp.asarray([[0.9, -1.2]])
+    # forward distortion of the recovered point must give back the input
+    und = _undistort(jnp.tile(xy, (1, 1)), dist)
+    x, y = und[..., 0:1], und[..., 1:2]
+    k1, k2, k3, k4 = dist[..., 0:1], dist[..., 1:2], dist[..., 2:3], dist[..., 3:4]
+    p1, p2 = dist[..., 4:5], dist[..., 5:6]
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * (k3 + r2 * k4)))
+    fx_ = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    fy_ = y * radial + 2 * p2 * x * y + p1 * (r2 + 2 * y * y)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate([fx_, fy_], -1)), np.asarray(xy), atol=1e-4)
