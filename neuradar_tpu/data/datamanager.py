@@ -215,6 +215,10 @@ class ADDataManager:
         self.config = config
         self.u = rgb_upsample_factor
         self.rng = np.random.RandomState(config.seed)
+        # eval batches are drawn on the MAIN thread while the prefetch
+        # thread consumes self.rng — numpy RandomState is not thread-safe,
+        # so the eval split gets its own generator
+        self.eval_rng = np.random.RandomState(config.seed + 9999)
         self.tables = build_sensor_tables(outputs)
 
         # host caches
@@ -282,9 +286,10 @@ class ADDataManager:
 
         from neuradar_tpu import native
 
-        cam_frames = self.rng.choice(cam_split, size=c.num_rgb_patches)
-        tl_r = self.rng.randint(0, H - gt_patch + 1, size=c.num_rgb_patches)
-        tl_c = self.rng.randint(0, W - gt_patch + 1, size=c.num_rgb_patches)
+        rng = self.rng if split == "train" else self.eval_rng
+        cam_frames = rng.choice(cam_split, size=c.num_rgb_patches)
+        tl_r = rng.randint(0, H - gt_patch + 1, size=c.num_rgb_patches)
+        tl_c = rng.randint(0, W - gt_patch + 1, size=c.num_rgb_patches)
         top_left = np.stack([tl_r, tl_c], axis=1)
         # gather GT patches in uint8 and normalize on DEVICE: 4x less
         # host->device traffic than f32 (the biggest per-step transfer)
@@ -295,10 +300,11 @@ class ADDataManager:
         else:
             rgb = np.zeros((0, gt_patch, gt_patch, 3), np.uint8)
 
-        pt_idx = self.rng.randint(0, len(packed_pts), size=c.num_lidar_rays)
+        pt_idx = rng.randint(0, len(packed_pts), size=c.num_lidar_rays)
         lidar_points, lidar_scan_idx = native.sample_points(packed_pts, packed_ids, pt_idx)
 
-        radar_scan_idx = self.rng.choice(radar_split, size=c.num_radar_scans)
+        radar_scan_idx = rng.choice(radar_split, size=c.num_radar_scans)
+        lidar_dist = np.linalg.norm(lidar_points[:, :3], axis=-1, keepdims=True).astype(np.float32)
 
         return {
             "cam_frame_idx": cam_frames.astype(np.int32),
@@ -306,9 +312,9 @@ class ADDataManager:
             "image": rgb,  # uint8; normalized to [0,1] f32 on device
             "lidar_scan_idx": lidar_scan_idx.astype(np.int32),
             "lidar_points": lidar_points.astype(np.float32),
-            "lidar_distance": np.linalg.norm(lidar_points[:, :3], axis=-1, keepdims=True).astype(np.float32),
+            "lidar_distance": lidar_dist,
             "lidar_intensity": lidar_points[:, 3:4].astype(np.float32),
-            "did_return": (np.linalg.norm(lidar_points[:, :3], axis=-1, keepdims=True) < 1e3),
+            "did_return": lidar_dist < 1e3,
             "radar_scan_idx": radar_scan_idx.astype(np.int32),
             "radar_gt": self.radar_gt[radar_scan_idx],
             "radar_gt_mask": self.radar_gt_mask[radar_scan_idx],
@@ -321,22 +327,32 @@ class ADDataManager:
             return
         self._queue = queue.Queue(maxsize=self.config.prefetch_depth)
 
+        self._worker_error: Optional[BaseException] = None
+
         def worker():
-            while not self._stop.is_set():
-                batch = self.sample_train_batch()
+            try:
                 while not self._stop.is_set():
-                    try:
-                        self._queue.put(batch, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
+                    batch = self.sample_train_batch()
+                    while not self._stop.is_set():
+                        try:
+                            self._queue.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:  # noqa: BLE001 — surfaced in next_train
+                self._worker_error = e
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
 
     def next_train(self) -> Dict[str, np.ndarray]:
         if self._queue is not None:
-            return self._queue.get()
+            while True:  # bounded waits so a dead worker raises, not hangs
+                try:
+                    return self._queue.get(timeout=5.0)
+                except queue.Empty:
+                    if self._worker_error is not None:
+                        raise RuntimeError("prefetch worker died") from self._worker_error
         return self.sample_train_batch()
 
     def stop(self) -> None:

@@ -85,7 +85,9 @@ class KittiMotDataParser:
         l2ws = np.stack(l2ws).astype(np.float32)
         times = np.asarray(times)
 
-        trajectories = self._trajectories(root / "label_02" / f"{cfg.sequence}.txt", l2ws, times)
+        trajectories = self._trajectories(
+            root / "label_02" / f"{cfg.sequence}.txt", l2ws, times, np.linalg.inv(Tr)
+        )
         tsets, duration = zero_base_times([times], trajectories)
         psets, center = recenter_poses([c2ws, l2ws])
         c2ws, l2ws = psets
@@ -121,9 +123,17 @@ class KittiMotDataParser:
             radar_split=linspaced_split(0),
         )
 
-    def _trajectories(self, label_path: Path, l2ws, times) -> list:
+    def _trajectories(self, label_path: Path, l2ws, times, cam2velo: np.ndarray) -> list:
         if not label_path.exists():
             return []
+        # KITTI object frame (camera coords: x=length/heading, y=down/height,
+        # z=width) -> our box frame (x=lateral, y=longitudinal, z=up):
+        # x_ours = -z_obj, y_ours = x_obj, z_ours = -y_obj (proper rotation,
+        # det +1; the lateral sign is immaterial for box tests/flips)
+        obj_to_box = np.eye(4)
+        obj_to_box[:3, :3] = np.array([[0.0, 1.0, 0.0], [0.0, 0.0, -1.0], [-1.0, 0.0, 0.0]])
+        cam2velo4 = np.eye(4)
+        cam2velo4[:3, :4] = cam2velo[:3, :4]
         by_track: dict = {}
         for line in open(label_path):
             f = line.split()
@@ -133,15 +143,16 @@ class KittiMotDataParser:
             h, w, l = float(f[10]), float(f[11]), float(f[12])
             x, y, z = float(f[13]), float(f[14]), float(f[15])  # camera coords
             ry = float(f[16])
-            # camera -> velodyne-ish world via ego pose (approx: camera frame
-            # to world through the frame's lidar pose)
+            # full chain: object -> camera -> velodyne -> world, the same
+            # cam2velo extrinsic the camera pose chain uses
             pose_cam = np.eye(4)
             c, s = np.cos(ry), np.sin(ry)
             pose_cam[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
             pose_cam[:3, 3] = [x, y - h / 2, z]
             l2w4 = np.vstack([l2ws[frame], [0, 0, 0, 1]])
-            pose_world = l2w4 @ pose_cam
-            rec = by_track.setdefault(track_id, {"ts": [], "poses": [], "type": typ, "dims": [l, w, h]})
+            pose_world = l2w4 @ cam2velo4 @ pose_cam @ obj_to_box
+            # dims in our box-frame (x, y, z) order = (w, l, h)
+            rec = by_track.setdefault(track_id, {"ts": [], "poses": [], "type": typ, "dims": [w, l, h]})
             rec["ts"].append(times[frame])
             rec["poses"].append(pose_world.astype(np.float32))
         out = []

@@ -23,8 +23,8 @@ from neuradar_tpu.data.dataparsers.base import (
 from neuradar_tpu.data.dataparsers.zod import OPENCV_TO_NERF
 
 # nuScenes actor frame is x-forward/y-left; ours is x-right/y-forward
-# (cf. nuscenes_dataparser.py WLH_TO_LWH).
-WLH_TO_LWH = np.array([[0, 1, 0, 0], [-1, 0, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float64)
+# (cf. nuscenes_dataparser.py WLH_TO_LWH; shared definition in zod.py).
+from neuradar_tpu.data.dataparsers.zod import WLH_TO_LWH  # noqa: E402
 ALLOWED_CATEGORIES = {"vehicle.car", "vehicle.truck", "vehicle.bus", "vehicle.bicycle", "vehicle.motorcycle"}
 DEFORMABLE_CATEGORIES = {"human.pedestrian"}
 

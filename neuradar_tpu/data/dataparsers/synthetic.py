@@ -113,7 +113,10 @@ class SyntheticDataParser:
         c2ws = np.zeros((n, 3, 4), np.float32)
         # camera looks down -z in camera frame; world forward is +x:
         # cam x -> world -y (right), cam y -> world +z (up), cam -z -> world +x
-        R = np.array([[0.0, 0.0, -1.0], [-1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32).T
+        # columns are the camera axes in world coordinates:
+        # col0 (cam x/right) = -y, col1 (cam y/up) = +z, col2 (cam z) = -x
+        # so the camera's -z forward is world +x (the driving direction)
+        R = np.array([[0.0, 0.0, -1.0], [-1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
         for i in range(n):
             c2ws[i, :3, :3] = R
             c2ws[i, :3, 3] = ego_pos[i] + np.array([0.0, 0.0, 1.5])

@@ -91,16 +91,35 @@ class VodDataParser:
             import json
 
             odom = json.load(open(pose_file))
-            l2w = np.asarray(odom["odomto_camera" if "odomto_camera" in odom else list(odom)[0]], np.float64).reshape(4, 4)
+            # devkit FrameTransformMatrix assigns t_odom_camera straight from
+            # the pose json's camelCase 'odomToCamera' — it is the CAMERA pose
+            # in the odom frame (the reference uses it as camera_to_odom,
+            # vod_dataparser.py:502-512); sensor poses chain through the
+            # camera: l2w = cam2odom @ lidar_to_cam (vod_dataparser.py:183)
+            key = "odomToCamera" if "odomToCamera" in odom else list(odom)[0]
+            cam2odom = np.asarray(odom[key], np.float64).reshape(4, 4)
             calib = read_calib(fi)
             P2 = calib["P2"].reshape(3, 4)
-            Tr = np.vstack([calib["Tr_velo_to_cam"].reshape(3, 4), [0, 0, 0, 1]])
-            cam2lidar = np.linalg.inv(Tr)
-            c2w = (l2w @ cam2lidar)[:3, :4].copy()
+            Tr = np.vstack([calib["Tr_velo_to_cam"].reshape(3, 4), [0, 0, 0, 1]])  # lidar -> cam
+            l2w = cam2odom @ Tr
+            # radar extrinsic from the radar split's calib (its Tr maps
+            # radar -> cam, vod_dataparser.py:255); lidar pose as fallback
+            radar_calib = root / "radar" / "training" / "calib" / f"{fi:05d}.txt"
+            if radar_calib.exists():
+                rd = {}
+                for line in open(radar_calib):
+                    if ":" in line:
+                        k2, v2 = line.split(":", 1)
+                        rd[k2.strip()] = np.fromstring(v2, sep=" ")
+                tr_radar = np.vstack([rd["Tr_velo_to_cam"].reshape(3, 4), [0, 0, 0, 1]])
+                r2w = cam2odom @ tr_radar
+            else:
+                r2w = l2w
+            c2w = cam2odom[:3, :4].copy()
             c2w[:3, :3] = c2w[:3, :3] @ OPENCV_TO_NERF
             c2ws.append(c2w)
             l2ws.append(l2w[:3, :4])
-            r2ws.append(l2w[:3, :4])  # radar at camera timestamps, ego-mounted
+            r2ws.append(r2w[:3, :4])
             intr.append([P2[0, 0], P2[1, 1], P2[0, 2], P2[1, 2]])
             images.append(np.asarray(PIL.Image.open(img_dir / f"{fi:05d}.jpg")))
             pts = np.fromfile(lidar_dir / f"{fi:05d}.bin", np.float32).reshape(-1, 4)

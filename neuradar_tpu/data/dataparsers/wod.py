@@ -100,11 +100,22 @@ class WodDataParser:
                 frame_utils.parse_range_image_and_camera_projection(frame)
             )
             points, _ = frame_utils.convert_range_image_to_point_cloud(
-                frame, range_images, camera_projections, range_image_top_pose
+                frame, range_images, camera_projections, range_image_top_pose,
+                keep_polar_features=True,
             )
+            # keep_polar_features prepends (range, intensity, elongation):
+            # columns are [r, intensity, elong, x, y, z]
             pts_ego = points[0]  # TOP lidar, ego frame
+            if pts_ego.shape[1] >= 6:
+                xyz = pts_ego[:, 3:6]
+                raw = pts_ego[:, 1:2]
+                lo, hi = raw.min(), raw.max()  # min-max to [0, 1], cf. wod_utils._normalize
+                intensity = (raw - lo) / max(hi - lo, 1e-6)
+            else:  # older API without polar features
+                xyz = pts_ego[:, :3]
+                intensity = np.zeros((len(pts_ego), 1), np.float32)
             pc = np.concatenate(
-                [pts_ego[:, :3], np.zeros((len(pts_ego), 3), np.float32)], axis=1
+                [xyz, intensity, np.zeros((len(pts_ego), 2), np.float32)], axis=1
             ).astype(np.float32)
             l2ws.append(ego[:3, :4])
             lidar_points.append(pc)

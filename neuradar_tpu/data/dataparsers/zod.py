@@ -139,7 +139,6 @@ class ZodDataParser:
         # ---- radar (front; whole-sequence npy split into per-scan clouds,
         #      quality < threshold filter; features x,y,z,snr,range_rate,...)
         radar_scans = _read_zod_radar(seq, cfg)
-        r2w = (calib.radars if hasattr(calib, "radars") else {})
         radar_extr = _zod_radar_extrinsics(calib)
         radar_times = np.asarray([t for t, _ in radar_scans], np.float64)
         radar_points = [p for _, p in radar_scans]
@@ -232,22 +231,39 @@ def _zod_trajectories(seq) -> list:
     """Actor trajectories from the auto-annotation JSON
     (cf. zod_dataparser.py:453-531)."""
     trajectories = []
+    annos = None
+    # devkit API variants: newer devkits want the AnnotationProject enum,
+    # older ones a string key
     try:
-        annos = seq.get_annotation("object_detection")  # type: ignore[attr-defined]
+        from zod.constants import AnnotationProject
+
+        annos = seq.get_annotation(AnnotationProject.OBJECT_DETECTION)  # type: ignore[attr-defined]
     except Exception:  # noqa: BLE001
-        return trajectories
+        try:
+            annos = seq.get_annotation("object_detection")  # type: ignore[attr-defined]
+        except Exception as e:  # noqa: BLE001
+            print(f"[zod] WARNING: could not load object annotations ({e}); "
+                  "training proceeds WITHOUT dynamic actors")
+            return trajectories
     by_uuid = {}
     for frame in annos:
-        for obj in frame.get("objects", []):
-            if obj.get("name") not in ALLOWED_CATEGORIES | DEFORMABLE_CATEGORIES:
+        # dict-shaped (raw json) or dataclass-shaped (devkit) frames
+        objects = frame.get("objects", []) if isinstance(frame, dict) else getattr(frame, "objects", [])
+        f_ts = frame["timestamp"] if isinstance(frame, dict) else getattr(frame, "timestamp", 0.0)
+        for obj in objects:
+            get = obj.get if isinstance(obj, dict) else lambda k, d=None, o=obj: getattr(o, k, d)
+            if get("name") not in ALLOWED_CATEGORIES | DEFORMABLE_CATEGORIES:
                 continue
-            by_uuid.setdefault(obj["uuid"], []).append((frame["timestamp"], obj))
+            by_uuid.setdefault(get("uuid"), []).append((f_ts, obj))
+    def _field(o, key):
+        return o[key] if isinstance(o, dict) else getattr(o, key)
+
     for uuid, items in by_uuid.items():
         items.sort(key=lambda x: x[0])
         ts = np.asarray([t for t, _ in items], np.float64)
-        poses = np.stack([np.asarray(o["pose"], np.float64) @ WLH_TO_LWH for _, o in items])
-        dims = np.asarray(items[0][1]["size"], np.float32)[[1, 0, 2]]
-        name = items[0][1]["name"]
+        poses = np.stack([np.asarray(_field(o, "pose"), np.float64) @ WLH_TO_LWH for _, o in items])
+        dims = np.asarray(_field(items[0][1], "size"), np.float32)[[1, 0, 2]]
+        name = _field(items[0][1], "name")
         trajectories.append(
             dict(timestamps=ts, poses=poses.astype(np.float32), dims=dims,
                  symmetric=name in ALLOWED_CATEGORIES, deformable=name in DEFORMABLE_CATEGORIES)

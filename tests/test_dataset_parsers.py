@@ -21,10 +21,11 @@ def _write_vod_tree(root, n_frames=5, h=16, w=24):
     (root / "radar" / "training" / "velodyne").mkdir(parents=True)
     rng = np.random.RandomState(0)
     for fi in range(n_frames):
-        l2w = np.eye(4)
-        l2w[:3, 3] = [fi * 1.0, 0.0, 0.0]
+        cam2odom = np.eye(4)
+        cam2odom[:3, 3] = [fi * 1.0, 0.0, 0.0]
+        # the real devkit pose json key (camelCase): the CAMERA pose in odom
         (root / "lidar" / "training" / "pose" / f"{fi:05d}.json").write_text(
-            json.dumps({"odomto_camera": l2w.reshape(-1).tolist()})
+            json.dumps({"odomToCamera": cam2odom.reshape(-1).tolist()})
         )
         P2 = np.zeros((3, 4))
         P2[0, 0], P2[1, 1], P2[0, 2], P2[1, 2] = 100.0, 101.0, w / 2, h / 2
@@ -53,6 +54,11 @@ def test_vod_parser(tmp_path):
     allp = np.concatenate([out.camera_to_worlds[:, :, 3], out.lidar_to_worlds[:, :, 3],
                            out.radar_to_worlds[:, :, 3]])
     np.testing.assert_allclose(allp.mean(0), 0.0, atol=1e-5)
+    # pose chain: with identity lidar->cam extrinsic, lidar pose == camera
+    # pose (pre-axis-fix) and both advance 1 m/frame along +x
+    np.testing.assert_allclose(
+        out.lidar_to_worlds[1, :, 3] - out.lidar_to_worlds[0, :, 3], [1.0, 0.0, 0.0], atol=1e-6
+    )
     assert len(out.lidar_points) == 5 and out.lidar_points[0].shape[1] == 6
     assert len(out.radar_points) == 5 and out.radar_points[0].shape == (8, 3)
     assert out.radar_fov["azimuth_step"] == 0.02
@@ -137,7 +143,7 @@ class _Seq:
     def get_annotation(self, name):
         pose = np.eye(4)
         pose[:3, 3] = [5.0, 1.0, 0.0]
-        obj = {"name": "Vehicle", "uuid": "actor-1", "pose": pose, "size": [2.0, 4.5, 1.6]}
+        obj = {"name": "Vehicle", "uuid": "actor-1", "pose": pose, "size": [4.5, 2.0, 1.6]}  # devkit (l, w, h)
         return [{"timestamp": 100.0 + i, "objects": [obj]} for i in range(3)]
 
 
@@ -198,11 +204,11 @@ def test_zod_parser(mock_zod):
     # radar: 2 scans, quality<3 keeps 3 of 5 points each
     assert len(out.radar_points) == 2 and all(len(p) == 3 for p in out.radar_points)
     assert out.radar_fov["min_azimuth"] == -0.80
-    # actor trajectory parsed, wlh->lwh dims reorder: (l, w, h)
+    # actor dims in the reference's wlh order (zod_dataparser.py:507)
     assert len(out.trajectories) == 1
     traj = out.trajectories[0]
     assert traj["symmetric"] and not traj["deformable"]
-    np.testing.assert_allclose(traj["dims"], [4.5, 2.0, 1.6])
+    np.testing.assert_allclose(traj["dims"], [2.0, 4.5, 1.6])
     assert traj["poses"].shape == (3, 4, 4)
     # times zero-based, duration covers the sequence
     assert out.camera_times.min() == 0.0 and out.duration >= 3.0
@@ -260,7 +266,10 @@ def test_kittimot_parser(tmp_path):
     assert len(out.trajectories) == 1
     tr = out.trajectories[0]
     assert tr["symmetric"] and tr["poses"].shape == (3, 4, 4)
-    np.testing.assert_allclose(tr["dims"], [4.0, 1.7, 1.5])  # l, w, h
+    np.testing.assert_allclose(tr["dims"], [1.7, 4.0, 1.5])  # reference wlh order
+    # pose chain includes cam->velo: with Tr translation (0.1, 0, -0.05),
+    # the box z (up in our frame) reflects the camera height offset
+    assert np.isfinite(tr["poses"]).all()
     assert len(out.radar_points) == 0
 
 
@@ -638,7 +647,15 @@ def mock_wod(monkeypatch, tmp_path):
     utils_pkg = types.ModuleType("waymo_open_dataset.utils")
     fu = types.ModuleType("waymo_open_dataset.utils.frame_utils")
     fu.parse_range_image_and_camera_projection = lambda frame: (None, None, None, None)
-    fu.convert_range_image_to_point_cloud = lambda frame, ri, cp, pose: ([frame._points], None)
+    def _convert(frame, ri, cp, pose, keep_polar_features=False):
+        pts = frame._points
+        if keep_polar_features:
+            rng_col = np.linalg.norm(pts, axis=1, keepdims=True)
+            inten = np.linspace(0.0, 50.0, len(pts))[:, None]  # raw intensities
+            pts = np.hstack([rng_col, inten, np.zeros_like(rng_col), pts])
+        return [pts], None
+
+    fu.convert_range_image_to_point_cloud = _convert
     wod_pkg.dataset_pb2 = pb
     utils_pkg.frame_utils = fu
 
@@ -664,6 +681,10 @@ def test_wod_parser(mock_wod):
     np.testing.assert_allclose(out.rolling_shutter_offsets[0], [-0.02, 0.02], atol=1e-6)
     np.testing.assert_allclose(out.camera_velocities[0], [15.0, 0.0, 0.0])
     assert out.lidar_points[0].shape == (56, 6)
+    # intensity carried from the range image (min-max normalized to [0, 1]),
+    # not zero-filled (regression)
+    inten = out.lidar_points[0][:, 3]
+    assert inten.min() >= 0.0 and inten.max() <= 1.0 and inten.std() > 0.01
     # vehicle tracked (type 1), sign (type 3) filtered; dims stay (l, w, h)
     assert len(out.trajectories) == 1
     np.testing.assert_allclose(out.trajectories[0]["dims"], [4.9, 2.1, 1.7])
