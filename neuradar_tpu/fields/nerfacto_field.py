@@ -18,7 +18,7 @@ from neuradar_tpu.cameras.rays import RaySamples
 from neuradar_tpu.field_components.encodings import HashEncoding, SHEncoding
 from neuradar_tpu.field_components.mlp import MLP
 from neuradar_tpu.field_components.spatial_distortions import ScaledSceneContraction
-from neuradar_tpu.fields.neurad_field import get_normalized_directions, trunc_exp
+from neuradar_tpu.fields.neurad_field import trunc_exp
 
 
 class NerfactoField(nn.Module):
@@ -58,11 +58,6 @@ class NerfactoField(nn.Module):
         if self.appearance_embedding_dim > 0:
             self.appearance = nn.Embed(self.num_embeds, self.appearance_embedding_dim)
 
-    def get_density(self, positions: jax.Array) -> jax.Array:
-        x = self.contraction(positions)
-        h = self.mlp_base(self.grid(x))
-        return trunc_exp(h[..., :1])
-
     def __call__(self, ray_samples: RaySamples, camera_indices: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
         positions = ray_samples.frustums.get_positions()
         x = self.contraction(positions)
@@ -71,10 +66,11 @@ class NerfactoField(nn.Module):
         geo_feat = h[..., 1:]
 
         dirs = jnp.broadcast_to(ray_samples.frustums.directions[:, None, :], positions.shape)
-        d_embed = self.direction_encoding(get_normalized_directions(dirs))
+        d_embed = self.direction_encoding(dirs)  # raw unit dirs (see neurad_field)
         head_in = [d_embed, geo_feat]
         if self.appearance_embedding_dim > 0:
             idx = camera_indices if camera_indices is not None else jnp.zeros(positions.shape[0], jnp.int32)
+            idx = idx.reshape(positions.shape[0])  # accept [R] or RayBundle's [R, 1]
             emb = self.appearance(idx.astype(jnp.int32))  # [R, E]
             head_in.append(jnp.broadcast_to(emb[:, None, :], (*positions.shape[:2], emb.shape[-1])))
         out = self.mlp_head(jnp.concatenate(head_in, axis=-1))

@@ -25,8 +25,7 @@ from neuradar_tpu.field_components.neurad_encoding import (
     StaticSettings,
 )
 from neuradar_tpu.model_components.dynamic_actors import ActorCandidates
-
-EPS = 1.0e-7
+from neuradar_tpu.utils.math import GaussiansStd
 
 
 @jax.custom_vjp
@@ -62,8 +61,9 @@ class SigmoidDensity(nn.Module):
         return jax.nn.sigmoid(-sdf * beta)
 
     @staticmethod
-    def beta_value(params) -> jax.Array:
-        return jnp.abs(params["beta"])
+    def beta_value(params, beta_min: float = 1e-4) -> jax.Array:
+        """The effective steepness forward() uses (abs(beta) + beta_min)."""
+        return jnp.abs(params["beta"]) + beta_min
 
 
 @dataclass
@@ -100,11 +100,6 @@ class NeuRADProposalFieldConfig:
         )
     )
     hidden_dim: int = 16
-
-
-def get_normalized_directions(directions: jax.Array) -> jax.Array:
-    """Map directions from [-1, 1] to [0, 1] (cf. fields/base_field.py)."""
-    return (directions + 1.0) / 2.0
 
 
 class NeuRADField(nn.Module):
@@ -146,8 +141,10 @@ class NeuRADField(nn.Module):
         cfg = self.config
         if cfg.multisample_mode == "hexagonal":
             gaussians = ray_samples.frustums.get_hexagonal_gaussian()
-        else:
+        elif cfg.multisample_mode == "isotropic":
             gaussians = ray_samples.frustums.get_fast_isotropic_gaussian(cfg.num_multisamples)
+        else:
+            raise ValueError(f"unknown multisample_mode: {cfg.multisample_mode!r}")
         n_ms = gaussians.mean.shape[-2]
         dirs = jnp.broadcast_to(
             ray_samples.frustums.directions[:, None, :], gaussians.mean[..., 0, :].shape
@@ -155,10 +152,8 @@ class NeuRADField(nn.Module):
         # average features over multisamples (cf. _rescale_grid_features mean
         # over the M axis, neurad_encoding.py:315); M=1 by default
         features = None
-        from neuradar_tpu.utils.math import GaussiansStd as _G
-
         for m in range(n_ms):
-            g_m = _G(mean=gaussians.mean[..., m, :], std=gaussians.std[..., m, :])
+            g_m = GaussiansStd(mean=gaussians.mean[..., m, :], std=gaussians.std[..., m, :])
             f_m, dirs_m = self.hashgrid(g_m, candidates, dirs if m == 0 else None)
             if m == 0:
                 dirs = dirs_m if dirs_m is not None else dirs
@@ -167,7 +162,9 @@ class NeuRADField(nn.Module):
 
         geo = self.mlp_geo(features)  # [R, S, 1 + D]
         geo_out, geo_embed = geo[..., :1], geo[..., 1:]
-        dir_embed = self.direction_encoding(get_normalized_directions(dirs))
+        # raw unit directions: tcnn's SH (the reference's real path) unmaps
+        # its [0,1] input internally, so the SH basis sees the true direction
+        dir_embed = self.direction_encoding(dirs)
         feature = geo_embed + self.mlp_feature(jnp.concatenate([geo_embed, dir_embed], axis=-1))
 
         outputs = {"feature": feature}
@@ -182,9 +179,7 @@ class NeuRADField(nn.Module):
 def field_query_geometry(field: "NeuRADField", positions: jax.Array, std: float = 0.05) -> jax.Array:
     """Query raw geometry (sdf or log-density) at world positions [R, S, 3]
     — used by the exporter's SDF-surface extraction."""
-    from neuradar_tpu.utils.math import GaussiansStd as _G
-
-    g = _G(mean=positions, std=jnp.full((*positions.shape[:-1], 1), std, positions.dtype))
+    g = GaussiansStd(mean=positions, std=jnp.full((*positions.shape[:-1], 1), std, positions.dtype))
     feats, _ = field.hashgrid(g, None, None)
     geo = field.mlp_geo(feats)
     return geo[..., :1]
@@ -203,13 +198,16 @@ class NeuRADProposalField(nn.Module):
             config=self.config.grid, static_scale=self.static_scale, n_actors=self.n_actors,
             compute_dtype=self.compute_dtype,
         )
-        self.density_decoder = nn.Dense(1, use_bias=False)
+        # one hidden layer of config.hidden_dim (cf. the reference proposal
+        # field's MLP; a bias-free linear readout previously ignored the knob)
+        self.density_decoder = MLP(
+            out_dim=1, num_layers=2, layer_width=self.config.hidden_dim,
+            compute_dtype=self.compute_dtype,
+        )
 
     def __call__(self, ray_samples: RaySamples, candidates: Optional[ActorCandidates]) -> jax.Array:
-        from neuradar_tpu.utils.math import GaussiansStd as _G
-
         gaussians = ray_samples.frustums.get_fast_isotropic_gaussian(num_multisamples=1)
-        g = _G(mean=gaussians.mean[..., 0, :], std=gaussians.std[..., 0, :])
+        g = GaussiansStd(mean=gaussians.mean[..., 0, :], std=gaussians.std[..., 0, :])
         features, _ = self.hashgrid(g, candidates, None)
         density = self.density_decoder(features)
         return trunc_exp(density)  # [R, S, 1]
