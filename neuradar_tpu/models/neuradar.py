@@ -124,13 +124,14 @@ class NeuRadarModelConfig:
     """bfloat16 halves hashgrid gather bandwidth + runs MLPs on the MXU in
     bf16 (the TPU analogue of the reference's AMP, trainer.py:200)."""
     nff_chunks: int = 1
+    """Sequential ray chunks for the NFF core (nn.scan); bounds the padded
+    HBM footprint of [rays, samples] intermediates. Must divide total rays
+    (otherwise falls back to a single unchunked evaluation)."""
     radar_decode_chunks: int = 4
     """Radar scans are decoded in this many groups (remat'd): the encoder's
     self-attention materializes [scans, rays, rays] — 16 x 3424^2 at the
     reference batch — and grouping bounds that live buffer the same way
     nff_chunks bounds the field eval."""
-    """Sequential ray chunks for the NFF core (nn.scan); bounds the padded
-    HBM footprint of [rays, samples] intermediates. Must divide total rays."""
     nff_remat: bool = True
     """Rematerialize the NFF core in backward (recompute-over-store)."""
     radar_decoder_type: str = "encoder"
@@ -453,10 +454,14 @@ class NeuRadarModel(nn.Module):
             "weights_final": weights_main,
             "sdist_final": _sdist(samples_main),
         }
+        if cfg.normalize_depth:
+            from neuradar_tpu.model_components.renderers import render_depth_expected as _prop_depth
+        else:
+            _prop_depth = render_depth_simple
         for i, (pw, prs) in enumerate(zip(weights_list, samples_list)):
             outputs[f"weights_prop_{i}"] = pw[..., 0]
             outputs[f"sdist_prop_{i}"] = _sdist(prs)
-            outputs[f"prop_depth_{i}"] = render_depth_simple(pw, prs)
+            outputs[f"prop_depth_{i}"] = _prop_depth(pw, prs)
 
         # lidar carving masks (cf. _compute_is_close_to_lidar, :971-994)
         if train and "is_lidar" in ray_bundle.metadata:

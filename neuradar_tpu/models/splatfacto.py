@@ -169,7 +169,7 @@ def project_gaussians(params, alive, w2c: jax.Array, fx, fy, cx, cy, width, heig
     J = jnp.stack(
         [
             jnp.stack([fx / -z, jnp.zeros_like(z), fx * x / (z * z)], -1),
-            jnp.stack([jnp.zeros_like(z), -fy / -z, -fy * y / (z * z) * -1.0], -1),
+            jnp.stack([jnp.zeros_like(z), -fy / -z, -fy * y / (z * z)], -1),
         ],
         axis=-2,
     )  # [G, 2, 3]
@@ -203,6 +203,11 @@ def rasterize(params, alive, w2c, fx, fy, cx, cy, height: int, width: int, top_k
         params, alive, w2c, fx, fy, cx, cy, width, height
     )
     G = mean2d.shape[0]
+    # rasterize on a TILE-multiple canvas, crop back at the end — callers
+    # may pass any resolution (e.g. 1080 is not a multiple of 16)
+    out_h, out_w = height, width
+    height = -(-height // TILE) * TILE
+    width = -(-width // TILE) * TILE
     th, tw = height // TILE, width // TILE
     n_tiles = th * tw
 
@@ -213,7 +218,7 @@ def rasterize(params, alive, w2c, fx, fy, cx, cy, height: int, width: int, top_k
     # overlap: gaussian circle (3 sigma) vs tile circle
     tile_r = TILE * 0.7071 + 1.0
     d2 = jnp.sum((centers[:, None, :] - mean2d[None, :, :]) ** 2, -1)  # [T, G]
-    overlap = jnp.sqrt(d2) < (radius[None, :] + tile_r)
+    overlap = d2 < (radius[None, :] + tile_r) ** 2  # sqrt-free: ~T*G elements
     # score: prefer overlapping; among them the nearest (depth) gaussians
     score = jnp.where(overlap & in_view[None, :], -depth[None, :], -jnp.inf)
     top_score, top_idx = jax.lax.top_k(score, min(top_k, G))  # [T, K] (nearest first)
@@ -256,7 +261,7 @@ def rasterize(params, alive, w2c, fx, fy, cx, cy, height: int, width: int, top_k
     def untile(x):
         ch = x.shape[-1]
         return (
-            x.reshape(th, tw, TILE, TILE, ch).transpose(0, 2, 1, 3, 4).reshape(height, width, ch)
+            x.reshape(th, tw, TILE, TILE, ch).transpose(0, 2, 1, 3, 4).reshape(height, width, ch)[:out_h, :out_w]
         )
 
     return untile(rgb_t), untile(alpha_t), untile(depth_t), (mean2d, radius, in_view)
@@ -383,12 +388,13 @@ def refine_gaussians(config: SplatfactoConfig, params, state, rng):
     order = jnp.argsort(-cand_score)  # best candidates first
     free_order = jnp.argsort(~free)  # free slots first (True sorts before False via ~)
 
-    k = G  # static loop bound; masked by validity below
     src = order
     dst = free_order
     can_copy = (jnp.arange(G) < n_free) & jnp.isfinite(cand_score[src])
 
-    noise = jax.random.normal(rng, (G, 3)) * jnp.exp(params["log_scales"][src])
+    local = jax.random.normal(rng, (G, 3)) * jnp.exp(params["log_scales"][src])
+    rot_src = quat_to_rotmat(params["quats"][src])  # sample in the gaussian's frame
+    noise = jnp.einsum("gij,gj->gi", rot_src, local)
     new_means = params["means"][src] + jnp.where(split[src][:, None], noise, 0.0)
     new_logscales = params["log_scales"][src] - jnp.where(split[src][:, None], jnp.log(1.6), 0.0)
 

@@ -194,16 +194,25 @@ class ADNeuRadarPipeline:
         return run
 
     def render_camera(self, variables, cam_idx: int, actor_edits=None) -> Dict[str, np.ndarray]:
-        """Full-image render at 1/upsample resolution, CNN-upsampled, with
-        NFF chunking at eval_num_rays_per_chunk
+        """Full-image render with NFF chunking at eval_num_rays_per_chunk
         (cf. get_outputs_for_camera_ray_bundle, models/neuradar.py:905-969).
+        With compensate_upsampling_when_rendering (default) rays are shot at
+        1/upsample resolution and the CNN upsamples to the target size
+        (reference :922-926); with it off, every pixel gets a ray and the
+        CNN's u-times output is average-pooled back to the image size.
         actor_edits shifts/removes actors for simulation renders."""
         out = self.outputs
         u = self.config.model.rgb_upsample_factor
         H, W = out.image_size
-        h, w = H // u, W // u
-        rows = np.arange(h) * u + u // 2
-        cols = np.arange(w) * u + u // 2
+        compensate = self.config.model.compensate_upsampling_when_rendering
+        if compensate:
+            h, w = H // u, W // u
+            rows = np.arange(h) * u + u // 2
+            cols = np.arange(w) * u + u // 2
+        else:
+            h, w = H // u * u, W // u * u  # CNN needs u-divisible patches
+            rows = np.arange(h)
+            cols = np.arange(w)
         rr, cc = np.meshgrid(rows, cols, indexing="ij")
         coords_np = np.stack([rr.reshape(-1), cc.reshape(-1)], axis=1)
         n_rays = len(coords_np)
@@ -227,9 +236,13 @@ class ADNeuRadarPipeline:
         depth = np.concatenate([np.asarray(o["depth"]) for o in outs])[:n_rays]
         acc = np.concatenate([np.asarray(o["accumulation"]) for o in outs])[:n_rays]
 
-        rgb = self._eval_decode_rgb(variables, jnp.asarray(features), (h, w))
+        rgb = np.asarray(self._eval_decode_rgb(variables, jnp.asarray(features), (h, w))[0])
+        if not compensate:
+            # CNN output is u x the (already full-res) ray grid: average-pool
+            # back to image resolution (anti-aliased full-res render)
+            rgb = rgb.reshape(h, u, w, u, 3).mean(axis=(1, 3)) if u > 1 else rgb
         return {
-            "rgb": np.asarray(rgb[0]),
+            "rgb": rgb,
             "depth": depth.reshape(h, w),
             "accumulation": acc.reshape(h, w),
         }

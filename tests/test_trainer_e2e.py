@@ -142,3 +142,19 @@ def test_steps_per_dispatch_scan(tmp_path):
     assert trainer._step == 5
     assert np.isfinite(metrics["loss"])
     assert metrics["train_rays_per_sec"] > 0
+
+
+def test_render_camera_uncompensated(trained):
+    """compensate_upsampling_when_rendering=False shoots a ray per pixel and
+    average-pools the CNN's u-times output back to image size (regression:
+    the flag used to be dead config)."""
+    trainer, _ = trained
+    pipeline = trainer.pipeline
+    flag = pipeline.config.model.compensate_upsampling_when_rendering
+    try:
+        pipeline.config.model.compensate_upsampling_when_rendering = False
+        rend = pipeline.render_camera(trainer.eval_variables(), 0)
+        assert rend["rgb"].shape == (48, 72, 3)
+        assert np.isfinite(rend["rgb"]).all()
+    finally:
+        pipeline.config.model.compensate_upsampling_when_rendering = flag
