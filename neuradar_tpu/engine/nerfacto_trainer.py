@@ -98,24 +98,21 @@ class NerfactoTrainer:
         )
 
         # single adam, warmup + exponential decay to lr_final
-        # (cf. nerfacto optimizers: fields/proposals at 1e-2 -> 1e-4)
-        sched = optax.join_schedules(
-            [
-                optax.linear_schedule(0.0, c.lr_init, c.warmup_steps),
-                optax.exponential_decay(
-                    c.lr_init, max(c.max_num_iterations - c.warmup_steps, 1),
-                    c.lr_final / c.lr_init,
-                ),
-            ],
-            [c.warmup_steps],
-        )
+        # (cf. nerfacto optimizers: fields/proposals at 1e-2 -> 1e-4);
+        # reuses the package scheduler so warmup semantics stay in one place
+        from neuradar_tpu.engine.schedulers import ExponentialDecaySchedulerConfig
+
+        sched = ExponentialDecaySchedulerConfig(
+            lr_final=c.lr_final, warmup_steps=c.warmup_steps,
+            max_steps=c.max_num_iterations, ramp="linear",
+        ).build(c.lr_init)
         self.tx = optax.adam(sched, eps=1e-15)
         self.opt_state = self.tx.init(self.variables["params"])
 
         layout, u = self.layout, 1
         model, tx = self.model, self.tx
 
-        def loss_fn(params, batch, rng):
+        def loss_fn(params, batch, rng, train=True):
             bundle = build_train_bundle(tables, batch, layout, u)
             gt: Dict[str, jax.Array] = {}
             if not lidar_mode:
@@ -128,8 +125,9 @@ class NerfactoTrainer:
                 gt["lidar_intensity"] = batch["lidar_intensity"]
                 gt["did_return"] = batch["did_return"]
             total, aux = model.apply(
-                {"params": params}, bundle, gt, train=True,
-                method=model.loss_and_metrics, rngs={"sampling": rng},
+                {"params": params}, bundle, gt, train=train,
+                method=model.loss_and_metrics,
+                rngs={"sampling": rng} if train else {},
             )
             return total, aux
 
@@ -142,11 +140,11 @@ class NerfactoTrainer:
             return params, opt_state, total, loss_dict, metrics
 
         self._train_step = jax.jit(train_step)
-        self._eval_loss = jax.jit(lambda p, b, r: loss_fn(p, b, r)[0])
+        self._eval_loss = jax.jit(lambda p, b, r: loss_fn(p, b, r, train=False)[0])
 
     def train(self, max_iters: Optional[int] = None) -> Dict[str, float]:
         c = self.config
-        iters = c.max_num_iterations if max_iters is None else max_iters
+        iters = max(c.max_num_iterations - self._step, 0) if max_iters is None else max_iters
         params = self.variables["params"]
         key = jax.random.PRNGKey(c.seed + 7)
         self.dm.start_prefetch()

@@ -98,14 +98,20 @@ class SplatfactoTrainer:
         def train_step(params, opt_state, state, w2c, intrin, gt):
             camera = {"w2c": w2c, "fx": intrin[0], "fy": intrin[1], "cx": intrin[2], "cy": intrin[3],
                       "height": H, "width": W}
-            def loss_fn(p):
-                loss, rend = sf.splat_loss(cfg_model, p, state, camera, gt)
+
+            def loss_fn(p, off):
+                loss, rend = sf.splat_loss(cfg_model, p, state, camera, gt, mean2d_offset=off)
                 return loss, rend
 
-            (loss, rend), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            # densification stats from the projected-mean gradient surrogate
-            mean2d, radius, in_view = rend["aux"]
-            g2d = jnp.linalg.norm(grads["means"], axis=-1)  # world-grad magnitude proxy
+            zero_off = jnp.zeros((cfg_model.max_gaussians, 2), jnp.float32)
+            (loss, rend), (grads, g_off) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                params, zero_off
+            )
+            _mean2d, _radius, in_view = rend["aux"]
+            # TRUE screen-space mean gradient (via the zero offset injection),
+            # scaled pixels -> half-resolution units so densify_grad_thresh
+            # keeps the reference splatfacto's calibration
+            g2d = jnp.linalg.norm(g_off, axis=-1) * (max(H, W) / 2.0)
             state = sf.accumulate_grad_stats(state, g2d, in_view)
             updates, opt_state = self.tx.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
@@ -130,7 +136,9 @@ class SplatfactoTrainer:
 
     def train(self, num_iterations: Optional[int] = None) -> Dict[str, float]:
         cfg = self.config
-        n = num_iterations or cfg.max_num_iterations
+        # default: train TO max_num_iterations (resume-aware), not for
+        # max_num_iterations additional steps
+        n = num_iterations if num_iterations is not None else max(cfg.max_num_iterations - self._step, 0)
         rng = np.random.RandomState(cfg.seed)
         key = jax.random.PRNGKey(cfg.seed)
         train_frames = self.outputs.camera_split.train
@@ -145,11 +153,27 @@ class SplatfactoTrainer:
             )
             if self._step > cfg.model.warmup_steps and self._step % cfg.model.refine_every == 0:
                 key, sub = jax.random.split(key)
-                self.params, self.state = self._refine(self.params, self.state, sub)
-                self.opt_state = self.tx.init(self.params)  # reset moments after refine
+                self.params, self.state, refreshed = self._refine(self.params, self.state, sub)
+                # reset Adam moments ONLY for the refreshed slots (cf. the
+                # reference's dup_in_optim); surviving gaussians keep theirs
+                fresh = self.tx.init(self.params)
+                G = cfg.model.max_gaussians
+
+                def merge(old, new):
+                    if getattr(old, "ndim", 0) >= 1 and old.shape[0] == G:
+                        m = refreshed.reshape((G,) + (1,) * (old.ndim - 1))
+                        return jnp.where(m, new, old)
+                    return old  # counts / scalar state keep their history
+
+                self.opt_state = jax.tree.map(merge, self.opt_state, fresh)
             if self._step % cfg.steps_per_log == 0:
                 last = {"loss": float(loss), "num_gaussians": float(jnp.sum(self.state["alive"]))}
                 self.writer.put_scalars(self._step, last)
+            if (cfg.steps_per_eval_all_images and self._step > 0
+                    and self._step % cfg.steps_per_eval_all_images == 0):
+                ev = self.eval_psnr()
+                self.writer.put_scalars(self._step, ev)
+                last.update(ev)
             self._step += 1
         last["total_train_time"] = time.perf_counter() - t0
         last.update(self.eval_psnr())

@@ -54,7 +54,9 @@ class MetricTracker:
             self.best = value
             self.num_degradations = 0
             return False
-        if value > self.best * (1 + self.config.margin):
+        # additive margin scaled by |best| so the tolerance works for
+        # negative metrics too (the trainer tracks -psnr)
+        if value > self.best + self.config.margin * max(abs(self.best), 1e-8):
             self.num_degradations += 1
         return self.num_degradations > 0
 
@@ -220,7 +222,9 @@ class Trainer:
 
     def train(self, num_iterations: Optional[int] = None) -> Dict[str, float]:
         cfg = self.config
-        n_iters = num_iterations or cfg.max_num_iterations
+        # default: train TO max_num_iterations (resume-aware), not for
+        # max_num_iterations additional steps after a checkpoint load
+        n_iters = num_iterations if num_iterations is not None else max(cfg.max_num_iterations - self._step, 0)
         layout = self.pipeline.layout
         rays_per_batch = layout.total
         rng = jax.random.PRNGKey(cfg.seed)
@@ -267,12 +271,15 @@ class Trainer:
 
             first_window = step + 1 == k
             if (step + 1) // cfg.steps_per_log != (step + 1 - k) // cfg.steps_per_log or first_window or local_i >= n_iters:
-                total = float(total)  # value fetch = the only true sync on the relay backend
+                # ONE batched fetch (the only true sync on the relay
+                # backend — per-value float() would pay ~37 ms each)
+                total, loss_host, metrics_host = jax.device_get((total, loss_dict, metrics))
+                total = float(total)
                 now = time.perf_counter()
                 window_dt = max(now - t_last_log, 1e-9)
                 t_last_log = now
                 n_dev = jax.device_count()
-                scalars = {k2: float(v) for k2, v in {**loss_dict, **metrics}.items()}
+                scalars = {k2: float(v) for k2, v in {**loss_host, **metrics_host}.items()}
                 scalars["loss"] = total
                 # world_size x rays/batch / iter time (cf. trainer.py:333-340),
                 # averaged over the whole window since the last sync so queued
@@ -314,7 +321,16 @@ class Trainer:
                 img_metrics.update(self.pipeline.get_average_eval_lidar_metrics(self.eval_variables()))
                 self.writer.put_scalars(step, img_metrics)
                 last_metrics.update(img_metrics)
-                if cfg.early_stopping and self.tracker.update(-img_metrics["psnr"]) and self.tracker.should_stop:
+                # track the configured metric; 'maximize' metrics negate so
+                # the tracker's lower-is-better convention applies
+                mname = cfg.tracker.metric
+                maximize = any(t in mname for t in ("psnr", "ssim", "accuracy"))
+                tracked = {**last_metrics, **img_metrics}.get(mname, -img_metrics["psnr"])
+                if mname == "loss":  # default config: fall back to -psnr here
+                    tracked = -img_metrics["psnr"]
+                elif maximize:
+                    tracked = -tracked
+                if cfg.early_stopping and self.tracker.update(float(tracked)) and self.tracker.should_stop:
                     break
             t_last_log += time.perf_counter() - t_aux0  # exclude aux time
 
@@ -346,8 +362,6 @@ class Trainer:
             self.writer.put_image(step, "eval_rgb", rend["rgb"])
         radar_ids = pipeline.datamanager.eval_radar_indices()
         if len(radar_ids):
-            import jax as _jax
-
             from neuradar_tpu.model_components import radar_utils as _ru
 
             scan_idx = int(radar_ids[0])

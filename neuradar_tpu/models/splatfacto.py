@@ -193,7 +193,7 @@ def project_gaussians(params, alive, w2c: jax.Array, fx, fy, cx, cy, width, heig
 
 
 def rasterize(params, alive, w2c, fx, fy, cx, cy, height: int, width: int, top_k: int,
-              sh_degree: int = 0):
+              sh_degree: int = 0, mean2d_offset=None):
     """Tile-based alpha compositing (cf. gsplat.rasterize_gaussians).
 
     Returns rgb [H, W, 3], alpha [H, W, 1], depth [H, W, 1], plus the per-
@@ -202,6 +202,10 @@ def rasterize(params, alive, w2c, fx, fy, cx, cy, height: int, width: int, top_k
     mean2d, cov2d, depth, radius, in_view = project_gaussians(
         params, alive, w2c, fx, fy, cx, cy, width, height
     )
+    if mean2d_offset is not None:
+        # zero-valued injection point: its gradient IS the screen-space
+        # mean gradient used for densification (cf. gsplat xys.grad)
+        mean2d = mean2d + mean2d_offset
     G = mean2d.shape[0]
     # rasterize on a TILE-multiple canvas, crop back at the end — callers
     # may pass any resolution (e.g. 1080 is not a multiple of 16)
@@ -267,12 +271,12 @@ def rasterize(params, alive, w2c, fx, fy, cx, cy, height: int, width: int, top_k
     return untile(rgb_t), untile(alpha_t), untile(depth_t), (mean2d, radius, in_view)
 
 
-def render_splats(config: SplatfactoConfig, params, state, camera, background=None):
+def render_splats(config: SplatfactoConfig, params, state, camera, background=None, mean2d_offset=None):
     """Full render for one camera dict {w2c [3,4] or c2w, fx, fy, cx, cy, H, W}."""
     rgb, alpha, depth, aux = rasterize(
         params, state["alive"], camera["w2c"], camera["fx"], camera["fy"], camera["cx"],
         camera["cy"], camera["height"], camera["width"], config.tile_top_k,
-        sh_degree=config.sh_degree,
+        sh_degree=config.sh_degree, mean2d_offset=mean2d_offset,
     )
     if background is None:
         background = jnp.ones(3)
@@ -280,9 +284,9 @@ def render_splats(config: SplatfactoConfig, params, state, camera, background=No
     return {"rgb": rgb, "alpha": alpha, "depth": depth, "aux": aux}
 
 
-def splat_loss(config: SplatfactoConfig, params, state, camera, gt_rgb):
+def splat_loss(config: SplatfactoConfig, params, state, camera, gt_rgb, mean2d_offset=None):
     """0.8 L1 + 0.2 (1 - SSIM) (cf. splatfacto.py get_loss_dict)."""
-    out = render_splats(config, params, state, camera)
+    out = render_splats(config, params, state, camera, mean2d_offset=mean2d_offset)
     l1 = jnp.mean(jnp.abs(out["rgb"] - gt_rgb))
     ssim = _ssim(out["rgb"], gt_rgb)
     loss = (1 - config.ssim_lambda) * l1 + config.ssim_lambda * (1 - ssim)
@@ -420,4 +424,7 @@ def refine_gaussians(config: SplatfactoConfig, params, state, rng):
         "grad_accum": jnp.zeros((G,), jnp.float32),
         "grad_count": jnp.zeros((G,), jnp.float32),
     }
-    return params, state
+    # slots whose parameters were (re)written this refine — the trainer
+    # resets ONLY their optimizer moments (cf. splatfacto dup_in_optim)
+    refreshed = jnp.zeros((G,), bool).at[jnp.where(can_copy, dst, G)].set(True, mode="drop")
+    return params, state, refreshed

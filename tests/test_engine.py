@@ -147,3 +147,17 @@ def test_writer_put_image(tmp_path):
     files = sorted((tmp_path / "images").iterdir())
     assert [f.name for f in files] == ["eval_rgb_000012.png", "eval_rgb_000013.png"]
     assert files[0].read_bytes()[:4] == b"\x89PNG"
+
+
+def test_metric_tracker_negative_metric_plateau():
+    """Tracking -psnr: a plateau (or tiny wobble) must NOT count as
+    degradation (regression: multiplicative margin inverted for negatives)."""
+    from neuradar_tpu.engine.trainer import MetricTracker, MetricTrackerConfig
+
+    t = MetricTracker(MetricTrackerConfig(margin=0.05, patience=3))
+    assert not t.update(-30.0)
+    for _ in range(5):
+        assert not t.update(-30.0)  # exact plateau
+    assert not t.update(-29.5)  # within 5% tolerance of best
+    assert t.update(-20.0)  # real degradation (psnr 30 -> 20)
+    assert not t.should_stop

@@ -162,7 +162,7 @@ def test_refine_densify_and_cull():
         "grad_count": jnp.ones_like(state["grad_count"]),
     }
     n_alive_before = int(state["alive"].sum())
-    params2, state2 = sf.refine_gaussians(cfg, params, state, jax.random.PRNGKey(0))
+    params2, state2, refreshed = sf.refine_gaussians(cfg, params, state, jax.random.PRNGKey(0))
     alive2 = np.asarray(state2["alive"])
     n_alive_after = int(alive2.sum())
     # culled 8, cloned 16 (clones may reuse the culled slots)
