@@ -167,8 +167,12 @@ def main_with_retries() -> None:
     history_path = "BENCH_HISTORY.jsonl"
     best = None
     # a deep relay outage can fail every scale; after a full failed pass,
-    # cool down 10 min and run the ladder once more before giving up
-    ladder = ladder + [["--cooldown"]] + ladder
+    # cool down 10 min and try a SHORT second pass (bounds total bench time
+    # to ~2.5 h even when everything fails)
+    ladder = ladder + [["--cooldown"]] + [
+        ["--chunks", "8", "--scale", "full"],
+        ["--chunks", "8", "--scale", "three8"],
+    ]
     for attempt, extra in enumerate(ladder):
         if extra == ["--cooldown"]:
             if best is not None:
