@@ -143,12 +143,23 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4):
     )
 
 
+WALLTIME_BUDGET_S = 70 * 60  # hard cap: finish (with a reading or not) well under the driver budget
+
+
 def main_with_retries() -> None:
     """Run the measurement in child processes; the axon TPU relay
     occasionally faults ('TPU device error' / worker crash) and a fresh
     process is the only reliable recovery. Escalating ladder: two attempts
-    at the reference batch, then more chunks (smaller live footprint), then
-    a quarter batch as a last resort (a real, conservative rays/s)."""
+    at the reference batch, then a 3/8 batch, then a quarter batch as a last
+    resort (a real, conservative rays/s).
+
+    Robustness contract (the driver may SIGTERM/SIGKILL us at any point):
+    * after EVERY successful attempt the best-so-far JSON line is printed to
+      stdout immediately — a killed run still leaves a parseable last line;
+    * SIGTERM/SIGINT re-print the best reading and exit 0;
+    * total walltime is capped at WALLTIME_BUDGET_S.
+    """
+    import signal
     import subprocess
 
     ladder = [
@@ -159,43 +170,55 @@ def main_with_retries() -> None:
         ["--chunks", "8", "--scale", "three8"],
         ["--chunks", "16", "--scale", "quarter"],
         ["--chunks", "8", "--scale", "full"],
+        ["--chunks", "8", "--scale", "three8"],
     ]
     # below this the relay is provably degraded (healthy runs measured
-    # 199k-279k rays/s; a degraded-relay episode measured ~70): keep trying
-    # for a sane reading, fall back to the best seen only at the end
+    # 199k-279k rays/s; a degraded-relay episode measured ~750): keep trying
+    # for a sane reading but still report the best real measurement
     degraded_thresh = 10_000.0
     history_path = "BENCH_HISTORY.jsonl"
     best = None
-    # a deep relay outage can fail every scale; after a full failed pass,
-    # cool down 10 min and try a SHORT second pass (bounds total bench time
-    # to ~2.5 h even when everything fails)
-    ladder = ladder + [["--cooldown"]] + [
-        ["--chunks", "8", "--scale", "full"],
-        ["--chunks", "8", "--scale", "three8"],
-    ]
+    child = None
+
+    def emit_best():
+        if best is not None:
+            print(json.dumps(best), flush=True)
+
+    def on_term(signum, frame):
+        log(f"signal {signum}: flushing best-so-far and exiting")
+        if child is not None and child.poll() is None:
+            child.kill()
+        emit_best()
+        raise SystemExit(0 if best is not None else 1)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
     for attempt, extra in enumerate(ladder):
-        if extra == ["--cooldown"]:
-            if best is not None:
-                break  # got at least one reading; skip the second pass
-            print("[bench] all first-pass attempts failed; cooling down 600s", file=sys.stderr)
-            time.sleep(600)
-            continue
+        remaining = WALLTIME_BUDGET_S - (time.perf_counter() - T0)
+        if remaining < 420:
+            log("walltime budget nearly exhausted; stopping the ladder")
+            break
+        attempt_timeout = min(2400.0, remaining - 120.0)
         try:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--worker", *extra], capture_output=True, text=True, timeout=3600
+            child = subprocess.Popen(
+                [sys.executable, __file__, "--worker", *extra],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
-            stdout, stderr = proc.stdout, proc.stderr
-        except subprocess.TimeoutExpired as e:  # wedged relay: count as a failed attempt
-            stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-            stderr = "attempt timed out after 3600s"
+            stdout, stderr = child.communicate(timeout=attempt_timeout)
+        except subprocess.TimeoutExpired:  # wedged relay: count as a failed attempt
+            child.kill()
+            stdout, _ = child.communicate()
+            stdout = stdout or ""
+            stderr = f"attempt timed out after {attempt_timeout:.0f}s"
         result = None
         for line in stdout.splitlines():
             if line.startswith("{"):
                 result = json.loads(line)
         if result is None:
             print(f"[bench] attempt {attempt + 1}/{len(ladder)} ({extra}) failed:\n{stderr[-2000:]}",
-                  file=sys.stderr)
-            time.sleep(120)  # let a crashed TPU worker restart
+                  file=sys.stderr, flush=True)
+            time.sleep(min(120, max(0.0, WALLTIME_BUDGET_S - (time.perf_counter() - T0))))
             continue
         try:  # running log of every successful measurement (committed; the
             # honest record across relay-health episodes)
@@ -205,14 +228,18 @@ def main_with_retries() -> None:
             pass
         if best is None or result["value"] > best["value"]:
             best = result
+            emit_best()  # best-so-far on stdout NOW — survives a later kill
         if result["value"] >= degraded_thresh:
             break
         print(f"[bench] attempt {attempt + 1} measured {result['value']} rays/s — relay degraded, retrying",
-              file=sys.stderr)
+              file=sys.stderr, flush=True)
         time.sleep(120)
     if best is None:
         raise SystemExit("bench failed after retries")
     if best["value"] < degraded_thresh:
+        # annotate with the best measurement actually on record — never a
+        # constant baked into code (the committed BENCH_HISTORY.jsonl is the
+        # honest record across relay-health episodes)
         hist_best = 0.0
         try:
             with open(history_path) as f:
@@ -223,13 +250,13 @@ def main_with_retries() -> None:
                         continue  # truncated/corrupt line from a killed append
         except OSError:
             pass
-        hist_best = max(hist_best, 278883.0)  # best healthy r1 reading (ROADMAP.md)
-        print(f"[bench] NOTE: all attempts ran on a degraded TPU relay (best healthy "
-              f"measurement on record: {hist_best:.0f} rays/s)", file=sys.stderr)
-        best["note"] = (f"degraded TPU relay episode: this code path measured {hist_best:.0f} rays/s "
-                        f"(vs_baseline {hist_best / BASELINE_RAYS_PER_SEC:.2f}) on a healthy relay "
-                        "(BENCH_HISTORY.jsonl / ROADMAP.md)")
-    print(json.dumps(best))
+        if hist_best > best["value"]:
+            print(f"[bench] NOTE: all attempts ran on a degraded TPU relay (best recorded "
+                  f"measurement: {hist_best:.0f} rays/s, BENCH_HISTORY.jsonl)", file=sys.stderr)
+            best["note"] = (f"degraded TPU relay episode: best recorded measurement for this code path "
+                            f"is {hist_best:.0f} rays/s (vs_baseline {hist_best / BASELINE_RAYS_PER_SEC:.2f}; "
+                            "see committed BENCH_HISTORY.jsonl)")
+    print(json.dumps(best), flush=True)
 
 
 if __name__ == "__main__":
