@@ -291,14 +291,10 @@ class ADDataManager:
         tl_r = rng.randint(0, H - gt_patch + 1, size=c.num_rgb_patches)
         tl_c = rng.randint(0, W - gt_patch + 1, size=c.num_rgb_patches)
         top_left = np.stack([tl_r, tl_c], axis=1)
-        # gather GT patches in uint8 and normalize on DEVICE: 4x less
-        # host->device traffic than f32 (the biggest per-step transfer)
-        if c.num_rgb_patches > 0:
-            rgb = np.stack(
-                [self.images_u8[f, r : r + gt_patch, c_ : c_ + gt_patch] for f, (r, c_) in zip(cam_frames, top_left)]
-            )
-        else:
-            rgb = np.zeros((0, gt_patch, gt_patch, 3), np.uint8)
+        # gather GT patches in uint8 (threaded C++ gather) and normalize on
+        # DEVICE: 4x less host->device traffic than f32 (the biggest per-step
+        # transfer), and the gather itself doesn't serialize the host thread
+        rgb = native.sample_patches_u8(self.images_u8, cam_frames, top_left, gt_patch)
 
         pt_idx = rng.randint(0, len(packed_pts), size=c.num_lidar_rays)
         lidar_points, lidar_scan_idx = native.sample_points(packed_pts, packed_ids, pt_idx)

@@ -105,16 +105,16 @@ class VodDataParser:
             # radar extrinsic from the radar split's calib (its Tr maps
             # radar -> cam, vod_dataparser.py:255); lidar pose as fallback
             radar_calib = root / "radar" / "training" / "calib" / f"{fi:05d}.txt"
+            r2w = l2w
             if radar_calib.exists():
                 rd = {}
                 for line in open(radar_calib):
                     if ":" in line:
                         k2, v2 = line.split(":", 1)
                         rd[k2.strip()] = np.fromstring(v2, sep=" ")
-                tr_radar = np.vstack([rd["Tr_velo_to_cam"].reshape(3, 4), [0, 0, 0, 1]])
-                r2w = cam2odom @ tr_radar
-            else:
-                r2w = l2w
+                tr_line = rd.get("Tr_velo_to_cam")  # calib file may lack the line
+                if tr_line is not None and tr_line.size == 12:
+                    r2w = cam2odom @ np.vstack([tr_line.reshape(3, 4), [0, 0, 0, 1]])
             c2w = cam2odom[:3, :4].copy()
             c2w[:3, :3] = c2w[:3, :3] @ OPENCV_TO_NERF
             c2ws.append(c2w)

@@ -27,6 +27,10 @@ from neuradar_tpu.data.dataparsers.zod import OPENCV_TO_NERF
 ALLOWED_TYPES = {1}  # TYPE_VEHICLE
 DEFORMABLE_TYPES = {2}  # TYPE_PEDESTRIAN
 
+# -90deg yaw: maps WOD's box-x-is-length frame to the wlh contract
+_ROT_MINUS_90 = np.eye(4)
+_ROT_MINUS_90[:3, :3] = np.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+
 
 @dataclass
 class WodDataParserConfig:
@@ -129,13 +133,17 @@ class WodDataParser:
                 pose = np.eye(4)
                 pose[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
                 pose[:3, 3] = [b.center_x, b.center_y, b.center_z]
-                pose = ego @ pose
+                # WOD heading frame has box x = length; rotate -90deg about z
+                # so box x = width, matching the wlh contract every other
+                # parser uses (ActorTrajectories.sizes; reference
+                # wod_dataparser.py:257-269) — the symmetric flip augmentation
+                # then mirrors left/right, not front/back
+                pose = ego @ pose @ _ROT_MINUS_90
                 rec = by_track.setdefault(label.id, {"ts": [], "poses": [], "type": label.type,
-                                                     "dims": [b.length, b.width, b.height]})
+                                                     "dims": [b.width, b.length, b.height]})
                 rec["ts"].append(t_frame)
                 rec["poses"].append(pose.astype(np.float32))
 
-        # WOD boxes store (length, width, height) already — no WLH reorder
         trajectories = [
             dict(timestamps=np.asarray(r["ts"]), poses=np.stack(r["poses"]),
                  dims=np.asarray(r["dims"], np.float32),

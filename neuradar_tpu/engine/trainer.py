@@ -35,7 +35,10 @@ from neuradar_tpu.utils.writer import EventWriter
 class MetricTrackerConfig:
     """cf. trainer.py:137-140."""
 
-    metric: str = "loss"
+    metric: str = "psnr"
+    # maximize metrics are negated before tracking (the tracker's convention
+    # is lower-is-better); explicit — no name-substring guessing
+    maximize: bool = True
     margin: float = 0.05
     patience: int = 3
 
@@ -303,6 +306,8 @@ class Trainer:
                     self._eval_loss_fn = self.pipeline.make_eval_loss_fn()
                 eb = jax.tree.map(jnp.asarray, self.pipeline.datamanager.sample_eval_batch())
                 _etotal, _eld, emetrics = self._eval_loss_fn(self.eval_variables(), eb)
+                # one batched fetch (each value fetch is a ~37 ms relay sync)
+                emetrics = jax.device_get(emetrics)
                 self.writer.put_scalars(step, {f"eval_{k2}": float(v) for k2, v in emetrics.items()})
             if crossed(cfg.steps_per_eval_image):
                 self._eval_single_image_and_radar(step)
@@ -321,17 +326,16 @@ class Trainer:
                 img_metrics.update(self.pipeline.get_average_eval_lidar_metrics(self.eval_variables()))
                 self.writer.put_scalars(step, img_metrics)
                 last_metrics.update(img_metrics)
-                # track the configured metric; 'maximize' metrics negate so
-                # the tracker's lower-is-better convention applies
+                # track the configured metric (negated when maximize, so the
+                # tracker's lower-is-better convention applies); a metric not
+                # in this eval round is skipped rather than silently swapped
                 mname = cfg.tracker.metric
-                maximize = any(t in mname for t in ("psnr", "ssim", "accuracy"))
-                tracked = {**last_metrics, **img_metrics}.get(mname, -img_metrics["psnr"])
-                if mname == "loss":  # default config: fall back to -psnr here
-                    tracked = -img_metrics["psnr"]
-                elif maximize:
-                    tracked = -tracked
-                if cfg.early_stopping and self.tracker.update(float(tracked)) and self.tracker.should_stop:
-                    break
+                tracked = {**last_metrics, **img_metrics}.get(mname)
+                if tracked is not None:
+                    if cfg.tracker.maximize:
+                        tracked = -float(tracked)
+                    if cfg.early_stopping and self.tracker.update(float(tracked)) and self.tracker.should_stop:
+                        break
             t_last_log += time.perf_counter() - t_aux0  # exclude aux time
 
         if getattr(self, "_tracing", False):  # loop shorter than the trace window

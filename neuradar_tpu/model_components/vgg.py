@@ -42,6 +42,13 @@ def _load_weights() -> Optional[dict]:
     return None
 
 
+def has_pretrained_weights() -> bool:
+    """True when real VGG-19 weights are available; otherwise every consumer
+    (VGG loss, LPIPS, FID) runs on random filters and must mark its metric
+    keys as surrogates."""
+    return _load_weights() is not None
+
+
 class Vgg19Features(nn.Module):
     """VGG-19 trunk returning the 5 pix2pix feature slices (NHWC)."""
 

@@ -39,6 +39,10 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
     ]
+    lib.sample_patches_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
     lib.sample_points.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -68,6 +72,29 @@ def sample_patches(images: np.ndarray, frame_idx: np.ndarray, top_left: np.ndarr
     top_left = np.ascontiguousarray(top_left.astype(np.int32))
     out = np.empty((B, patch, patch, 3), np.float32)
     lib.sample_patches(
+        images.ctypes.data, images.shape[0], images.shape[1], images.shape[2],
+        frame_idx.ctypes.data, top_left.ctypes.data, B, patch, out.ctypes.data,
+    )
+    return out
+
+
+def sample_patches_u8(images: np.ndarray, frame_idx: np.ndarray, top_left: np.ndarray, patch: int) -> np.ndarray:
+    """Threaded raw uint8 patch gather: images [N, H, W, 3] uint8,
+    frame_idx [B] int32, top_left [B, 2] int32 -> [B, patch, patch, 3] uint8
+    (normalization happens on-device; uint8 ships 4x less H2D traffic)."""
+    lib = get_lib()
+    B = len(frame_idx)
+    if B == 0:
+        return np.zeros((0, patch, patch, 3), np.uint8)
+    if lib is None:
+        return np.stack(
+            [images[f, r : r + patch, c : c + patch] for f, (r, c) in zip(frame_idx, top_left)]
+        )
+    images = np.ascontiguousarray(images)
+    frame_idx = np.ascontiguousarray(frame_idx.astype(np.int32))
+    top_left = np.ascontiguousarray(top_left.astype(np.int32))
+    out = np.empty((B, patch, patch, 3), np.uint8)
+    lib.sample_patches_u8(
         images.ctypes.data, images.shape[0], images.shape[1], images.shape[2],
         frame_idx.ctypes.data, top_left.ctypes.data, B, patch, out.ctypes.data,
     )

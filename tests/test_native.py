@@ -15,6 +15,18 @@ def test_sample_patches_matches_numpy():
     np.testing.assert_allclose(out, ref)
 
 
+def test_sample_patches_u8_matches_numpy():
+    rng = np.random.RandomState(2)
+    imgs = (rng.rand(4, 32, 48, 3) * 255).astype(np.uint8)
+    fi = np.array([2, 0, 3], np.int32)
+    tl = np.array([[1, 3], [24, 40], [0, 0]], np.int32)
+    out = native.sample_patches_u8(imgs, fi, tl, 8)
+    ref = np.stack([imgs[f, r : r + 8, c : c + 8] for f, (r, c) in zip(fi, tl)])
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, ref)
+    assert native.sample_patches_u8(imgs, np.zeros((0,), np.int32), np.zeros((0, 2), np.int32), 8).shape == (0, 8, 8, 3)
+
+
 def test_sample_points_matches_numpy():
     rng = np.random.RandomState(1)
     pts = rng.rand(1000, 6).astype(np.float32)
