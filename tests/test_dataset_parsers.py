@@ -685,8 +685,13 @@ def test_wod_parser(mock_wod):
     # not zero-filled (regression)
     inten = out.lidar_points[0][:, 3]
     assert inten.min() >= 0.0 and inten.max() <= 1.0 and inten.std() > 0.01
-    # vehicle tracked (type 1), sign (type 3) filtered; dims stay (l, w, h)
+    # vehicle tracked (type 1), sign (type 3) filtered; dims reordered to
+    # (w, l, h) with the pose yawed -90deg, matching every other parser's
+    # wlh contract (reference wod_dataparser.py:257-269)
     assert len(out.trajectories) == 1
-    np.testing.assert_allclose(out.trajectories[0]["dims"], [4.9, 2.1, 1.7])
+    np.testing.assert_allclose(out.trajectories[0]["dims"], [2.1, 4.9, 1.7])
+    # heading 0.2 composed with Rz(-90deg): box x axis = Rz(0.2 - pi/2) e_x
+    box_x = out.trajectories[0]["poses"][0][:3, 0]
+    np.testing.assert_allclose(box_x, [np.sin(0.2), -np.cos(0.2), 0.0], atol=1e-5)
     # ego at 1.5 m per frame
     np.testing.assert_allclose(np.diff(out.camera_to_worlds[:, 0, 3]), 1.5, atol=1e-4)
