@@ -182,7 +182,9 @@ def _splatfacto_big():
 
     cfg = _splatfacto()
     cfg.method_name = "splatfacto-big"
-    cfg.model = SplatfactoConfig(max_gaussians=262144, tile_top_k=384)
+    # chunked tile scoring (models/splatfacto.py:rasterize) keeps HBM flat in
+    # G, so capacity now reaches reference splatfacto scale on AD scenes
+    cfg.model = SplatfactoConfig(max_gaussians=1_048_576, tile_top_k=512)
     return cfg
 
 

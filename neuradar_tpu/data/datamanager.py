@@ -354,6 +354,67 @@ class ADDataManager:
     def stop(self) -> None:
         self._stop.set()
 
+    def change_patch_sampler(self, patch_size: int, num_rgb_patches: Optional[int] = None) -> None:
+        """Runtime patch reconfiguration (cf. reference
+        ad_datamanager.change_patch_sampler:77-96, which re-tunes every data
+        worker): stop the prefetcher, swap the patch layout, restart.
+        Callers holding a jitted step must rebuild it — the batch shapes
+        changed (Trainer.change_patch_sampler does this)."""
+        was_running = self._queue is not None
+        if was_running:
+            self._stop.set()
+            if getattr(self, "_thread", None) is not None:
+                # drain so a blocked put() observes the stop flag
+                try:
+                    while True:
+                        self._queue.get_nowait()
+                except queue.Empty:
+                    pass
+                self._thread.join(timeout=10.0)
+        self._stop = threading.Event()
+        self._queue = None
+        self.config.patch_size = patch_size
+        if num_rgb_patches is not None:
+            self.config.num_rgb_patches = num_rgb_patches
+        if was_running:
+            self.start_prefetch()
+
+    def get_accumulated_lidar_points(
+        self, remove_dynamic: bool = False, split: str = "train", max_points: int = 0
+    ) -> np.ndarray:
+        """World-space lidar cloud accumulated over a split's scans
+        (cf. reference ad_datamanager.get_accumulated_lidar_points:98-115 +
+        data_utils.remove_dynamic_points:110-139). remove_dynamic prunes
+        points inside any non-stationary actor box (15% padded) at the
+        scan's timestamp. max_points>0 subsamples evenly (viewer overlays).
+        Returns [N, 3] float32."""
+        out = self.outputs
+        scans = out.lidar_split.train if split == "train" else out.lidar_split.eval
+        trajs = [t for t in out.trajectories if not t.get("stationary", False)]
+        clouds = []
+        for si in scans:
+            pc = out.lidar_points[int(si)][:, :3].astype(np.float64)
+            l2w = np.asarray(out.lidar_to_worlds[int(si)], np.float64)
+            world = pc @ l2w[:3, :3].T + l2w[:3, 3]
+            if remove_dynamic and trajs:
+                t_scan = float(out.lidar_times[int(si)])
+                keep = np.ones(len(world), bool)
+                for traj in trajs:
+                    dt = np.abs(np.asarray(traj["timestamps"], np.float64) - t_scan)
+                    j = int(np.argmin(dt))
+                    if dt[j] > 0.08:  # no pose near this scan
+                        continue
+                    pose = np.asarray(traj["poses"][j], np.float64)
+                    local = (world - pose[:3, 3]) @ pose[:3, :3]  # world -> box
+                    half = np.asarray(traj["dims"], np.float64) * 1.15 / 2.0  # (w, l, h) ~ box (x, y, z)
+                    keep &= ~(np.abs(local) <= half).all(axis=1)
+                world = world[keep]
+            clouds.append(world)
+        allp = np.concatenate(clouds).astype(np.float32) if clouds else np.zeros((0, 3), np.float32)
+        if max_points and len(allp) > max_points:
+            allp = allp[np.linspace(0, len(allp) - 1, max_points).astype(np.int64)]
+        return allp
+
     # -- eval helpers ------------------------------------------------------------
 
     def eval_camera_indices(self) -> np.ndarray:

@@ -70,6 +70,10 @@ class DataparserOutputs:
     trajectories: List[dict] = dataclass_field(default_factory=list)
     duration: float = 10.0
     sensor_idx_to_name: Dict[int, str] = dataclass_field(default_factory=dict)
+    # which way "one lane over" points for this sequence: +1 = driving-dir x z
+    # (right), -1 = left (reference zod_dataparser.py:119-136 sign table,
+    # consumed by the lane-shift FID eval, ad_pipeline.py:333)
+    lane_shift_sign: int = 1
 
     # splits
     camera_split: SensorSplit = None

@@ -42,6 +42,15 @@ ZOD_RADAR_FOV = dict(
     azimuth_step=0.015, elevation_step=0.015,
 )
 
+# Per-sequence direction of "one lane over" for the lane-shift FID
+# (spec values from the reference sign table, zod_dataparser.py:119-136;
+# unknown sequences default to -1 like the reference's defaultdict)
+ZOD_LANE_SHIFT_SIGN = {
+    "000784": -1, "000005": 1, "000030": -1, "000221": -1, "000231": 1,
+    "000387": -1, "001186": -1, "000657": -1, "000581": -1, "000619": 1,
+    "000546": -1, "000244": 1, "000811": -1,
+}
+
 
 @dataclass
 class ZodDataParserConfig:
@@ -186,6 +195,7 @@ class ZodDataParser:
             camera_split=linspaced_split(n_cam, cfg.eval_fraction),
             lidar_split=linspaced_split(len(l2ws), cfg.eval_fraction),
             radar_split=linspaced_split(len(r2ws), cfg.eval_fraction),
+            lane_shift_sign=ZOD_LANE_SHIFT_SIGN.get(cfg.sequence, -1),
         )
 
 

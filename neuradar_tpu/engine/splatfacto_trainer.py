@@ -107,7 +107,7 @@ class SplatfactoTrainer:
             (loss, rend), (grads, g_off) = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, zero_off
             )
-            _mean2d, _radius, in_view = rend["aux"]
+            _mean2d, _radius, in_view, overflow_frac = rend["aux"]
             # TRUE screen-space mean gradient (via the zero offset injection),
             # scaled pixels -> half-resolution units so densify_grad_thresh
             # keeps the reference splatfacto's calibration
@@ -115,7 +115,7 @@ class SplatfactoTrainer:
             state = sf.accumulate_grad_stats(state, g2d, in_view)
             updates, opt_state = self.tx.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, state, loss
+            return params, opt_state, state, loss, overflow_frac
 
         self._train_step = jax.jit(train_step)
         self._refine = jax.jit(lambda p, s, k: sf.refine_gaussians(cfg_model, p, s, k))
@@ -148,7 +148,7 @@ class SplatfactoTrainer:
             idx = int(rng.choice(train_frames))
             w2c, intrin = self._camera_arrays(idx)
             gt = jnp.asarray(self.outputs.images[idx, : self.H, : self.W].astype(np.float32) / 255.0)
-            self.params, self.opt_state, self.state, loss = self._train_step(
+            self.params, self.opt_state, self.state, loss, overflow = self._train_step(
                 self.params, self.opt_state, self.state, w2c, intrin, gt
             )
             if self._step > cfg.model.warmup_steps and self._step % cfg.model.refine_every == 0:
@@ -167,7 +167,10 @@ class SplatfactoTrainer:
 
                 self.opt_state = jax.tree.map(merge, self.opt_state, fresh)
             if self._step % cfg.steps_per_log == 0:
-                last = {"loss": float(loss), "num_gaussians": float(jnp.sum(self.state["alive"]))}
+                # tile_overflow_frac: fraction of tiles whose overlapping
+                # gaussians exceed tile_top_k (silent truncation indicator)
+                last = {"loss": float(loss), "num_gaussians": float(jnp.sum(self.state["alive"])),
+                        "tile_overflow_frac": float(overflow)}
                 self.writer.put_scalars(self._step, last)
             if (cfg.steps_per_eval_all_images and self._step > 0
                     and self._step % cfg.steps_per_eval_all_images == 0):

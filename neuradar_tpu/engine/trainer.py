@@ -160,7 +160,9 @@ class Trainer:
             from neuradar_tpu.model_components.dynamic_actors import ActorEdits
             from neuradar_tpu.viewer.viewer import ViewerServer
 
-            def viewer_render(c2w, actor=None):
+            self._viewer_lidar_cloud = None  # lazy: accumulated on first use
+
+            def viewer_render(c2w, actor=None, overlays=None):
                 edits = None
                 if actor:
                     edits = ActorEdits(
@@ -172,7 +174,22 @@ class Trainer:
                     )
                 with self.train_lock:  # see __init__: donation would delete
                     # the params this render reads if a step ran concurrently
-                    return self.pipeline.render_pose(self.eval_variables(), c2w, actor_edits=edits)
+                    rgb = self.pipeline.render_pose(self.eval_variables(), c2w, actor_edits=edits)
+                if overlays:
+                    from neuradar_tpu.viewer.overlays import draw_scene_overlays
+
+                    if overlays.get("lidar") and self._viewer_lidar_cloud is None:
+                        self._viewer_lidar_cloud = self.pipeline.datamanager.get_accumulated_lidar_points(
+                            max_points=60_000
+                        )
+                    rgb = draw_scene_overlays(
+                        np.ascontiguousarray(rgb), c2w,
+                        self.pipeline.viewer_intrinsics(rgb.shape[:2]), overlays,
+                        lidar_points=self._viewer_lidar_cloud,
+                        trajectories=self.pipeline.outputs.trajectories,
+                        camera_poses=self.pipeline.outputs.camera_to_worlds,
+                    )
+                return rgb
 
             self._viewer = ViewerServer(
                 render_fn=viewer_render,
@@ -180,6 +197,18 @@ class Trainer:
                 port=cfg.viewer_port,
             )
             self._viewer.start()
+
+    def change_patch_sampler(self, patch_size: int, num_rgb_patches: Optional[int] = None) -> None:
+        """Runtime patch reconfiguration (cf. reference
+        ad_datamanager.change_patch_sampler): re-tunes the datamanager and
+        rebuilds everything shaped by the batch layout — the jitted train
+        step recompiles on next dispatch."""
+        with self.train_lock:
+            self.pipeline.datamanager.change_patch_sampler(patch_size, num_rgb_patches)
+            self.pipeline.layout = self.pipeline.datamanager.layout
+            self._train_step = self._build_train_step()
+            if hasattr(self, "_eval_loss_fn"):
+                del self._eval_loss_fn
 
     def _build_train_step(self):
         loss_fn = self.pipeline.make_train_loss_fn()

@@ -124,6 +124,9 @@ class NeuRadarModelConfig:
     """bfloat16 halves hashgrid gather bandwidth + runs MLPs on the MXU in
     bf16 (the TPU analogue of the reference's AMP, trainer.py:200)."""
     nff_chunks: int = 1
+    # fused Pallas compositing (ops/volumetric.fused_composite_sky) instead
+    # of the XLA cumprod formulation; A/B-measured — see docs/PERFORMANCE.md
+    use_pallas_composite: bool = False
     """Sequential ray chunks for the NFF core (nn.scan); bounds the padded
     HBM footprint of [rays, samples] intermediates. Must divide total rays
     (otherwise falls back to a single unchunked evaluation)."""
@@ -427,12 +430,27 @@ class NeuRadarModel(nn.Module):
         ray_samples = _apply_sky_sample(ray_samples, sky)
 
         field_out = self.field(ray_samples, candidates)
-        weights = self._render_weights(field_out, ray_samples)  # [r, S]
-        accumulation = jnp.sum(weights, axis=-1, keepdims=True)  # [r, 1]
+        if cfg.use_pallas_composite:
+            # fused VMEM pass: weights + sky redistribution + feature render
+            # in one kernel (ops/volumetric.py); exact same semantics as the
+            # XLA formulation below (parity-tested in tests/test_pallas_ops)
+            from neuradar_tpu.ops.volumetric import fused_composite_sky
 
-        # dump remaining probability mass on the sky sample (cf. :507-509)
-        weights_sky = jnp.concatenate([weights[..., :-1], weights[..., -1:] + 1 - accumulation], axis=-1)
-        features = jnp.sum(weights_sky[..., None] * field_out["feature"], axis=-2)  # [r, C]
+            if cfg.field.use_sdf:
+                alpha = field_out["alpha"][..., 0]
+            else:
+                d = ray_samples.frustums.ends[..., 0] - ray_samples.frustums.starts[..., 0]
+                alpha = 1.0 - jnp.exp(-d * field_out["density"][..., 0])
+            weights_sky, features, accumulation = fused_composite_sky(
+                alpha, field_out["feature"], jax.default_backend() != "tpu"
+            )
+        else:
+            weights = self._render_weights(field_out, ray_samples)  # [r, S]
+            accumulation = jnp.sum(weights, axis=-1, keepdims=True)  # [r, 1]
+
+            # dump remaining probability mass on the sky sample (cf. :507-509)
+            weights_sky = jnp.concatenate([weights[..., :-1], weights[..., -1:] + 1 - accumulation], axis=-1)
+            features = jnp.sum(weights_sky[..., None] * field_out["feature"], axis=-2)  # [r, C]
         if cfg.appearance_dim > 0:
             appearance = self._get_appearance_embedding(ray_bundle, features)
             features = jnp.concatenate([features, appearance], axis=-1)

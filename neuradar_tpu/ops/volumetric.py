@@ -27,6 +27,139 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RAY_BLOCK = 128
+_EPS = 1e-7  # matches cameras/rays.render_weights_from_alpha
+
+
+def _composite_sky_fwd_kernel(alpha_ref, feats_ref, wsky_ref, features_ref, accum_ref):
+    """Forward: weights from alpha (exclusive cumprod of 1-alpha), remaining
+    probability mass dumped on the LAST (sky) sample, feature render — the
+    exact semantics of models/neuradar._nff_core's compositing block."""
+    alpha = alpha_ref[:].astype(jnp.float32)  # [B, S]
+    trans_inc = jnp.cumprod(1.0 - alpha + _EPS, axis=-1)
+    trans_exc = jnp.concatenate([jnp.ones_like(trans_inc[:, :1]), trans_inc[:, :-1]], axis=-1)
+    w = alpha * trans_exc
+    accum = jnp.sum(w, axis=-1, keepdims=True)
+    w_sky = jnp.concatenate([w[:, :-1], w[:, -1:] + 1.0 - accum], axis=-1)
+    wsky_ref[:] = w_sky.astype(wsky_ref.dtype)
+    features_ref[:] = jnp.einsum(
+        "bs,bsc->bc", w_sky, feats_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
+    ).astype(features_ref.dtype)
+    accum_ref[:] = accum.astype(accum_ref.dtype)
+
+
+def _composite_sky_bwd_kernel(alpha_ref, feats_ref, dwsky_ref, df_ref, daccum_ref, dalpha_ref, dfeats_ref):
+    """Backward: recompute transmittance in VMEM (cheaper than saving the
+    [R, S] weights to HBM) and apply the cumprod/sky-redistribution VJP."""
+    alpha = alpha_ref[:].astype(jnp.float32)  # [B, S]
+    feats = feats_ref[:].astype(jnp.float32)  # [B, S, C]
+    dwsky = dwsky_ref[:].astype(jnp.float32)  # [B, S]
+    df = df_ref[:].astype(jnp.float32)  # [B, C]
+    daccum = daccum_ref[:].astype(jnp.float32)  # [B, 1]
+
+    one_minus = 1.0 - alpha + _EPS
+    trans_inc = jnp.cumprod(one_minus, axis=-1)
+    trans_exc = jnp.concatenate([jnp.ones_like(trans_inc[:, :1]), trans_inc[:, :-1]], axis=-1)
+    w = alpha * trans_exc
+    accum = jnp.sum(w, axis=-1, keepdims=True)
+    w_sky = jnp.concatenate([w[:, :-1], w[:, -1:] + 1.0 - accum], axis=-1)
+
+    # features = sum_s w_sky[s] f[s]
+    dfeats_ref[:] = (w_sky[..., None] * df[:, None, :]).astype(dfeats_ref.dtype)
+    dwsky_total = dwsky + jnp.einsum("bsc,bc->bs", feats, df, preferred_element_type=jnp.float32)
+
+    # w_sky[j<last] = w[j]; w_sky[last] = 1 - sum_{j<last} w[j]; accum = sum w
+    dlast = dwsky_total[:, -1:]
+    dw = jnp.concatenate([dwsky_total[:, :-1] - dlast, jnp.zeros_like(dlast)], axis=-1) + daccum
+
+    # cumprod VJP: dalpha[i] = dw[i] T[i] - (sum_{k>i} dw[k] w[k]) / (1 - alpha[i] + eps)
+    g = dw * w
+    suffix = jnp.sum(g, axis=-1, keepdims=True) - jnp.cumsum(g, axis=-1)
+    dalpha_ref[:] = (dw * trans_exc - suffix / one_minus).astype(dalpha_ref.dtype)
+
+
+def _sky_pallas_fwd(alpha, feats, interpret):
+    R, S = alpha.shape
+    C = feats.shape[-1]
+    grid = (pl.cdiv(R, RAY_BLOCK),)
+    return pl.pallas_call(
+        _composite_sky_fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, S, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, S), alpha.dtype),
+            jax.ShapeDtypeStruct((R, C), feats.dtype),
+            jax.ShapeDtypeStruct((R, 1), alpha.dtype),
+        ],
+        interpret=interpret,
+    )(alpha, feats)
+
+
+def _sky_pallas_bwd(alpha, feats, dwsky, df, daccum, interpret):
+    R, S = alpha.shape
+    C = feats.shape[-1]
+    grid = (pl.cdiv(R, RAY_BLOCK),)
+    return pl.pallas_call(
+        _composite_sky_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RAY_BLOCK, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, S, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_BLOCK, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_BLOCK, S, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, S), alpha.dtype),
+            jax.ShapeDtypeStruct((R, S, C), feats.dtype),
+        ],
+        interpret=interpret,
+    )(alpha, feats, dwsky, df, daccum)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_composite_sky(alpha: jax.Array, feats: jax.Array, interpret: bool = False):
+    """Training-capable fused compositing with sky redistribution.
+
+    alpha [R, S], feats [R, S, C] ->
+      w_sky [R, S]  (weights, remainder dumped on the last/sky sample),
+      features [R, C] (= sum_s w_sky f),
+      accum [R, 1]  (= sum_s w, pre-redistribution).
+
+    One VMEM pass instead of cumprod + concat + broadcast-multiply + reduce;
+    the custom VJP recomputes transmittance in the backward kernel rather
+    than saving [R, S] intermediates to HBM. Semantics match
+    models/neuradar._nff_core (weights_sky block) exactly.
+    """
+    return _sky_pallas_fwd(alpha, feats, interpret)
+
+
+def _fcs_fwd(alpha, feats, interpret):
+    # NOTE: custom_vjp passes nondiff_argnums in their ORIGINAL positions to
+    # fwd, but as LEADING args to bwd
+    out = _sky_pallas_fwd(alpha, feats, interpret)
+    return out, (alpha, feats)
+
+
+def _fcs_bwd(interpret, res, grads):
+    alpha, feats = res
+    dwsky, df, daccum = grads
+    dalpha, dfeats = _sky_pallas_bwd(alpha, feats, dwsky, df, daccum, interpret)
+    return dalpha, dfeats
+
+
+fused_composite_sky.defvjp(_fcs_fwd, _fcs_bwd)
 
 
 def _composite_kernel(alpha_ref, feats_ref, steps_ref, weights_ref, features_ref, depth_ref, accum_ref):

@@ -193,14 +193,18 @@ class ADNeuRadarPipeline:
 
         return run
 
-    def render_camera(self, variables, cam_idx: int, actor_edits=None) -> Dict[str, np.ndarray]:
+    def render_camera(
+        self, variables, cam_idx: int, actor_edits=None, origin_shift=None
+    ) -> Dict[str, np.ndarray]:
         """Full-image render with NFF chunking at eval_num_rays_per_chunk
         (cf. get_outputs_for_camera_ray_bundle, models/neuradar.py:905-969).
         With compensate_upsampling_when_rendering (default) rays are shot at
         1/upsample resolution and the CNN upsamples to the target size
         (reference :922-926); with it off, every pixel gets a ray and the
         CNN's u-times output is average-pooled back to the image size.
-        actor_edits shifts/removes actors for simulation renders."""
+        actor_edits shifts/removes actors for simulation renders.
+        origin_shift [3] adds a world-space offset to every ray origin (the
+        shifted-view FID evals, cf. ad_pipeline.py:328-340)."""
         out = self.outputs
         u = self.config.model.rgb_upsample_factor
         H, W = out.image_size
@@ -230,6 +234,8 @@ class ADNeuRadarPipeline:
             coords = jnp.asarray(coords_np[i : i + chunk])
             cam_ids = jnp.full((chunk,), cam_idx, jnp.int32)
             bundle = generate_camera_rays(self.datamanager.tables.cameras, cam_ids, coords)
+            if origin_shift is not None:
+                bundle = bundle.replace(origins=bundle.origins + jnp.asarray(origin_shift, jnp.float32))
             bundle = merge_modality_bundles(bundle, None, None)
             outs.append(self._eval_nff_features(variables, bundle, layout, actor_edits))
         features = np.concatenate([np.asarray(o["features"]) for o in outs])[:n_rays]
@@ -247,6 +253,15 @@ class ADNeuRadarPipeline:
             "accumulation": acc.reshape(h, w),
         }
 
+    def viewer_intrinsics(self, hw: Tuple[int, int]) -> Tuple[float, float, float, float]:
+        """(fx, fy, cx, cy) for a free-pose render at resolution hw: the
+        scene's first camera focal scaled to the requested width, principal
+        point centered (shared by render_pose and the viewer overlays)."""
+        base_fx = float(self.outputs.intrinsics[0, 0])
+        base_w = float(self.outputs.image_size[1])
+        fx = base_fx * hw[1] / base_w
+        return fx, fx, hw[1] / 2.0, hw[0] / 2.0
+
     def render_pose(
         self, variables, c2w: np.ndarray, hw: Tuple[int, int] = (96, 156), actor_edits=None,
         time_s: float = 0.0,
@@ -261,9 +276,7 @@ class ADNeuRadarPipeline:
         u = self.config.model.rgb_upsample_factor
         H, W = hw[0] // u * u, hw[1] // u * u
         h, w = H // u, W // u
-        base_fx = float(self.outputs.intrinsics[0, 0])
-        base_w = float(self.outputs.image_size[1])
-        fx = base_fx * W / base_w
+        fx, _, _, _ = self.viewer_intrinsics((H, W))
         cam = Cameras(
             camera_to_worlds=jnp.asarray(c2w, jnp.float32)[None],
             fx=jnp.asarray([[fx]]),
@@ -415,32 +428,88 @@ class ADNeuRadarPipeline:
             "gospa_false_mean": float(np.mean(falses)) if falses else 0.0,
         }
 
-    def compute_fid_metrics(self, variables, lane_shifts=(0.0, 2.0, 3.0), max_frames: int = 16) -> Dict[str, float]:
-        """FID between real eval images and lane-shifted renders
-        (cf. ad_pipeline.py:310-405; VGG features here — see fid.py)."""
+    def _driving_direction(self, cam_idx: int) -> np.ndarray:
+        """Unit ego driving direction at a camera frame: the parser's camera
+        velocity when available, else a finite difference of same-sensor
+        camera positions (the reference reads the ray bundle's velocity
+        metadata, ad_pipeline.py:327-331)."""
+        out = self.outputs
+        v = None
+        if out.camera_velocities is not None:
+            v = np.asarray(out.camera_velocities[cam_idx], np.float64)
+            if np.linalg.norm(v) < 1e-3:
+                v = None
+        if v is None:
+            same = np.where(out.camera_sensor_idxs == out.camera_sensor_idxs[cam_idx])[0]
+            if len(same) < 2:
+                return np.array([1.0, 0.0, 0.0])
+            pos = out.camera_to_worlds[same, :3, 3].astype(np.float64)
+            j = int(np.nonzero(same == cam_idx)[0][0])
+            j0, j1 = (j - 1, j) if j == len(same) - 1 else (j, j + 1)
+            v = pos[j1] - pos[j0]
+        n = np.linalg.norm(v)
+        return (v / n) if n > 1e-6 else np.array([1.0, 0.0, 0.0])
+
+    def _fid_render(self, variables, cam_idx: int, hw, actor_edits=None, origin_shift=None) -> np.ndarray:
+        rend = self.render_camera(variables, cam_idx, actor_edits=actor_edits, origin_shift=origin_shift)
+        return np.clip(rend["rgb"][: hw[0], : hw[1]], 0.0, 1.0).astype(np.float32)
+
+    def compute_fid_metrics(self, variables, max_frames: int = 16) -> Dict[str, float]:
+        """Shift-view FIDs matching the reference's three families
+        (ad_pipeline.py:170-191, 283-291, 310-405):
+
+        * lane_shift_{0,2,3}_fid — ray origins shifted 0/2/3 m along
+          (driving_direction x z) * lane_shift_sign, xy components only;
+        * vertical_shift_1_fid — origins shifted 1 m up;
+        * actor_shift_{rot,trans}_fid — actors rotated +-0.5 rad / shifted
+          +-2 m laterally via ActorEdits.
+
+        Real features come from the eval-split images. The extractor is the
+        flax VGG trunk: without $NEURADAR_VGG19_WEIGHTS it runs on random
+        filters, so every key gets a _vggsurrogate suffix (the reference
+        semantics are torchmetrics Inception FID, ad_pipeline.py:26)."""
+        from neuradar_tpu.model_components.dynamic_actors import ActorEdits
         from neuradar_tpu.model_components.fid import FeatureExtractor, frechet_distance
+        from neuradar_tpu.model_components.vgg import has_pretrained_weights
 
         out = self.outputs
         u = self.config.model.rgb_upsample_factor
         H = out.image_size[0] // u * u
         W = out.image_size[1] // u * u
         extractor = FeatureExtractor(image_hw=(H, W))
-        real = out.images[:, :H, :W].astype(np.float32) / 255.0
+        cam_ids = [int(c) for c in self.datamanager.eval_camera_indices()][:max_frames]
+        real = out.images[cam_ids][:, :H, :W].astype(np.float32) / 255.0
         real_feats = extractor(real)
+        sign = float(getattr(out, "lane_shift_sign", 1) or 1)
+        z_up = np.array([0.0, 0.0, 1.0])
 
-        results = {}
-        cam_ids = list(self.datamanager.eval_camera_indices())[:max_frames]
-        for shift in lane_shifts:
-            renders = []
-            for cam_idx in cam_ids:
-                c2w = np.asarray(self.datamanager.tables.cameras.camera_to_worlds[int(cam_idx)]).copy()
-                c2w[:3, 3] += shift * c2w[:3, 0]  # lateral = camera x axis
-                rgb = self.render_pose(variables, c2w, hw=(H, W))
-                renders.append(rgb.astype(np.float32) / 255.0)
-            fake_feats = extractor(np.stack(renders))
-            key = f"fid_lane_shift_{shift:g}m"
-            results[key] = frechet_distance(real_feats, fake_feats)
-        return results
+        families = ("lane_shift_0", "lane_shift_2", "lane_shift_3",
+                    "vertical_shift_1", "actor_shift_rot", "actor_shift_trans")
+        fakes = {k: [] for k in families}
+        actor_edits = {
+            "actor_shift_rot": [ActorEdits(rotation=0.5), ActorEdits(rotation=-0.5)],
+            "actor_shift_trans": [ActorEdits(lateral=2.0), ActorEdits(lateral=-2.0)],
+        }
+        for cam_idx in cam_ids:
+            right = np.cross(self._driving_direction(cam_idx), z_up)
+            right[2] = 0.0  # the reference shifts xy only (ad_pipeline.py:334)
+            fakes["lane_shift_0"].append(self._fid_render(variables, cam_idx, (H, W)))
+            for shift in (2.0, 3.0):
+                fakes[f"lane_shift_{shift:g}"].append(
+                    self._fid_render(variables, cam_idx, (H, W), origin_shift=shift * sign * right)
+                )
+            fakes["vertical_shift_1"].append(
+                self._fid_render(variables, cam_idx, (H, W), origin_shift=z_up)
+            )
+            for fam, edits in actor_edits.items():
+                for e in edits:
+                    fakes[fam].append(self._fid_render(variables, cam_idx, (H, W), actor_edits=e))
+
+        suffix = "" if has_pretrained_weights() else "_vggsurrogate"
+        return {
+            f"{fam}_fid{suffix}": frechet_distance(real_feats, extractor(np.stack(imgs)))
+            for fam, imgs in fakes.items()
+        }
 
     def get_average_eval_image_metrics(self, variables) -> Dict[str, float]:
         """PSNR/SSIM + eval rays/sec + fps over all eval images
@@ -469,10 +538,13 @@ class ADNeuRadarPipeline:
                 lpips = PerceptualDistance(image_hw=(h, w))
             lpips_vals.append(lpips(rend["rgb"], gt))
         dt = max(time.perf_counter() - t0, 1e-9)
+        from neuradar_tpu.model_components.vgg import has_pretrained_weights
+
+        lpips_key = "lpips_vgg" if has_pretrained_weights() else "lpips_vggsurrogate"
         return {
             "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
             "ssim": float(np.mean(ssims)) if ssims else 0.0,
-            "lpips_vgg": float(np.mean(lpips_vals)) if lpips_vals else 0.0,
+            lpips_key: float(np.mean(lpips_vals)) if lpips_vals else 0.0,
             "eval_rays_per_sec": total_rays / dt,
             "fps": n_images / dt,
         }

@@ -44,6 +44,9 @@ long <input id="along" type="number" value="0" step="0.5"/>
 rot <input id="arot" type="number" value="0" step="0.1"/>
 <label><input id="arem" type="checkbox" style="width:auto"/>remove</label>
 <button onclick="render()">apply</button><br/>
+show <label><input id="olidar" type="checkbox" style="width:auto" onchange="render()"/>lidar</label>
+<label><input id="oboxes" type="checkbox" style="width:auto" onchange="render()"/>boxes</label>
+<label><input id="ofrusta" type="checkbox" style="width:auto" onchange="render()"/>frusta</label><br/>
 <button onclick="keyframe()">add keyframe</button>
 <a href="/camera_path" download="camera_path.json" style="color:#8cf">download path</a>
 <span id="kf"></span></div>
@@ -62,6 +65,10 @@ function pose() {
   const rot = +document.getElementById('arot').value;
   const rem = document.getElementById('arem').checked;
   if (lat || lng || rot || rem) body.actor = {index: aidx, lateral: lat, longitudinal: lng, rotation: rot, remove: rem};
+  const ol = document.getElementById('olidar').checked;
+  const ob = document.getElementById('oboxes').checked;
+  const of = document.getElementById('ofrusta').checked;
+  if (ol || ob || of) body.overlays = {lidar: ol, boxes: ob, frusta: of};
   return body;
 }
 let dirty = false;
@@ -142,12 +149,14 @@ class ViewerServer:
         import inspect
 
         try:
-            self._takes_actor = len(inspect.signature(render_fn).parameters) >= 2
+            self._arity = len(inspect.signature(render_fn).parameters)
         except (TypeError, ValueError):
-            self._takes_actor = False
+            self._arity = 1
 
-    def _render(self, c2w: np.ndarray, actor: Optional[dict]):
-        if self._takes_actor:
+    def _render(self, c2w: np.ndarray, actor: Optional[dict], overlays: Optional[dict] = None):
+        if self._arity >= 3:
+            return self.render_fn(c2w, actor, overlays)
+        if self._arity >= 2:
             return self.render_fn(c2w, actor)
         return self.render_fn(c2w)
 
@@ -192,7 +201,7 @@ class ViewerServer:
                     self._send(404, "text/plain", b"not found")
                     return
                 try:
-                    rgb = viewer._render(c2w, req.get("actor"))
+                    rgb = viewer._render(c2w, req.get("actor"), req.get("overlays"))
                     import PIL.Image
 
                     buf = io.BytesIO()

@@ -57,6 +57,38 @@ def test_viewer_server_roundtrip():
         v.stop()
 
 
+def test_viewer_server_overlay_passthrough():
+    """An arity-3 render_fn receives the HUD's overlay toggles + actor edit."""
+    from neuradar_tpu.viewer.viewer import ViewerServer
+
+    seen = []
+
+    def render_fn(c2w, actor, overlays):
+        seen.append((actor, overlays))
+        return np.full((12, 16, 3), 64, np.uint8)
+
+    port = _free_port()
+    v = ViewerServer(render_fn=render_fn, port=port)
+    v.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/render",
+            data=json.dumps({
+                "eye": [0, 0, 2], "target": [5, 0, 1],
+                "actor": {"index": 1, "lateral": 2.0},
+                "overlays": {"lidar": True, "boxes": True, "frusta": False},
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.read()[:2] == b"\xff\xd8"
+        actor, overlays = seen[0]
+        assert actor["index"] == 1 and actor["lateral"] == 2.0
+        assert overlays == {"lidar": True, "boxes": True, "frusta": False}
+    finally:
+        v.stop()
+
+
 def test_closed_loop_server():
     from neuradar_tpu.scripts.closed_loop import serve
 

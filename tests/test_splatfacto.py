@@ -23,6 +23,30 @@ def make_setup(n=64, H=32, W=32):
     return cfg, params, state, camera
 
 
+def test_chunked_scoring_matches_dense():
+    """The running top-K merge over gaussian chunks (capacity scaling) must
+    produce the same image/gradients as single-chunk scoring."""
+    cfg, params, state, camera = make_setup()
+    args = (params, state["alive"], camera["w2c"], camera["fx"], camera["fy"],
+            camera["cx"], camera["cy"], camera["height"], camera["width"], 64)
+
+    def render_sum(params, chunk):
+        rgb, alpha, depth, aux = sf.rasterize(
+            params, *args[1:], sh_degree=0, score_chunk=chunk
+        )
+        return jnp.sum(rgb * jnp.arange(rgb.size).reshape(rgb.shape)), (rgb, alpha, depth, aux[3])
+
+    (s_d, (rgb_d, a_d, d_d, of_d)), g_d = jax.value_and_grad(render_sum, has_aux=True)(params, 0)
+    # chunk of 96 over G=256 -> 3 chunks, last one clamped (dedup path)
+    (s_c, (rgb_c, a_c, d_c, of_c)), g_c = jax.value_and_grad(render_sum, has_aux=True)(params, 96)
+    np.testing.assert_allclose(np.asarray(rgb_c), np.asarray(rgb_d), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_c), np.asarray(a_d), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_d), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(of_c), float(of_d))
+    for k in g_d:
+        np.testing.assert_allclose(np.asarray(g_c[k]), np.asarray(g_d[k]), rtol=1e-4, atol=1e-5)
+
+
 def test_projection_in_view():
     cfg, params, state, camera = make_setup()
     mean2d, cov2d, depth, radius, in_view = sf.project_gaussians(
