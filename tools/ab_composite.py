@@ -11,8 +11,11 @@ Usage: python tools/ab_composite.py [--iters 30]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
 
 
 def main(iters: int = 30):
