@@ -245,7 +245,9 @@ def main_with_retries() -> None:
             with open(history_path) as f:
                 for line in f:
                     try:
-                        hist_best = max(hist_best, json.loads(line).get("value", 0.0))
+                        rec = json.loads(line)
+                        if rec.get("metric") == "train_rays_per_sec":
+                            hist_best = max(hist_best, rec.get("value", 0.0))
                     except (json.JSONDecodeError, AttributeError):
                         continue  # truncated/corrupt line from a killed append
         except OSError:

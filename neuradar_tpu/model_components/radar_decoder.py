@@ -201,10 +201,15 @@ class SetRadarDecoder(nn.Module):
     dim_feedforward: int = 64
     dropout: float = 0.1
     position_scale: float = 100.0  # query positions regressed in meters / scale
+    aux_loss: bool = False
+    """Deep supervision: also return every intermediate decoder layer's
+    predictions through the SHARED norm + heads (cf. the reference's vendored
+    DETR aux_loss, detr/models/detr.py:40,63-66)."""
 
     @nn.compact
     def __call__(self, features: jax.Array, geometry_xyz: jax.Array, train: bool = False):
-        """Args as RadarDecoder; returns radar_output [N, Q, 7], angles [N, Q, 2]."""
+        """Args as RadarDecoder; returns radar_output [N, Q, 7], angles
+        [N, Q, 2] (+ aux_outputs [D-1, N, Q, 7] when aux_loss)."""
         N = features.shape[0]
         mem_pos = sine_position_embedding(geometry_xyz, self.d_model)
         memory = RadarTransformer(d_model=self.d_model, nhead=self.nhead,
@@ -216,21 +221,33 @@ class SetRadarDecoder(nn.Module):
         )
         query_pos = jnp.broadcast_to(query_embed, (N, self.num_queries, self.d_model))
         tgt = jnp.zeros_like(query_pos)
+        intermediates = []
         for i in range(self.num_decoder_layers):
             tgt = TransformerDecoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout, name=f"layer_{i}"
             )(tgt, memory, query_pos, mem_pos, train)
-        tgt = nn.LayerNorm(name="final_norm")(tgt)
+            intermediates.append(tgt)
 
-        xyz = self.position_scale * MLP(out_dim=3, num_layers=3, layer_width=16, out_activation=jnp.tanh,
-                                        name="point_head")(tgt)
-        ep = MLP(out_dim=1, num_layers=3, layer_width=16, out_activation=jax.nn.sigmoid,
-                 name="existence_probability_head")(tgt)
-        unc = MLP(out_dim=3, num_layers=3, layer_width=16, out_activation=jax.nn.softplus,
-                  name="radar_uncertainty_head")(tgt)
-        angles = MLP(out_dim=2, num_layers=3, layer_width=16, out_activation=jnp.tanh,
-                     name="radar_angle_head")(tgt)
-        radar_output = jnp.concatenate([ep, xyz, unc], axis=-1).astype(jnp.float32)
+        final_norm = nn.LayerNorm(name="final_norm")
+        point_head = MLP(out_dim=3, num_layers=3, layer_width=16, out_activation=jnp.tanh,
+                         name="point_head")
+        ep_head = MLP(out_dim=1, num_layers=3, layer_width=16, out_activation=jax.nn.sigmoid,
+                      name="existence_probability_head")
+        unc_head = MLP(out_dim=3, num_layers=3, layer_width=16, out_activation=jax.nn.softplus,
+                       name="radar_uncertainty_head")
+        angle_head = MLP(out_dim=2, num_layers=3, layer_width=16, out_activation=jnp.tanh,
+                         name="radar_angle_head")
+
+        def predict(t):
+            t = final_norm(t)
+            xyz = self.position_scale * point_head(t)
+            out = jnp.concatenate([ep_head(t), xyz, unc_head(t)], axis=-1).astype(jnp.float32)
+            return out, angle_head(t)
+
+        radar_output, angles = predict(intermediates[-1])
+        if self.aux_loss and len(intermediates) > 1:
+            aux = jnp.stack([predict(t)[0] for t in intermediates[:-1]])
+            return radar_output, angles, aux
         return radar_output, angles
 
 

@@ -125,8 +125,10 @@ class NeuRadarModelConfig:
     bf16 (the TPU analogue of the reference's AMP, trainer.py:200)."""
     nff_chunks: int = 1
     # fused Pallas compositing (ops/volumetric.fused_composite_sky) instead
-    # of the XLA cumprod formulation; A/B-measured — see docs/PERFORMANCE.md
-    use_pallas_composite: bool = False
+    # of the XLA cumprod formulation. None = auto: ON for real TPU (measured
+    # 1.9x faster fwd+bwd at the chunked bf16 production shape, 2026-08-17 —
+    # docs/PERFORMANCE.md), OFF elsewhere (the CPU fallback interprets).
+    use_pallas_composite: Optional[bool] = None
     """Sequential ray chunks for the NFF core (nn.scan); bounds the padded
     HBM footprint of [rays, samples] intermediates. Must divide total rays
     (otherwise falls back to a single unchunked evaluation)."""
@@ -143,6 +145,9 @@ class NeuRadarModelConfig:
     alternative; cf. reference vendored detr/)."""
     num_radar_queries: int = 300
     """Query count for the set-based radar decoder."""
+    radar_set_aux_loss: bool = True
+    """Deep supervision on intermediate set-decoder layers during training
+    (cf. reference detr/models/detr.py aux_loss)."""
 
     @property
     def num_proposal_rounds(self) -> int:
@@ -236,6 +241,7 @@ class NeuRadarModel(nn.Module):
             self.radar_decoder = SetRadarDecoder(
                 d_model=n_features, num_queries=cfg.num_radar_queries,
                 position_scale=self.scene.static_scale,
+                aux_loss=cfg.radar_set_aux_loss,
             )
         else:
             # remat: the backward pass recomputes each group's attention
@@ -302,10 +308,15 @@ class NeuRadarModel(nn.Module):
                                        geometry[i * g : (i + 1) * g], train)
                     for i in range(n_groups)
                 ]
-                radar_output = jnp.concatenate([o for o, _ in outs], axis=0)
-                radar_angles = jnp.concatenate([a for _, a in outs], axis=0)
+                radar_output = jnp.concatenate([o[0] for o in outs], axis=0)
+                radar_angles = jnp.concatenate([o[1] for o in outs], axis=0)
+                if len(outs[0]) == 3:  # set decoder deep supervision: [D-1, N, Q, 7]
+                    outputs["radar_aux_outputs"] = jnp.concatenate([o[2] for o in outs], axis=1)
             else:
-                radar_output, radar_angles = self.radar_decoder(radar_feats, geometry, train)
+                out_dec = self.radar_decoder(radar_feats, geometry, train)
+                radar_output, radar_angles = out_dec[0], out_dec[1]
+                if len(out_dec) == 3:
+                    outputs["radar_aux_outputs"] = out_dec[2]
             outputs["radar_output"] = radar_output
             outputs["radar_angles"] = radar_angles
 
@@ -430,7 +441,12 @@ class NeuRadarModel(nn.Module):
         ray_samples = _apply_sky_sample(ray_samples, sky)
 
         field_out = self.field(ray_samples, candidates)
-        if cfg.use_pallas_composite:
+        use_pallas = (
+            cfg.use_pallas_composite
+            if cfg.use_pallas_composite is not None
+            else jax.default_backend() == "tpu"
+        )
+        if use_pallas:
             # fused VMEM pass: weights + sky redistribution + feature render
             # in one kernel (ops/volumetric.py); exact same semantics as the
             # XLA formulation below (parity-tested in tests/test_pallas_ops)
@@ -633,6 +649,20 @@ class NeuRadarModel(nn.Module):
             )
             metrics["radar_loss"] = radar_loss
             loss_dict["radar_loss"] = conf.radar_mult * radar_loss
+            if train and "radar_aux_outputs" in outputs:
+                # deep supervision: every intermediate set-decoder layer gets
+                # the same MB loss at full weight (DETR sums aux losses,
+                # reference detr/models/detr.py SetCriterion aux path)
+                aux = outputs["radar_aux_outputs"]
+                aux_total = 0.0
+                for k in range(aux.shape[0]):
+                    aux_k, _ = radar_utils.calculate_radar_loss(
+                        batch["radar_gt"], batch["radar_gt_mask"], aux[k],
+                        loss_type=conf.radar_loss_type, training=train,
+                        assignment=conf.radar_assignment,
+                    )
+                    aux_total = aux_total + aux_k
+                loss_dict["radar_aux_loss"] = conf.radar_mult * aux_total
 
         # ---- interlevel / distortion (cf. :681-686)
         if train:

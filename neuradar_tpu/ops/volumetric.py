@@ -30,19 +30,39 @@ RAY_BLOCK = 128
 _EPS = 1e-7  # matches cameras/rays.render_weights_from_alpha
 
 
+def _cumsum_lanes(x):
+    """Inclusive cumsum along the last axis as a triangular matmul — this
+    Pallas TPU lowering implements neither cumprod nor cumsum (measured
+    2026-08-17), but an [S, S] ones-mask matmul rides the MXU and S is tiny
+    (~33 samples)."""
+    S = x.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    mask = (row <= col).astype(x.dtype)  # M[j, i] = 1 when j <= i
+    return jax.lax.dot(x, mask, precision=jax.lax.Precision.HIGHEST)
+
+
+def _cumprod_lanes(x):
+    """Inclusive cumprod along the last axis via exp(cumsum(log)); x must be
+    > 0, which the +_EPS guard guarantees."""
+    return jnp.exp(_cumsum_lanes(jnp.log(x)))
+
+
 def _composite_sky_fwd_kernel(alpha_ref, feats_ref, wsky_ref, features_ref, accum_ref):
     """Forward: weights from alpha (exclusive cumprod of 1-alpha), remaining
     probability mass dumped on the LAST (sky) sample, feature render — the
     exact semantics of models/neuradar._nff_core's compositing block."""
     alpha = alpha_ref[:].astype(jnp.float32)  # [B, S]
-    trans_inc = jnp.cumprod(1.0 - alpha + _EPS, axis=-1)
+    trans_inc = _cumprod_lanes(1.0 - alpha + _EPS)
     trans_exc = jnp.concatenate([jnp.ones_like(trans_inc[:, :1]), trans_inc[:, :-1]], axis=-1)
     w = alpha * trans_exc
     accum = jnp.sum(w, axis=-1, keepdims=True)
     w_sky = jnp.concatenate([w[:, :-1], w[:, -1:] + 1.0 - accum], axis=-1)
     wsky_ref[:] = w_sky.astype(wsky_ref.dtype)
-    features_ref[:] = jnp.einsum(
-        "bs,bsc->bc", w_sky, feats_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32
+    # broadcast-multiply + reduce instead of a batched dot: this Mosaic
+    # version fails to parse 3-D dot_dimension_numbers (measured 2026-08-17)
+    features_ref[:] = jnp.sum(
+        w_sky[..., None] * feats_ref[:].astype(jnp.float32), axis=1
     ).astype(features_ref.dtype)
     accum_ref[:] = accum.astype(accum_ref.dtype)
 
@@ -57,7 +77,7 @@ def _composite_sky_bwd_kernel(alpha_ref, feats_ref, dwsky_ref, df_ref, daccum_re
     daccum = daccum_ref[:].astype(jnp.float32)  # [B, 1]
 
     one_minus = 1.0 - alpha + _EPS
-    trans_inc = jnp.cumprod(one_minus, axis=-1)
+    trans_inc = _cumprod_lanes(one_minus)
     trans_exc = jnp.concatenate([jnp.ones_like(trans_inc[:, :1]), trans_inc[:, :-1]], axis=-1)
     w = alpha * trans_exc
     accum = jnp.sum(w, axis=-1, keepdims=True)
@@ -65,7 +85,7 @@ def _composite_sky_bwd_kernel(alpha_ref, feats_ref, dwsky_ref, df_ref, daccum_re
 
     # features = sum_s w_sky[s] f[s]
     dfeats_ref[:] = (w_sky[..., None] * df[:, None, :]).astype(dfeats_ref.dtype)
-    dwsky_total = dwsky + jnp.einsum("bsc,bc->bs", feats, df, preferred_element_type=jnp.float32)
+    dwsky_total = dwsky + jnp.sum(feats * df[:, None, :], axis=-1)
 
     # w_sky[j<last] = w[j]; w_sky[last] = 1 - sum_{j<last} w[j]; accum = sum w
     dlast = dwsky_total[:, -1:]
@@ -73,7 +93,7 @@ def _composite_sky_bwd_kernel(alpha_ref, feats_ref, dwsky_ref, df_ref, daccum_re
 
     # cumprod VJP: dalpha[i] = dw[i] T[i] - (sum_{k>i} dw[k] w[k]) / (1 - alpha[i] + eps)
     g = dw * w
-    suffix = jnp.sum(g, axis=-1, keepdims=True) - jnp.cumsum(g, axis=-1)
+    suffix = jnp.sum(g, axis=-1, keepdims=True) - _cumsum_lanes(g)
     dalpha_ref[:] = (dw * trans_exc - suffix / one_minus).astype(dalpha_ref.dtype)
 
 
@@ -166,11 +186,11 @@ def _composite_kernel(alpha_ref, feats_ref, steps_ref, weights_ref, features_ref
     alpha = alpha_ref[:]  # [B, S]
     # exclusive cumulative product of (1 - alpha) along samples
     one_minus = 1.0 - alpha + 1e-10
-    trans_inc = jnp.cumprod(one_minus, axis=-1)
+    trans_inc = _cumprod_lanes(one_minus)
     trans_exc = jnp.concatenate([jnp.ones_like(trans_inc[:, :1]), trans_inc[:, :-1]], axis=-1)
     w = alpha * trans_exc  # [B, S]
     weights_ref[:] = w
-    features_ref[:] = jnp.einsum("bs,bsc->bc", w, feats_ref[:], preferred_element_type=jnp.float32)
+    features_ref[:] = jnp.sum(w[..., None] * feats_ref[:], axis=1)
     depth_ref[:] = jnp.sum(w * steps_ref[:], axis=-1, keepdims=True)
     accum_ref[:] = jnp.sum(w, axis=-1, keepdims=True)
 

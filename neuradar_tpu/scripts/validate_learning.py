@@ -28,6 +28,8 @@ def main(argv=None) -> int:
         "--scale", choices=("full", "small"), default="full",
         help="small = quarter batch; same learning dynamics, smaller device program",
     )
+    parser.add_argument("--set-decoder", action="store_true",
+                        help="use the DETR-style set radar decoder (radar_decoder_type='set')")
     args = parser.parse_args(argv)
 
     import jax
@@ -52,6 +54,8 @@ def main(argv=None) -> int:
     pipe.model.loss.vgg_mult = 0.0
     pipe.model.compute_dtype = "bfloat16" if args.bf16 else "float32"
     pipe.model.nff_chunks = args.chunks
+    if args.set_decoder:
+        pipe.model.radar_decoder_type = "set"
     cfg = TrainerConfig(
         pipeline=pipe,
         steps_per_dispatch=args.steps_per_dispatch,

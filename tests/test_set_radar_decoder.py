@@ -80,6 +80,44 @@ def test_set_decoder_learns_targets():
     assert c < min(chamfer0, 1.0), (chamfer0, c)
 
 
+def test_set_decoder_aux_outputs():
+    """aux_loss returns every intermediate layer's predictions through the
+    SHARED heads (same param tree as without aux)."""
+    dec = SetRadarDecoder(d_model=32, num_queries=8, num_decoder_layers=3, aux_loss=True)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    geom = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 3)) * 5
+    v = dec.init({"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)}, feats, geom)
+    out, angles, aux = dec.apply(v, feats, geom)
+    assert out.shape == (2, 8, 7) and aux.shape == (2, 2, 8, 7)
+    ep = np.asarray(aux[..., 0])
+    assert ((ep >= 0) & (ep <= 1)).all()
+    # shared heads: identical parameter structure with aux off
+    dec0 = SetRadarDecoder(d_model=32, num_queries=8, num_decoder_layers=3, aux_loss=False)
+    v0 = dec0.init({"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)}, feats, geom)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v)
+
+
+def test_set_decoder_model_train_loss():
+    """Full NeuRadar train loss with radar_decoder_type='set': aux deep
+    supervision appears in the loss dict and everything stays finite."""
+    import __graft_entry__
+
+    pipe = __graft_entry__._tiny_pipeline()
+    pipe.config.model.radar_decoder_type = "set"
+    pipe.config.model.num_radar_queries = 16
+    variables = pipe.init_variables(0)
+    batch = jax.tree.map(jnp.asarray, pipe.datamanager.sample_train_batch())
+    loss_fn = pipe.make_train_loss_fn()
+    (total, (loss_dict, metrics, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"], variables.get("batch_stats", {}), batch, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(total))
+    assert "radar_loss" in loss_dict and "radar_aux_loss" in loss_dict
+    assert np.isfinite(float(loss_dict["radar_aux_loss"]))
+    gsum = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gsum) and gsum > 0
+
+
 def test_set_decoder_loss_compatible():
     from neuradar_tpu.model_components.radar_utils import calculate_radar_loss
 

@@ -39,12 +39,26 @@ def main(iters: int = 30):
     def pallas_path(alpha, feats):
         return fused_composite_sky(alpha, feats, interpret)
 
+    INNER = 32  # grad steps per dispatch: the ~37 ms relay round trip would
+    # otherwise dwarf the sub-ms kernel (measured: all configs ~24 ms/iter)
+
     def make_loss(path):
         def loss(alpha, feats, coef):
             w, f, a = path(alpha, feats)
             return jnp.sum(f * coef) + jnp.sum(w * w) + jnp.sum(a)
 
-        return jax.jit(jax.grad(loss, argnums=(0, 1)))
+        g = jax.grad(loss, argnums=(0, 1))
+
+        @jax.jit
+        def scan_g(alpha, feats, coef):
+            def body(carry, i):
+                da, df = g(alpha + carry * 1e-7, feats, coef)
+                return jnp.sum(da).astype(jnp.float32), None
+
+            out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(INNER))
+            return out
+
+        return scan_g
 
     # nff_chunks=8 at the reference batch: 112640/8 = 14080 rays per chunk;
     # samples = num_nerf(32) + 1 sky; feature dim 32 (cf. method_configs)
@@ -61,17 +75,15 @@ def main(iters: int = 30):
         for name, path in (("xla", xla_path), ("pallas", pallas_path)):
             try:
                 g = make_loss(path)
-                out = g(alpha, feats, coef)
-                _ = float(out[0].sum().astype(jnp.float32))  # compile + sync
+                _ = float(g(alpha, feats, coef))  # compile + sync
                 t0 = time.perf_counter()
                 acc = None
                 for i in range(iters):
                     # vary inputs: identical (program, args) hit the relay cache
-                    out = g(alpha + i * 1e-6, feats, coef)
-                    acc = out[0]
-                _ = float(acc.sum().astype(jnp.float32))
-                dt = (time.perf_counter() - t0) / iters
-                print(json.dumps({"config": label, "impl": name, "ms_per_iter": round(dt * 1e3, 3),
+                    acc = g(alpha + i * 1e-6, feats, coef)
+                _ = float(acc)
+                dt = (time.perf_counter() - t0) / (iters * INNER)
+                print(json.dumps({"config": label, "impl": name, "ms_per_grad": round(dt * 1e3, 4),
                                   "rays_per_sec": round(R / dt, 1)}), flush=True)
             except Exception as e:  # noqa: BLE001 — record and continue
                 print(json.dumps({"config": label, "impl": name, "error": str(e)[:300]}), flush=True)

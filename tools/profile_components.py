@@ -1,18 +1,18 @@
-"""Component micro-benchmarks on real TPU hardware.
+"""Component-level device-time attribution at reference shapes, real TPU.
 
-Times the hot pieces of the NeuRadar train step in isolation at the exact
-reference-batch shapes (112,128 rays, nff_chunks=8 -> 14,016-ray chunks) so
-optimization effort goes where the time is. Each component is timed fwd-only
-and fwd+bwd (value_and_grad), with block_until_ready.
+The axon relay does not expose device traces to the local jax.profiler
+(host-side events only), so attribution is measured directly: each hot
+component runs fwd+bwd in a lax.scan of INNER iterations per dispatch
+(amortizing the ~37 ms relay round trip) with inputs varied per iteration
+(identical (program, args) pairs are served from a relay cache — CLAUDE.md).
+One JSON line per component; the full train-step number to compare against
+comes from bench.py.
 
-Run: python tools/profile_components.py [--iters 20]
-Prints one JSON dict {component: {fwd_ms, fwdbwd_ms}} plus rough per-step
-cost attribution (x chunks / x groups multipliers applied).
+Usage: python tools/profile_components.py [--inner 16] [--iters 6]
 """
 
 from __future__ import annotations
 
-import argparse
 import json
 import os
 import sys
@@ -20,118 +20,172 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
 
-
-def _time(fn, *args, iters=20):
-    out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+INNER = 16
+ITERS = 6
 
 
-def main(argv=None) -> int:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--iters", type=int, default=20)
-    parser.add_argument("--chunk-rays", type=int, default=14016)
-    args = parser.parse_args(argv)
+def timed(name, fn, *args):
+    """fn must be a jitted (carry, *args) -> scalar scan runner."""
+    import jax.numpy as jnp
 
-    global jax
+    try:
+        _ = float(fn(*args))  # compile + sync
+        t0 = time.perf_counter()
+        acc = 0.0
+        for i in range(ITERS):
+            acc = fn(*args, jnp.float32(i))
+        _ = float(acc)
+        dt = (time.perf_counter() - t0) / (ITERS * INNER)
+        print(json.dumps({"component": name, "ms_per_iter": round(dt * 1e3, 4)}), flush=True)
+        return dt
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"component": name, "error": str(e)[:200]}), flush=True)
+        return None
+
+
+def scanner(step_fn):
+    """Wrap step_fn(x, eps) -> scalar into a jitted INNER-iteration scan."""
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
+    @jax.jit
+    def run(*args):
+        eps0 = args[-1] if isinstance(args[-1], jax.Array) and args[-1].ndim == 0 else jnp.float32(0)
+        real = args[:-1] if args[-1] is eps0 else args
 
-    from neuradar_tpu.field_components.encodings import hash_encode
+        def body(carry, i):
+            return step_fn(*real, carry * 1e-7 + eps0 * 1e-7), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(INNER))
+        return out
+
+    return run
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
+    import jax.numpy as jnp
+
+    print(json.dumps({"platform": jax.devices()[0].platform, "inner": INNER}), flush=True)
+
+    # reference operating point (BASELINE.md): 112640 rays/step, bf16 compute
+    R_CAM, R_LIDAR, R_RADAR = 40 * 32 * 32, 16384, 16 * 3424
+    R_TOTAL = R_CAM + R_LIDAR + R_RADAR
+    S_PROP1, S_PROP2, S_MAIN = 128, 64, 33
+    DT = jnp.bfloat16
+
+    # ---- hash encodings (static grid, main field shapes) -------------------
+    from neuradar_tpu.field_components.encodings import HashEncoding
+
+    R_chunk = R_TOTAL // 8  # nff_chunks=8 production setting
+    for name, levels, feats, logT, n_pts in (
+        ("hashgrid_static_main", 8, 4, 22, R_chunk * S_MAIN),
+        ("hashgrid_prop", 8, 1, 20, R_chunk * S_PROP2),
+    ):
+        enc = HashEncoding(num_levels=levels, features_per_level=feats, log2_hashmap_size=logT)
+        pts = jax.random.uniform(jax.random.PRNGKey(0), (n_pts, 3), jnp.float32)
+        v = enc.init(jax.random.PRNGKey(1), pts)
+
+        def step(pts, v, eps, _enc=enc):
+            def loss(v):
+                return jnp.sum(_enc.apply(v, pts + eps).astype(jnp.float32) ** 2)
+
+            return jax.grad(loss)(v)["params"]["hash_table"].sum().astype(jnp.float32)
+
+        timed(name, scanner(step), pts, v)
+
+    # ---- MLPs at NFF shapes ------------------------------------------------
     from neuradar_tpu.field_components.mlp import MLP
+
+    mlp = MLP(out_dim=33, num_layers=2, layer_width=32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (R_chunk * S_MAIN, 32), DT)
+    vm = mlp.init(jax.random.PRNGKey(3), x)
+
+    def mlp_step(x, vm, eps):
+        def loss(vm):
+            return jnp.sum(mlp.apply(vm, x + eps.astype(DT)).astype(jnp.float32) ** 2)
+
+        return sum(jnp.sum(g).astype(jnp.float32) for g in jax.tree.leaves(jax.grad(loss)(vm)))
+
+    timed("field_mlp_main", scanner(mlp_step), x, vm)
+
+    # ---- compositing (XLA formulation, what the model runs) ----------------
+    from neuradar_tpu.cameras.rays import render_weights_from_alpha
+
+    alpha = jax.random.uniform(jax.random.PRNGKey(4), (R_chunk, S_MAIN), DT, 0.0, 0.9)
+    feats = jax.random.normal(jax.random.PRNGKey(5), (R_chunk, S_MAIN, 32), DT)
+
+    def comp_step(alpha, feats, eps):
+        def loss(alpha, feats):
+            w = render_weights_from_alpha(alpha)
+            accum = jnp.sum(w, axis=-1, keepdims=True)
+            w_sky = jnp.concatenate([w[..., :-1], w[..., -1:] + 1 - accum], axis=-1)
+            f = jnp.sum(w_sky[..., None] * feats, axis=-2)
+            return jnp.sum(f.astype(jnp.float32) ** 2)
+
+        da, df = jax.grad(loss, argnums=(0, 1))(alpha + eps.astype(DT), feats)
+        return jnp.sum(da).astype(jnp.float32)
+
+    timed("composite_xla", scanner(comp_step), alpha, feats)
+
+    # ---- PDF resampling core (vmapped searchsorted + interp) ---------------
+    bins = jnp.linspace(0, 1, S_PROP1 + 1)[None].repeat(R_chunk, 0)
+    w = jax.random.uniform(jax.random.PRNGKey(6), (R_chunk, S_PROP1))
+
+    def pdf_step(bins, w, eps):
+        pdf = (w + eps + 0.01) / jnp.sum(w + eps + 0.01, -1, keepdims=True)
+        cdf = jnp.concatenate([jnp.zeros_like(pdf[:, :1]), jnp.cumsum(pdf, -1)], -1)
+        u = (jnp.arange(S_PROP2) + 0.5) / S_PROP2
+        u = jnp.broadcast_to(u, (cdf.shape[0], S_PROP2))
+        inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+        below = jnp.clip(inds - 1, 0, bins.shape[-1] - 1)
+        above = jnp.clip(inds, 0, bins.shape[-1] - 1)
+        s = (jnp.take_along_axis(bins, below, -1) + jnp.take_along_axis(bins, above, -1)) / 2
+        return jnp.sum(s).astype(jnp.float32)
+
+    timed("pdf_resample_core", scanner(pdf_step), bins, w)
+
+    # ---- radar decoder attention ------------------------------------------
     from neuradar_tpu.model_components.radar_decoder import RadarDecoder
+
+    ns, nr, dm = 4, 3424, 32 + 16  # one remat group of 4 scans
+    rf = jax.random.normal(jax.random.PRNGKey(7), (ns, nr, dm), DT)
+    geom = jax.random.normal(jax.random.PRNGKey(8), (ns, nr, 3))
+    dec = RadarDecoder(d_model=dm)
+    vd = dec.init({"params": jax.random.PRNGKey(9), "dropout": jax.random.PRNGKey(10)}, rf, geom, False)
+
+    def radar_step(rf, geom, vd, eps):
+        def loss(vd):
+            out, _ = dec.apply(vd, rf + eps.astype(DT), geom, False)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        gs = jax.grad(loss)(vd)
+        return sum(jnp.sum(g).astype(jnp.float32) for g in jax.tree.leaves(gs))
+
+    timed("radar_decoder_group4", scanner(radar_step), rf, geom, vd)
+
+    # ---- RGB CNN decoder ---------------------------------------------------
     from neuradar_tpu.model_components.cnns import RGBDecoder
 
-    R = args.chunk_rays
-    results = {}
-    key = jax.random.PRNGKey(0)
+    cnn = RGBDecoder(hidden_dim=32, upsample_factor=3)
+    patches = jax.random.normal(jax.random.PRNGKey(11), (40, 32, 32, 48), DT)
+    vc = cnn.init(jax.random.PRNGKey(12), patches, False)
 
-    # ---- 1. hashgrids. NOTE: a standalone jit(grad(hash_encode)) does NOT
-    # get the cross-op fusion the real (scan+remat) step gets — the [N, L, d]
-    # corner coords materialize with (8,128)-tile padding (21-42x), so large
-    # N OOMs the standalone program. Bench at a reduced N and record the
-    # multiplier; per-position cost is what matters for ranking.
-    def bench_grid(name, n_pos, levels, log2_T, F, min_res, max_res, d=3, mult=1):
-        import math
+    def cnn_step(patches, vc, eps):
+        def loss(vc):
+            return jnp.sum(cnn.apply(vc, patches + eps.astype(DT), False).astype(jnp.float32) ** 2)
 
-        T = 2**log2_T
-        growth = math.exp((math.log(max_res) - math.log(min_res)) / (levels - 1))
-        scalings = tuple(float(int(min_res * growth**i)) for i in range(levels))
-        table = (jax.random.uniform(key, (T * levels * F,), jnp.bfloat16) - 0.5) * 2e-4
-        pos = jax.random.uniform(jax.random.PRNGKey(1), (n_pos * d,), jnp.bfloat16)
+        gs = jax.grad(loss)(vc)
+        return sum(jnp.sum(g).astype(jnp.float32) for g in jax.tree.leaves(gs))
 
-        fwd = jax.jit(lambda p, t: hash_encode(p, t, scalings, T, levels, F, d))
-        loss = jax.jit(
-            jax.grad(lambda p, t: jnp.sum(hash_encode(p, t, scalings, T, levels, F, d).astype(jnp.float32)),
-                     argnums=(0, 1))
-        )
-        results[name] = {
-            "fwd_ms": round(_time(fwd, pos, table, iters=args.iters), 3),
-            "fwdbwd_ms": round(_time(loss, pos, table, iters=args.iters), 3),
-            "n_pos": n_pos,
-            "mult": mult,
-        }
-        print(f"[profile] {name}: {results[name]}", file=sys.stderr, flush=True)
-
-    bench_grid("main_static_grid_33s", R * 33, 8, 22, 4, 32, 8192)
-    bench_grid("prop1_static_grid_32s", R * 32, 6, 20, 1, 128, 4096, mult=4)
-    bench_grid("prop2_static_grid_32s", R * 32, 6, 20, 1, 128, 4096, mult=2)
-    bench_grid("actor_grid_33s_4d", R * 33, 4, 17, 4, 64, 1024, d=4)
-
-    # ---- 2. geometry + feature MLPs at main-field shape
-    mlp = MLP(out_dim=33, num_layers=2, layer_width=32, compute_dtype=jnp.bfloat16)
-    x = jax.random.normal(key, (R, 33, 32), jnp.float32)
-    params = mlp.init(key, x)
-    fwd = jax.jit(lambda v, x: mlp.apply(v, x))
-    gd = jax.jit(jax.grad(lambda v, x: jnp.sum(mlp.apply(v, x).astype(jnp.float32))))
-    results["mlp_geo_33s"] = {
-        "fwd_ms": round(_time(fwd, params, x, iters=args.iters), 3),
-        "fwdbwd_ms": round(_time(gd, params, x, iters=args.iters), 3),
-    }
-    print(f"[profile] mlp_geo_33s: {results['mlp_geo_33s']}", file=sys.stderr, flush=True)
-
-    # ---- 3. radar decoder: one group of 4 scans x 3424 rays
-    dec = RadarDecoder(d_model=48)
-    feats = jax.random.normal(key, (4, 3424, 48), jnp.float32)
-    geom = jax.random.normal(key, (4, 3424, 3), jnp.float32) * 10
-    dparams = dec.init({"params": key, "dropout": key}, feats, geom, False)
-    fwd = jax.jit(lambda v, f, g: dec.apply(v, f, g, False))
-    gd = jax.jit(jax.grad(lambda v, f, g: jnp.sum(dec.apply(v, f, g, False)[0].astype(jnp.float32))))
-    results["radar_decoder_4scans"] = {
-        "fwd_ms": round(_time(fwd, dparams, feats, geom, iters=args.iters), 3),
-        "fwdbwd_ms": round(_time(gd, dparams, feats, geom, iters=args.iters), 3),
-    }
-    print(f"[profile] radar_decoder_4scans: {results['radar_decoder_4scans']}", file=sys.stderr, flush=True)
-
-    # ---- 4. rgb decoder: 40 patches 32^2 -> 96^2
-    rgbd = RGBDecoder(hidden_dim=32, upsample_factor=3)
-    patches = jax.random.normal(key, (40, 32, 32, 48), jnp.float32)
-    rparams = rgbd.init(key, patches, train=False)
-    fwd = jax.jit(lambda v, p: rgbd.apply(v, p, train=False))
-    gd = jax.jit(jax.grad(lambda v, p: jnp.sum(rgbd.apply(v, p, train=False).astype(jnp.float32))))
-    results["rgb_decoder_40p"] = {
-        "fwd_ms": round(_time(fwd, rparams, patches, iters=args.iters), 3),
-        "fwdbwd_ms": round(_time(gd, rparams, patches, iters=args.iters), 3),
-    }
-
-    # ---- rough per-step attribution (x8 chunks, x4 radar groups, x mult)
-    attribution = {
-        "grids_per_step_ms": round(
-            8 * sum(results[k]["fwdbwd_ms"] * results[k].get("mult", 1)
-                    for k in ("main_static_grid_33s", "prop1_static_grid_32s",
-                              "prop2_static_grid_32s", "actor_grid_33s_4d")), 2),
-        "radar_decode_per_step_ms": round(4 * results["radar_decoder_4scans"]["fwdbwd_ms"], 2),
-        "rgb_decode_per_step_ms": round(results["rgb_decoder_40p"]["fwdbwd_ms"], 2),
-    }
-    print(json.dumps({"components": results, "attribution": attribution}, indent=2))
-    return 0
+    timed("rgb_cnn_decoder", scanner(cnn_step), patches, vc)
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    if "--inner" in sys.argv:
+        INNER = int(sys.argv[sys.argv.index("--inner") + 1])
+    if "--iters" in sys.argv:
+        ITERS = int(sys.argv[sys.argv.index("--iters") + 1])
+    main()
