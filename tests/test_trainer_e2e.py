@@ -144,6 +144,24 @@ def test_steps_per_dispatch_scan(tmp_path):
     assert metrics["train_rays_per_sec"] > 0
 
 
+def test_trainer_change_patch_sampler(tmp_path):
+    """Runtime patch reconfiguration mid-training: the datamanager restarts
+    its prefetcher with the new shapes and the trainer's jitted step is
+    rebuilt (cf. reference ad_datamanager.change_patch_sampler)."""
+    cfg = tiny_trainer_config()
+    cfg.output_dir = str(tmp_path)
+    trainer = Trainer(cfg, dataparser_outputs=tiny_outputs())
+    trainer.setup()
+    m1 = trainer.train(2)
+    assert np.isfinite(m1["loss"])
+    trainer.change_patch_sampler(patch_size=4, num_rgb_patches=4)
+    assert trainer.pipeline.layout.patch_size == (4, 4)
+    assert trainer.pipeline.layout.num_cam == 4 * 16
+    m2 = trainer.train(2)  # recompiles with the new layout
+    assert np.isfinite(m2["loss"])
+    assert trainer._step == 4
+
+
 def test_render_camera_uncompensated(trained):
     """compensate_upsampling_when_rendering=False shoots a ray per pixel and
     average-pools the CNN's u-times output back to image size (regression:

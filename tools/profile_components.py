@@ -29,7 +29,9 @@ def timed(name, fn, *args):
     import jax.numpy as jnp
 
     try:
-        _ = float(fn(*args))  # compile + sync
+        # warmup with the SAME arity as the timed calls (a different arity
+        # would compile a second executable inside the timed loop)
+        _ = float(fn(*args, jnp.float32(-1)))
         t0 = time.perf_counter()
         acc = 0.0
         for i in range(ITERS):
