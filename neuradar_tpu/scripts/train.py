@@ -7,7 +7,8 @@ field, the resolved config is saved alongside checkpoints as YAML-ish JSON.
 Multi-process launch (the reference's mp.spawn DDP at train.py:110-231) is
 replaced by jax process semantics: single-process-per-host, all local devices
 driven by one train step with sharded batches; multi-host adds
-jax.distributed.initialize() (see neuradar_tpu/parallel/sharding.py).
+jax.distributed.initialize() via --coordinator/--num-processes/--process-id
+(see neuradar_tpu/parallel/distributed.py).
 """
 
 from __future__ import annotations
@@ -43,6 +44,24 @@ def main(argv=None) -> int:
         return 0
 
     method = argv.pop(0)
+
+    # Multi-host bootstrap BEFORE any jax use (cf. reference train.py launch()
+    # world_size>1 branch): --coordinator/--num-processes/--process-id or the
+    # COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID env vars; a plain
+    # single-host run is a no-op.
+    dist_kw = {}
+    for flag, key in (("--coordinator", "coordinator_address"),
+                      ("--num-processes", "num_processes"),
+                      ("--process-id", "process_id")):
+        if flag in argv:
+            i = argv.index(flag)
+            val = argv[i + 1]
+            dist_kw[key] = val if key == "coordinator_address" else int(val)
+            del argv[i:i + 2]
+    from neuradar_tpu.parallel.distributed import is_main_process, setup_distributed
+
+    setup_distributed(**dist_kw)
+
     config = get_method(method)
     if argv and argv[0] in ("-h", "--help"):
         print(f"overridable fields for {method}:")
@@ -59,14 +78,18 @@ def main(argv=None) -> int:
 
     trainer = Trainer(config)
     run_dir = trainer._run_dir
-    run_dir.mkdir(parents=True, exist_ok=True)
-    (run_dir / "config.json").write_text(json.dumps(_config_to_jsonable(config), indent=2))
-    print(f"[train] method={method} -> {run_dir}")
+    # host-side effects (config/metrics files, stdout) only on the main
+    # process — the reference gates the same on comms.is_main_process()
+    if is_main_process():
+        run_dir.mkdir(parents=True, exist_ok=True)
+        (run_dir / "config.json").write_text(json.dumps(_config_to_jsonable(config), indent=2))
+        print(f"[train] method={method} -> {run_dir}")
 
     trainer.setup()
     metrics = trainer.train()
-    (run_dir / "final_metrics.json").write_text(json.dumps(metrics, indent=2))
-    print(json.dumps({k: round(v, 5) for k, v in metrics.items() if isinstance(v, float)}, indent=2))
+    if is_main_process():
+        (run_dir / "final_metrics.json").write_text(json.dumps(metrics, indent=2))
+        print(json.dumps({k: round(v, 5) for k, v in metrics.items() if isinstance(v, float)}, indent=2))
     return 0
 
 
