@@ -10,7 +10,14 @@ this package covers everything that is pure parsing:
   cameras.txt/images.txt readers + the OpenCV->OpenGL->world flip from
   colmap_utils.colmap_to_json:419-441),
 * image copy + power-of-two downscales (PIL replaces the ffmpeg resize
-  pipeline of process_data_utils.downscale_images).
+  pipeline of process_data_utils.downscale_images),
+* video frame extraction via cv2 (process_data_utils.convert_video_to_images
+  minus the ffmpeg dependency) and equirectangular -> perspective crops
+  (equirect_utils.equirect2persp + the 8/14 sampling layouts) in
+  video_equirect.py.
+
+COLMAP pose ESTIMATION (feature matching / mapping) still needs the colmap
+binary and remains out of scope; existing sparse models are fully readable.
 
 The output transforms.json is consumed by
 data/dataparsers/nerfstudio_format.py (and stock nerfstudio alike).
@@ -26,4 +33,10 @@ from neuradar_tpu.process_data.converters import (  # noqa: F401
     read_colmap_images,
     realitycapture_to_json,
     record3d_to_json,
+)
+from neuradar_tpu.process_data.video_equirect import (  # noqa: F401
+    equirect_to_perspective,
+    equirect_yaw_pitch_pairs,
+    generate_planar_projections,
+    video_to_images,
 )

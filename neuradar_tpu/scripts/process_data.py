@@ -1,9 +1,11 @@
 """Dataset ingestion CLI: capture exports -> a nerfstudio-format dataset.
 
 cf. reference nerfstudio/scripts/process_data.py (ns-process-data). The
-reference's `images`/`video` commands shell out to COLMAP/ffmpeg — absent in
-this image — so here `images` consumes an EXISTING COLMAP sparse model
-(--colmap-model-path), and the capture-format commands (polycam, record3d,
+reference's `images`/`video` commands shell out to COLMAP/ffmpeg — the
+binaries are absent in this image — so `images` consumes an EXISTING COLMAP
+sparse model (--colmap-model-path), `video` extracts frames via cv2 and then
+likewise needs a model path for poses, `equirect` slices panoramas into 8/14
+perspective crops, and the capture-format commands (polycam, record3d,
 metashape, realitycapture, odm) are full conversions (see
 neuradar_tpu/process_data/).
 
@@ -27,8 +29,8 @@ def _list_images(d: Path):
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("command", choices=["images", "polycam", "record3d", "metashape",
-                                            "realitycapture", "odm"])
+    parser.add_argument("command", choices=["images", "video", "equirect", "polycam", "record3d",
+                                            "metashape", "realitycapture", "odm"])
     parser.add_argument("--data", type=Path, required=True, help="capture directory (or images dir)")
     parser.add_argument("--output-dir", type=Path, required=True)
     parser.add_argument("--num-downscales", type=int, default=3)
@@ -38,6 +40,10 @@ def main(argv=None) -> int:
     parser.add_argument("--csv", type=Path, default=None, help="realitycapture: csv export")
     parser.add_argument("--min-blur-score", type=float, default=25.0, help="polycam keyframe filter")
     parser.add_argument("--max-dataset-size", type=int, default=600)
+    parser.add_argument("--num-frames-target", type=int, default=300, help="video: frames to extract")
+    parser.add_argument("--images-per-equirect", type=int, choices=(8, 14), default=8)
+    parser.add_argument("--planar-size", type=str, default="1080x1440",
+                        help="equirect: HxW of each perspective crop")
     args = parser.parse_args(argv)
 
     from neuradar_tpu import process_data as pd
@@ -59,6 +65,32 @@ def main(argv=None) -> int:
         for p in imgs:
             shutil.copy2(p, out / "images" / p.name)
         pd.colmap_to_json(args.colmap_model_path, out)
+    elif args.command == "video":
+        # frame extraction (reference convert_video_to_images); pose
+        # estimation still needs COLMAP run elsewhere, like `images`
+        rels, n = pd.video_to_images(args.data, out / "images",
+                                     num_frames_target=args.num_frames_target,
+                                     num_downscales=args.num_downscales)
+        print(f"extracted {n} frames -> {out / 'images'}")
+        if args.colmap_model_path is not None:
+            pd.colmap_to_json(args.colmap_model_path, out)
+        else:
+            print("no --colmap-model-path: stopping after frame extraction "
+                  "(run COLMAP on the frames, then re-run with the model path)")
+            return 0
+    elif args.command == "equirect":
+        # panoramas -> 8/14 perspective crops each (reference
+        # equirect_utils.generate_planar_projections_from_equirectangular);
+        # downstream, treat the crops like any images dataset
+        h, w = (int(v) for v in args.planar_size.split("x"))
+        crops_dir = pd.generate_planar_projections(args.data, (w, h), args.images_per_equirect)
+        imgs = _list_images(crops_dir)[: args.max_dataset_size]
+        pd.copy_and_downscale_images(imgs, out, args.num_downscales)
+        print(f"wrote {len(imgs)} perspective crops -> {out / 'images'}")
+        if args.colmap_model_path is not None:
+            pd.colmap_to_json(args.colmap_model_path, out)
+        else:
+            return 0
     elif args.command == "polycam":
         # polycam exports keyframes/{images,cameras} (corrected_* when present)
         root = args.data
