@@ -61,7 +61,7 @@ def main(argv=None) -> int:
     cp.add_argument("--camera-path-filename", type=Path, required=True,
                     help="nerfstudio camera_path.json (viewer-exported)")
     cp.add_argument("--output-dir", type=Path, default=Path("renders/camera"))
-    for cmd in ("dataset", "lane-shift", "interpolated", "actor-shift"):
+    for cmd in ("dataset", "lane-shift", "interpolated", "actor-shift", "spiral"):
         p = sub.add_parser(cmd)
         p.add_argument("--load-config", type=Path, required=True)
         p.add_argument("--output-dir", type=Path, default=Path("renders/camera"))
@@ -72,6 +72,10 @@ def main(argv=None) -> int:
         if cmd == "interpolated":
             p.add_argument("--steps-per-transition", type=int, default=4,
                            help="in-between frames per keyframe pair")
+        if cmd == "spiral":
+            p.add_argument("--radius", type=float, default=0.5, help="spiral radius in meters")
+            p.add_argument("--rots", type=int, default=2)
+            p.add_argument("--zrate", type=float, default=0.5)
         if cmd == "actor-shift":
             p.add_argument("--actor-lateral", type=float, default=0.0)
             p.add_argument("--actor-longitudinal", type=float, default=0.0)
@@ -123,6 +127,26 @@ def main(argv=None) -> int:
             _save_image(out_dir / f"frame_{i:05d}.png", np.asarray(img, np.float32) / 255.0)
         (out_dir / "render_info.json").write_text(json.dumps({"command": "camera-path", "frames": len(frames)}))
         print(f"wrote {len(frames)} camera-path frames to {out_dir}")
+        return 0
+
+    if args.command == "spiral":
+        # spiral trajectory seeded at the first split camera (reference
+        # render.py SpiralRender:794 + camera_paths.get_spiral_path:107)
+        from neuradar_tpu.utils.poses import get_spiral_path
+
+        split_idx = list(pipeline.datamanager.eval_camera_indices() if args.split == "eval"
+                         else pipeline.outputs.camera_split.train)
+        seed_c2w = np.asarray(pipeline.outputs.camera_to_worlds[int(split_idx[0])], np.float32)
+        poses = np.asarray(get_spiral_path(seed_c2w, steps=args.max_frames,
+                                           radius=args.radius, rots=args.rots, zrate=args.zrate))
+        out_dir = args.output_dir / args.command
+        for i, c2w in enumerate(poses):
+            img = pipeline.render_pose(variables, c2w.astype(np.float32))
+            _save_image(out_dir / f"frame_{i:05d}.png", np.asarray(img, np.float32) / 255.0)
+        (out_dir / "render_info.json").write_text(
+            json.dumps({"command": "spiral", "seed_camera": int(split_idx[0]), "frames": len(poses)})
+        )
+        print(f"wrote {len(poses)} spiral frames to {out_dir}")
         return 0
 
     if args.command == "interpolated":

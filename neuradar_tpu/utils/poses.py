@@ -243,3 +243,45 @@ def skew_symmetric(v: jax.Array) -> jax.Array:
         jnp.stack([-v[..., 1], v[..., 0], zero], axis=-1),
     ]
     return jnp.stack(rows, axis=-2)
+
+
+def viewmatrix(lookat: jax.Array, up: jax.Array, pos: jax.Array) -> jax.Array:
+    """[3, 4] c2w with columns (right, up, lookat, pos) — reference
+    camera_utils.viewmatrix:613-629 (note: the reference's convention puts
+    the LOOK direction in column 2, i.e. the camera looks down +z here;
+    get_spiral_path compensates with a -z target)."""
+
+    def _norm(v):
+        return v / jnp.linalg.norm(v).clip(1e-12)
+
+    vec2 = _norm(lookat)
+    vec1_avg = _norm(up)
+    vec0 = _norm(jnp.cross(vec1_avg, vec2))
+    vec1 = _norm(jnp.cross(vec2, vec0))
+    return jnp.stack([vec0, vec1, vec2, pos], axis=1)
+
+
+def get_spiral_path(
+    c2w: jax.Array,
+    steps: int = 30,
+    radius: float = 0.1,
+    rots: int = 2,
+    zrate: float = 0.5,
+    focal: float = 100.0,
+) -> jax.Array:
+    """[steps, 3, 4] spiral of poses around a seed camera pose (reference
+    camera_paths.get_spiral_path:107-168: local spiral centers
+    (cos t, -sin t, -sin(t*zrate)) * radius looking at (0, 0, -focal),
+    composed with the global seed pose)."""
+    c2w = jnp.asarray(c2w, jnp.float32)
+    up = c2w[:3, 2]
+    target = jnp.asarray([0.0, 0.0, -focal])
+    thetas = jnp.linspace(0.0, 2.0 * jnp.pi * rots, steps + 1)[:-1]
+
+    g = to4x4(c2w)
+    poses = []
+    for theta in thetas:
+        center = jnp.asarray([jnp.cos(theta), -jnp.sin(theta), -jnp.sin(theta * zrate)]) * radius
+        local = to4x4(viewmatrix(center - target, up, center))
+        poses.append((g @ local)[:3, :4])
+    return jnp.stack(poses)

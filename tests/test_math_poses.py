@@ -210,3 +210,26 @@ def test_merge_and_concatenate_ray_bundles():
     assert "is_lidar" in merged.metadata
     flags = np.asarray(merged.metadata["is_lidar"])[:, 0]
     assert flags.tolist() == [False, False, True, True, True]
+
+
+def test_spiral_path_geometry():
+    """get_spiral_path (reference camera_paths.get_spiral_path:107-168):
+    poses orbit the seed at the given radius, rotations stay orthonormal."""
+    import numpy as np
+
+    from neuradar_tpu.utils.poses import get_spiral_path
+
+    seed = np.eye(3, 4, dtype=np.float32)
+    seed[:3, 3] = [1.0, 2.0, 3.0]
+    poses = np.asarray(get_spiral_path(seed, steps=8, radius=0.5, rots=1, zrate=0.5))
+    assert poses.shape == (8, 3, 4)
+    # theta=0: local center = (radius, 0, 0) composed with the seed pose
+    np.testing.assert_allclose(poses[0, :3, 3], seed[:3, 3] + [0.5, 0, 0], atol=1e-5)
+    # every rotation orthonormal with det +1
+    for p in poses:
+        r = p[:3, :3]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(r) > 0.99
+    # centers stay within the radius ball around the seed position
+    d = np.linalg.norm(poses[:, :3, 3] - seed[:3, 3], axis=-1)
+    assert np.all(d <= 0.5 * np.sqrt(2) + 1e-5)

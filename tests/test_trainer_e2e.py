@@ -176,3 +176,15 @@ def test_render_camera_uncompensated(trained):
         assert np.isfinite(rend["rgb"]).all()
     finally:
         pipeline.config.model.compensate_upsampling_when_rendering = flag
+
+
+def test_render_spiral_pose(trained):
+    """A spiral pose seeded at a dataset camera renders finite RGB (the
+    render.py 'spiral' command path, cf. reference SpiralRender:794)."""
+    from neuradar_tpu.utils.poses import get_spiral_path
+
+    trainer, _ = trained
+    seed = np.asarray(trainer.pipeline.outputs.camera_to_worlds[0], np.float32)
+    poses = np.asarray(get_spiral_path(seed, steps=3, radius=0.5))
+    img = trainer.pipeline.render_pose(trainer.eval_variables(), poses[1])
+    assert np.asarray(img).ndim == 3 and np.isfinite(np.asarray(img)).all()
