@@ -162,7 +162,7 @@ class Trainer:
 
             self._viewer_lidar_cloud = None  # lazy: accumulated on first use
 
-            def viewer_render(c2w, actor=None, overlays=None):
+            def viewer_render(c2w, actor=None, overlays=None, preview=False):
                 edits = None
                 if actor:
                     edits = ActorEdits(
@@ -172,9 +172,13 @@ class Trainer:
                         index=int(actor.get("index", -1)),
                         remove=bool(actor.get("remove", False)),
                     )
+                # in-motion requests render at half resolution (the client
+                # upscales and settles to full res when motion stops) —
+                # the render_state_machine low-res-move behavior
+                hw = (48, 78) if preview else (96, 156)
                 with self.train_lock:  # see __init__: donation would delete
                     # the params this render reads if a step ran concurrently
-                    rgb = self.pipeline.render_pose(self.eval_variables(), c2w, actor_edits=edits)
+                    rgb = self.pipeline.render_pose(self.eval_variables(), c2w, actor_edits=edits, hw=hw)
                 if overlays:
                     from neuradar_tpu.viewer.overlays import draw_scene_overlays
 

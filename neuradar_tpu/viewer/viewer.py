@@ -71,18 +71,24 @@ function pose() {
   if (ol || ob || of) body.overlays = {lidar: ol, boxes: ob, frusta: of};
   return body;
 }
-let dirty = false;
-async function render() {
+let dirty = false, settleTimer = null;
+async function render(preview) {
   if (pending) { dirty = true; return; }  // re-render after the in-flight one
   pending = true;
   try {
-    const r = await fetch('/render', {method: 'POST', body: JSON.stringify(pose())});
+    const body = pose();
+    if (preview) body.preview = true;  // low-res while the camera moves
+    const r = await fetch('/render', {method: 'POST', body: JSON.stringify(body)});
     const blob = await r.blob();
     const img = await createImageBitmap(blob);
     ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
   } finally {
     pending = false;
-    if (dirty) { dirty = false; render(); }
+    if (dirty) { dirty = false; render(preview); }
+  }
+  if (preview) {  // settle to a full-res frame once motion stops
+    clearTimeout(settleTimer);
+    settleTimer = setTimeout(() => render(false), 300);
   }
 }
 async function keyframe() {
@@ -95,16 +101,16 @@ window.onmouseup = () => dragging = false;
 window.onmousemove = e => {
   if (!dragging) return;
   az -= (e.clientX - lx) * 0.005; el += (e.clientY - ly) * 0.005;
-  el = Math.max(-1.3, Math.min(1.3, el)); lx = e.clientX; ly = e.clientY; render();
+  el = Math.max(-1.3, Math.min(1.3, el)); lx = e.clientX; ly = e.clientY; render(true);
 };
-canvas.onwheel = e => { dist *= Math.exp(e.deltaY * 0.001); render(); e.preventDefault(); };
+canvas.onwheel = e => { dist *= Math.exp(e.deltaY * 0.001); render(true); e.preventDefault(); };
 window.onkeydown = e => {
   const s = 2.0, fx = Math.cos(az), fy = Math.sin(az);
   if (e.key === 'w') { cx += s * fx; cy += s * fy; }
   if (e.key === 's') { cx -= s * fx; cy -= s * fy; }
   if (e.key === 'a') { cx -= s * fy; cy += s * fx; }
   if (e.key === 'd') { cx += s * fy; cy -= s * fx; }
-  render();
+  render(true);
 };
 async function stats() {
   try {
@@ -135,9 +141,13 @@ def _look_at(eye: np.ndarray, target: np.ndarray, up=np.array([0.0, 0.0, 1.0])) 
 class ViewerServer:
     """Threaded HTTP viewer bound to a render callback.
 
-    render_fn(c2w [3,4]) -> rgb uint8 [H, W, 3], or
-    render_fn(c2w, actor: Optional[dict]) if it accepts actor edits
-    (detected by arity); stats_fn() -> dict.
+    render_fn(c2w [3,4]) -> rgb uint8 [H, W, 3]; richer signatures
+    (c2w, actor), (c2w, actor, overlays), (c2w, actor, overlays, preview)
+    are detected by arity. `preview=True` marks in-motion requests — render
+    at reduced resolution for responsiveness and the client settles to a
+    full-res frame when motion stops (the reference's render_state_machine
+    low-res-move / high-res-static behavior, viewer/render_state_machine.py).
+    stats_fn() -> dict.
     """
 
     def __init__(self, render_fn: Callable, stats_fn: Optional[Callable] = None, port: int = 7007):
@@ -153,7 +163,10 @@ class ViewerServer:
         except (TypeError, ValueError):
             self._arity = 1
 
-    def _render(self, c2w: np.ndarray, actor: Optional[dict], overlays: Optional[dict] = None):
+    def _render(self, c2w: np.ndarray, actor: Optional[dict], overlays: Optional[dict] = None,
+                preview: bool = False):
+        if self._arity >= 4:
+            return self.render_fn(c2w, actor, overlays, preview)
         if self._arity >= 3:
             return self.render_fn(c2w, actor, overlays)
         if self._arity >= 2:
@@ -201,7 +214,8 @@ class ViewerServer:
                     self._send(404, "text/plain", b"not found")
                     return
                 try:
-                    rgb = viewer._render(c2w, req.get("actor"), req.get("overlays"))
+                    rgb = viewer._render(c2w, req.get("actor"), req.get("overlays"),
+                                         bool(req.get("preview", False)))
                     import PIL.Image
 
                     buf = io.BytesIO()

@@ -230,3 +230,32 @@ def test_closed_loop_state_applies_edits():
     assert recorded["edits"].index == 1
     assert recorded["edits"].remove is True
     assert recorded["time_s"] == 1.5
+
+
+def test_viewer_preview_resolution_passthrough():
+    """In-motion requests carry preview=True to a 4-arg render_fn (the
+    render_state_machine low-res-move behavior); static requests don't."""
+    from neuradar_tpu.viewer.viewer import ViewerServer
+
+    seen = []
+
+    def render_fn(c2w, actor, overlays, preview):
+        seen.append(preview)
+        hw = (6, 8) if preview else (12, 16)
+        return np.full(hw + (3,), 90, np.uint8)
+
+    port = _free_port()
+    v = ViewerServer(render_fn=render_fn, port=port)
+    v.start()
+    try:
+        for body in ({"eye": [0, 0, 2], "target": [5, 0, 1], "preview": True},
+                     {"eye": [0, 0, 2], "target": [5, 0, 1]}):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/render", data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=10) as r:
+                assert r.read()[:2] == b"\xff\xd8"
+        assert seen == [True, False]
+    finally:
+        v.stop()
