@@ -34,11 +34,30 @@ def write_ply(path: Path, points: np.ndarray, colors: np.ndarray | None = None) 
             points.astype(np.float32).tofile(f)
 
 
+def export_camera_poses(pipeline, out_dir: Path) -> None:
+    """Write train/eval camera poses as transforms-style json (reference
+    ExportCameraPoses, scripts/exporter.py:452-476: one file per split,
+    4x4 camera_to_world per frame)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    eval_idx = set(int(i) for i in pipeline.datamanager.eval_camera_indices())
+    c2ws = np.asarray(pipeline.outputs.camera_to_worlds)
+    splits = {"transforms_train.json": [i for i in range(len(c2ws)) if i not in eval_idx],
+              "transforms_eval.json": sorted(eval_idx)}
+    for name, idxs in splits.items():
+        frames = [{"camera_index": int(i),
+                   "transform": np.concatenate([c2ws[i], [[0, 0, 0, 1]]], axis=0).tolist()}
+                  for i in idxs]
+        (out_dir / name).write_text(json.dumps(frames, indent=4))
+        print(f"wrote {len(frames)} poses to {out_dir / name}")
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "command",
-        choices=("pointcloud", "radar-pointcloud", "sdf-surface", "sdf-mesh", "tsdf-mesh", "gaussian-ply"),
+        choices=("pointcloud", "radar-pointcloud", "sdf-surface", "sdf-mesh", "tsdf-mesh", "gaussian-ply",
+                 "cameras"),
     )
     parser.add_argument("--load-config", type=Path, required=True)
     parser.add_argument("--output-path", type=Path, default=Path("exports/points.ply"))
@@ -68,6 +87,12 @@ def main(argv=None) -> int:
 
     trainer = _load_trainer(run_dir)
     pipeline = trainer.pipeline
+
+    if args.command == "cameras":
+        out_dir = args.output_path if args.output_path.suffix == "" else args.output_path.parent
+        export_camera_poses(pipeline, out_dir)
+        return 0
+
     variables = trainer.eval_variables()
 
     all_pts = []

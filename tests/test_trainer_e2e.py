@@ -188,3 +188,20 @@ def test_render_spiral_pose(trained):
     poses = np.asarray(get_spiral_path(seed, steps=3, radius=0.5))
     img = trainer.pipeline.render_pose(trainer.eval_variables(), poses[1])
     assert np.asarray(img).ndim == 3 and np.isfinite(np.asarray(img)).all()
+
+
+def test_export_camera_poses(trained, tmp_path):
+    """exporter 'cameras': train/eval pose json split (reference
+    ExportCameraPoses, scripts/exporter.py:452-476)."""
+    import json
+
+    from neuradar_tpu.scripts.exporter import export_camera_poses
+
+    trainer, _ = trained
+    export_camera_poses(trainer.pipeline, tmp_path)
+    tr = json.loads((tmp_path / "transforms_train.json").read_text())
+    ev = json.loads((tmp_path / "transforms_eval.json").read_text())
+    n_cams = len(trainer.pipeline.outputs.camera_to_worlds)
+    assert len(tr) + len(ev) == n_cams and len(ev) >= 1
+    m = tr[0]["transform"]
+    assert len(m) == 4 and len(m[0]) == 4 and m[3] == [0, 0, 0, 1]
