@@ -259,3 +259,47 @@ def test_viewer_preview_resolution_passthrough():
         assert seen == [True, False]
     finally:
         v.stop()
+
+
+def test_standalone_viewer_build(tmp_path):
+    """scripts/viewer.build_viewer wires a frozen trainer into the viewer
+    (reference run_viewer.py RunViewer). Uses a stub trainer to keep this a
+    server test; the CLI loader is shared with render.py (tested there)."""
+    from neuradar_tpu.scripts.viewer import build_viewer
+
+    class _Pipe:
+        class outputs:
+            trajectories = []
+            camera_to_worlds = np.eye(3, 4, dtype=np.float32)[None]
+
+        @staticmethod
+        def render_pose(variables, c2w, actor_edits=None, hw=(96, 156)):
+            return np.full((hw[0], hw[1], 3), 77, np.uint8)
+
+        @staticmethod
+        def viewer_intrinsics(hw):
+            return 100.0, 100.0, hw[1] / 2, hw[0] / 2
+
+    class _Trainer:
+        pipeline = _Pipe()
+        _step = 42
+
+        @staticmethod
+        def eval_variables():
+            return {}
+
+    port = _free_port()
+    v = build_viewer(_Trainer(), port=port)
+    v.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=10) as r:
+            j = json.loads(r.read())
+            assert j == {"step": 42, "mode": "frozen"}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/render",
+            data=json.dumps({"eye": [0, 0, 2], "target": [5, 0, 1], "preview": True}).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.read()[:2] == b"\xff\xd8"
+    finally:
+        v.stop()
