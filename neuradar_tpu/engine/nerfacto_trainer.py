@@ -37,6 +37,8 @@ class NerfactoTrainerConfig:
     max_num_iterations: int = 30000
     steps_per_log: int = 100
     steps_per_eval_batch: int = 500
+    steps_per_save: int = 2000
+    """0 disables the end-of-train checkpoint write."""
     seed: int = 42
     lr_init: float = 1e-2
     lr_final: float = 1e-4
@@ -169,4 +171,36 @@ class NerfactoTrainer:
             self.dm.stop()
         self.variables = {"params": params}
         last["iters_per_sec"] = iters / max(time.time() - t0, 1e-9)
+        if self.config.steps_per_save:
+            self.save_checkpoint()
         return last
+
+    # -- checkpointing (flat-npz; the main Trainer uses orbax — this trainer
+    # keeps the single-file format its benchmarking/export flows expect) ----
+
+    def save_checkpoint(self) -> Path:
+        """Write params + step to <run_dir>/checkpoints/nerfacto.npz."""
+        path = self._run_dir / "checkpoints" / "nerfacto.npz"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        flat = {}
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(self.variables["params"])[0]:
+            key = "/".join(getattr(p, "key", str(getattr(p, "idx", p))) for p in kp)
+            flat[key] = np.asarray(leaf)
+        np.savez(path, __step__=self._step, **flat)
+        return path
+
+    def load_checkpoint(self, path: Optional[Path] = None) -> None:
+        """Restore params (by flattened path key) + step; call after setup()."""
+        path = Path(path) if path is not None else self._run_dir / "checkpoints" / "nerfacto.npz"
+        if path.is_dir():
+            path = path / "nerfacto.npz"
+        with np.load(path) as z:
+            self._step = int(z["__step__"])
+            leaves, treedef = jax.tree_util.tree_flatten_with_path(self.variables["params"])
+            restored = []
+            for kp, leaf in leaves:
+                key = "/".join(getattr(p, "key", str(getattr(p, "idx", p))) for p in kp)
+                arr = z[key]
+                assert arr.shape == leaf.shape, f"{key}: {arr.shape} != {leaf.shape}"
+                restored.append(jnp.asarray(arr))
+        self.variables = {"params": jax.tree_util.tree_unflatten(treedef, restored)}

@@ -115,6 +115,26 @@ class NerfactoModel(nn.Module):
             outputs["ray_samples_list"] = samples_list + [ray_samples]
         return outputs
 
+    def query_rgb(self, positions: jax.Array, directions: jax.Array) -> jax.Array:
+        """Field color at world positions [N, 3] viewed along directions
+        [N, 3] (unit) — the mesh-texturing query (cf. reference
+        exporter/texture_utils.py which evaluates the field at surface points
+        along -normal rays). Builds a degenerate 1-sample RaySamples at each
+        point so the standard field path applies."""
+        from neuradar_tpu.cameras.rays import Frustums, RaySamples
+
+        n = positions.shape[0]
+        eps = 1e-4
+        frustums = Frustums(
+            origins=positions - directions * eps,
+            directions=directions,
+            starts=jnp.full((n, 1, 1), eps),
+            ends=jnp.full((n, 1, 1), eps),
+            pixel_area=jnp.full((n, 1), 1e-6),
+        )
+        samples = RaySamples(frustums=frustums, deltas=jnp.full((n, 1, 1), eps))
+        return self.field(samples)["rgb"][:, 0]
+
     def loss_and_metrics(self, ray_bundle: RayBundle, batch: Dict[str, jax.Array], train: bool = True):
         cfg = self.config
         outputs = self(ray_bundle, train=train)

@@ -167,22 +167,79 @@ def tsdf_fuse(
     return tsdf.reshape(R, R, R), weight.reshape(R, R, R), spacing
 
 
-def write_ply_mesh(path: Path, verts: np.ndarray, faces: np.ndarray) -> None:
-    """Binary little-endian PLY with vertex + face elements."""
+def write_ply_mesh(path: Path, verts: np.ndarray, faces: np.ndarray,
+                   colors: np.ndarray = None) -> None:
+    """Binary little-endian PLY with vertex + face elements; optional
+    per-vertex colors in [0, 1] stored as uchar rgb."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
+        vprops = ["property float x", "property float y", "property float z"]
+        if colors is not None:
+            vprops += ["property uchar red", "property uchar green", "property uchar blue"]
         header = [
             "ply", "format binary_little_endian 1.0",
-            f"element vertex {len(verts)}",
-            "property float x", "property float y", "property float z",
+            f"element vertex {len(verts)}", *vprops,
             f"element face {len(faces)}",
             "property list uchar int vertex_indices",
             "end_header",
         ]
         f.write(("\n".join(header) + "\n").encode())
-        verts.astype("<f4").tofile(f)
+        if colors is None:
+            verts.astype("<f4").tofile(f)
+        else:
+            rec = np.zeros(len(verts), dtype=[("xyz", "<f4", 3), ("rgb", np.uint8, 3)])
+            rec["xyz"] = verts
+            rec["rgb"] = (np.clip(colors, 0, 1) * 255).astype(np.uint8)
+            rec.tofile(f)
         rec = np.zeros(len(faces), dtype=[("n", np.uint8), ("idx", "<i4", 3)])
         rec["n"] = 3
         rec["idx"] = faces
         rec.tofile(f)
+
+
+def read_ply_mesh(path: Path):
+    """Read a binary little-endian PLY written by write_ply_mesh (plain or
+    vertex-colored): returns (verts [N, 3] f32, faces [F, 3] i32,
+    colors [N, 3] float in [0,1] or None)."""
+    data = Path(path).read_bytes()
+    end = data.index(b"end_header\n") + len(b"end_header\n")
+    header = data[:end].decode().splitlines()
+    n_vert = n_face = 0
+    vert_props = []
+    element = None
+    for line in header:
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "element":
+            element = parts[1]
+            if element == "vertex":
+                n_vert = int(parts[2])
+            elif element == "face":
+                n_face = int(parts[2])
+        elif parts[0] == "property" and element == "vertex" and parts[1] != "list":
+            vert_props.append((parts[2], parts[1]))
+    type_map = {"float": "<f4", "uchar": "u1", "double": "<f8", "int": "<i4"}
+    vdtype = np.dtype([(name, type_map[t]) for name, t in vert_props])
+    body = data[end:]
+    vrec = np.frombuffer(body, dtype=vdtype, count=n_vert)
+    verts = np.stack([vrec["x"], vrec["y"], vrec["z"]], axis=1).astype(np.float32)
+    colors = None
+    names = {n for n, _ in vert_props}
+    if {"red", "green", "blue"} <= names:
+        colors = np.stack([vrec["red"], vrec["green"], vrec["blue"]], axis=1).astype(np.float32) / 255.0
+    fdtype = np.dtype([("n", np.uint8), ("idx", "<i4", 3)])
+    frec = np.frombuffer(body, dtype=fdtype, count=n_face, offset=n_vert * vdtype.itemsize)
+    return verts, frec["idx"].astype(np.int32), colors
+
+
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals from a triangle mesh."""
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)  # area-weighted face normals
+    normals = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(normals, faces[:, k], fn)
+    norm = np.linalg.norm(normals, axis=1, keepdims=True)
+    return normals / np.clip(norm, 1e-12, None)

@@ -89,3 +89,37 @@ def test_write_ply_mesh(tmp_path):
     assert data.startswith(b"ply")
     assert f"element vertex {len(verts)}".encode() in data
     assert f"element face {len(faces)}".encode() in data
+
+
+def test_ply_mesh_color_roundtrip(tmp_path):
+    """write_ply_mesh with colors <-> read_ply_mesh (texture.py I/O)."""
+    import numpy as np
+
+    from neuradar_tpu.utils.meshing import read_ply_mesh, write_ply_mesh
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 1, 3]], np.int32)
+    colors = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [0.5, 0.5, 0.5]], np.float32)
+    p = tmp_path / "m.ply"
+    write_ply_mesh(p, verts, faces, colors=colors)
+    v2, f2, c2 = read_ply_mesh(p)
+    np.testing.assert_allclose(v2, verts, atol=1e-6)
+    np.testing.assert_array_equal(f2, faces)
+    np.testing.assert_allclose(c2, colors, atol=1 / 255)
+    # plain meshes read back with colors=None
+    p2 = tmp_path / "plain.ply"
+    write_ply_mesh(p2, verts, faces)
+    v3, f3, c3 = read_ply_mesh(p2)
+    assert c3 is None and len(v3) == 4 and len(f3) == 2
+
+
+def test_vertex_normals_flat_plane():
+    import numpy as np
+
+    from neuradar_tpu.utils.meshing import vertex_normals
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    n = vertex_normals(verts, faces)
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-6)  # all +-z
+    np.testing.assert_allclose(n[:, :2], 0.0, atol=1e-6)

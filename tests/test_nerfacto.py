@@ -59,3 +59,18 @@ def test_lidar_nerfacto_heads():
     assert np.isfinite(float(total))
     assert "depth_loss" in loss_dict and "ray_drop_loss" in loss_dict
     assert outputs["intensity"].shape == (32, 1)
+
+
+def test_query_rgb_at_points():
+    """query_rgb: per-point color query for mesh texturing (degenerate
+    1-sample RaySamples at world positions)."""
+    model = NerfactoModel(config=small_cfg(), static_scale=10.0)
+    bundle = make_bundle(8)
+    variables = model.init({"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+                           bundle, train=True)
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-5, 5, (16, 3)), jnp.float32)
+    dirs = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (16, 1))
+    rgb = model.apply(variables, pts, dirs, method=NerfactoModel.query_rgb)
+    assert rgb.shape == (16, 3)
+    assert np.isfinite(np.asarray(rgb)).all()
+    assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()

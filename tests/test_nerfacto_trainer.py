@@ -49,3 +49,25 @@ def test_lidar_nerfacto_trains(tmp_path):
     losses = _losses(NerfactoTrainer(cfg))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_nerfacto_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint/load_checkpoint restores params + step exactly."""
+    import jax
+    import numpy as np
+
+    cfg = _small(get_method("nerfacto"), tmp_path)
+    cfg.steps_per_save = 0
+    tr = NerfactoTrainer(cfg)
+    tr.setup()
+    tr.train(2)
+    path = tr.save_checkpoint()
+    assert path.exists()
+    ref_leaf = np.asarray(jax.tree.leaves(tr.variables["params"])[0]).copy()
+    old_step = tr._step
+
+    tr2 = NerfactoTrainer(cfg)
+    tr2.setup()
+    tr2.load_checkpoint(path)
+    assert tr2._step == old_step
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(tr2.variables["params"])[0]), ref_leaf)

@@ -205,3 +205,26 @@ def test_export_camera_poses(trained, tmp_path):
     assert len(tr) + len(ev) == n_cams and len(ev) >= 1
     m = tr[0]["transform"]
     assert len(m) == 4 and len(m[0]) == 4 and m[3] == [0, 0, 0, 1]
+
+
+def test_texture_bake_vertex_colors(trained, tmp_path):
+    """texture.py bakes per-vertex colors by view projection (reference
+    scripts/texture.py + texture_utils.py, vertex-color variant)."""
+    from neuradar_tpu.scripts.texture import bake_vertex_colors
+    from neuradar_tpu.utils.meshing import read_ply_mesh, write_ply_mesh
+
+    trainer, _ = trained
+    # quad hovering in front of the ego, facing up toward the cameras
+    verts = np.array([[8, -1, -1], [8, 1, -1], [10, 1, -1], [10, -1, -1]], np.float32)
+    faces = np.array([[0, 2, 1], [0, 3, 2]], np.int32)  # +z normals (cameras above)
+    colors = bake_vertex_colors(
+        trainer.pipeline, trainer.eval_variables(), verts, faces,
+        max_cameras=2, depth_tol=100.0,  # huge tol: accept any projected depth
+    )
+    assert colors.shape == (4, 3)
+    assert np.isfinite(colors).all() and (colors >= 0).all() and (colors <= 1).all()
+    assert not np.allclose(colors, 0.5)  # at least one vertex saw a camera
+    out = tmp_path / "textured.ply"
+    write_ply_mesh(out, verts, faces, colors=colors)
+    _, _, c2 = read_ply_mesh(out)
+    np.testing.assert_allclose(c2, colors, atol=1 / 255)
