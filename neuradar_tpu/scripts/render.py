@@ -185,9 +185,10 @@ def main(argv=None) -> int:
     for cam_idx in frames:
         rend = pipeline.render_camera(variables, int(cam_idx), actor_edits=edits)
         _save_image(out_dir / f"frame_{int(cam_idx):05d}.png", rend["rgb"])
-        depth = rend["depth"]
-        depth_vis = np.clip(depth / max(depth.max(), 1e-6), 0, 1)
-        _save_image(out_dir / f"depth_{int(cam_idx):05d}.png", np.stack([depth_vis] * 3, axis=-1))
+        depth = np.asarray(rend["depth"], np.float32)
+        from neuradar_tpu.utils.colormaps import apply_depth_colormap
+
+        _save_image(out_dir / f"depth_{int(cam_idx):05d}.png", apply_depth_colormap(depth[..., None]))
     (out_dir / "render_info.json").write_text(
         json.dumps({"command": args.command, "frames": [int(f) for f in frames]})
     )
