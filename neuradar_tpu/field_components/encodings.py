@@ -55,7 +55,34 @@ def hash_corners(corner_coords: jax.Array, table_size: int, level_offsets: jax.A
     return x.astype(jnp.int32) + level_offsets
 
 
-def _corner_indices_and_weights(p: jax.Array, scalings: jax.Array, table_size: int, num_levels: int, d: int):
+def corner_index(
+    coords: jax.Array, table_size: int, level_offsets: jax.Array, dense_sides: Optional[tuple] = None
+) -> jax.Array:
+    """Per-level table row index for integer corner coords [..., L, d].
+
+    Levels with dense_sides[l] > 0 use COLLISION-FREE dense row-major
+    indexing (sum_i coords_i * side^i) — tcnn's actual behavior when a
+    level's grid fits the table (the reference's torch fallback hashes every
+    level; the default dense_sides=None matches that). Hashed levels use the
+    spatial hash."""
+    hashed = hash_corners(coords, table_size, level_offsets)
+    if dense_sides is None or not any(dense_sides):
+        return hashed
+    d = coords.shape[-1]
+    sides = jnp.asarray(dense_sides, jnp.int32)  # [L], 0 = hashed
+    dense = jnp.zeros_like(coords[..., 0])
+    stride = jnp.ones_like(sides)
+    for i in range(d):
+        dense = dense + coords[..., i] * stride
+        stride = stride * jnp.maximum(sides, 1)
+    dense = dense + level_offsets
+    return jnp.where(sides > 0, dense, hashed)
+
+
+def _corner_indices_and_weights(
+    p: jax.Array, scalings: jax.Array, table_size: int, num_levels: int, d: int,
+    dense_sides: Optional[tuple] = None,
+):
     """Flat element indices + interpolation weights for all corners.
 
     Args:
@@ -75,7 +102,7 @@ def _corner_indices_and_weights(p: jax.Array, scalings: jax.Array, table_size: i
     for corner in range(2**d):
         bits = [(corner >> i) & 1 for i in range(d)]
         coords = base + jnp.asarray(bits, jnp.int32)
-        idx = hash_corners(coords, table_size, level_offsets)  # [N, L]
+        idx = corner_index(coords, table_size, level_offsets, dense_sides)  # [N, L]
         w = jnp.ones(offset.shape[:-1], offset.dtype)
         for i, bit in enumerate(bits):
             w = w * (offset[..., i] if bit else (1 - offset[..., i]))
@@ -86,7 +113,7 @@ def _corner_indices_and_weights(p: jax.Array, scalings: jax.Array, table_size: i
     return idx, w
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def hash_encode(
     positions_flat: jax.Array,
     table_flat: jax.Array,
@@ -95,6 +122,7 @@ def hash_encode(
     num_levels: int,
     features_per_level: int,
     n_input_dims: int,
+    dense_sides: tuple = None,
 ) -> jax.Array:
     """Multiresolution hash encoding with a single combined gather.
 
@@ -107,17 +135,19 @@ def hash_encode(
         [N, L * F] features.
     """
     out, _ = _hash_encode_fwd(
-        positions_flat, table_flat, scalings, table_size, num_levels, features_per_level, n_input_dims
+        positions_flat, table_flat, scalings, table_size, num_levels, features_per_level, n_input_dims,
+        dense_sides,
     )
     return out
 
 
-def _gather_corner_features(positions_flat, table_flat, scalings, table_size, num_levels, features_per_level, d):
+def _gather_corner_features(positions_flat, table_flat, scalings, table_size, num_levels, features_per_level, d,
+                            dense_sides=None):
     N = positions_flat.shape[0] // d
     L, F = num_levels, features_per_level
     p = positions_flat.reshape(N, d)
     scal = jnp.asarray(scalings, p.dtype)
-    idx, w = _corner_indices_and_weights(p, scal, table_size, L, d)  # [N, 2^d*L]
+    idx, w = _corner_indices_and_weights(p, scal, table_size, L, d, dense_sides)  # [N, 2^d*L]
     if F > 1:
         elem_idx = (idx[..., None] * F + jnp.arange(F, dtype=jnp.int32)).reshape(N, -1)  # [N, 2^d*L*F]
     else:
@@ -126,11 +156,12 @@ def _gather_corner_features(positions_flat, table_flat, scalings, table_size, nu
     return gathered, idx, elem_idx, w
 
 
-def _hash_encode_fwd(positions_flat, table_flat, scalings, table_size, num_levels, features_per_level, d):
+def _hash_encode_fwd(positions_flat, table_flat, scalings, table_size, num_levels, features_per_level, d,
+                     dense_sides=None):
     N = positions_flat.shape[0] // d
     L, F = num_levels, features_per_level
     gathered, _idx, _eidx, w = _gather_corner_features(
-        positions_flat, table_flat, scalings, table_size, num_levels, features_per_level, d
+        positions_flat, table_flat, scalings, table_size, num_levels, features_per_level, d, dense_sides
     )
     n_corners = 2**d
     w_exp = jnp.repeat(w, F, axis=-1) if F > 1 else w  # [N, 2^d*L*F]
@@ -139,7 +170,7 @@ def _hash_encode_fwd(positions_flat, table_flat, scalings, table_size, num_level
     return out, (positions_flat, table_flat)
 
 
-def _hash_encode_bwd(scalings, table_size, num_levels, features_per_level, d, residuals, g):
+def _hash_encode_bwd(scalings, table_size, num_levels, features_per_level, d, dense_sides, residuals, g):
     """Backward: recompute indices/weights, scatter-add table grad, regather
     for the position grad (recompute-over-store, cf. module docstring)."""
     positions_flat, table_flat = residuals
@@ -164,7 +195,7 @@ def _hash_encode_bwd(scalings, table_size, num_levels, features_per_level, d, re
     for corner in range(n_corners):
         bits = [(corner >> i) & 1 for i in range(d)]
         coords = base + jnp.asarray(bits, jnp.int32)
-        idx = hash_corners(coords, table_size, level_offsets)  # [N, L]
+        idx = corner_index(coords, table_size, level_offsets, dense_sides)  # [N, L]
         # weight and its partials
         w = jnp.ones(offset.shape[:-1], offset.dtype)
         for i, bit in enumerate(bits):
@@ -215,6 +246,11 @@ class HashEncoding(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
     """If set (e.g. bf16), the table is cast once before gathering — halving
     the HBM gather bandwidth, the dominant cost of hash encoding on TPU."""
+    dense_low_levels: bool = False
+    """Collision-free dense indexing for levels whose full grid fits the
+    per-level table (tcnn's actual behavior; the reference's torch fallback —
+    and this default — hashes every level). Also the prerequisite for the
+    planned VMEM-resident low-level kernel (docs/PERFORMANCE.md roofline)."""
 
     def setup(self):
         levels = np.arange(self.num_levels)
@@ -226,6 +262,16 @@ class HashEncoding(nn.Module):
         # Per-level resolutions, cf. encodings.py:350 (floor of geometric spacing)
         self.scalings = tuple(np.floor(self.min_res * growth**levels).astype(np.float32).tolist())
         self.table_size = 2**self.log2_hashmap_size
+        if self.dense_low_levels:
+            # corner coords reach floor(scaling)+1, so the dense side length
+            # is floor(scaling)+2; a level is dense iff side^d rows fit its
+            # table slot
+            sides = [int(s) + 2 for s in self.scalings]
+            self.dense_sides = tuple(
+                side if side**self.n_input_dims <= self.table_size else 0 for side in sides
+            )
+        else:
+            self.dense_sides = None
         n = self.table_size * self.num_levels * self.features_per_level
         self.hash_table = self.param(
             "hash_table",
@@ -254,6 +300,7 @@ class HashEncoding(nn.Module):
             self.num_levels,
             self.features_per_level,
             d,
+            self.dense_sides,
         )
         return out.reshape(*batch_shape, self.get_out_dim()).astype(pos_dtype)
 

@@ -42,6 +42,10 @@ class StaticSettings:
     base_res: int = 32
     max_res: int = 8192
     log2_hashmap_size: int = 22
+    dense_low_levels: bool = False
+    """Collision-free dense rows for levels whose grid fits the table
+    (tcnn behavior; default matches the reference torch fallback's
+    hash-everything — see encodings.HashEncoding)."""
 
 
 @dataclass
@@ -55,6 +59,7 @@ class ActorSettings:
     base_res: int = 64
     max_res: int = 1024
     log2_hashmap_size: int = 17
+    dense_low_levels: bool = False
 
 
 @dataclass
@@ -102,6 +107,7 @@ class NeuRADHashEncoding(nn.Module):
             features_per_level=cfg.static.hashgrid_dim,
             n_input_dims=3,
             compute_dtype=self.compute_dtype,
+            dense_low_levels=cfg.static.dense_low_levels,
         )
         if self.has_actors:
             self.actor_grid = HashEncoding(
@@ -112,6 +118,7 @@ class NeuRADHashEncoding(nn.Module):
                 features_per_level=cfg.actor.hashgrid_dim,
                 n_input_dims=4,
                 compute_dtype=self.compute_dtype,
+                dense_low_levels=cfg.actor.dense_low_levels,
             )
 
     @property

@@ -253,3 +253,49 @@ def test_proposal_field_forward():
     density = field.apply(params, rs, None)
     assert density.shape == (4, 8, 1)
     assert (np.asarray(density) > 0).all()
+
+
+def test_dense_low_levels_indexing():
+    """dense_low_levels: levels whose grid fits the table use collision-free
+    row-major indexing (tcnn behavior); output matches hashed mode only where
+    the hash happens to be collision-free, gradients flow, and distinct
+    low-level cells never alias."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neuradar_tpu.field_components.encodings import HashEncoding
+
+    kw = dict(num_levels=4, min_res=4, max_res=64, log2_hashmap_size=10, features_per_level=2)
+    enc_d = HashEncoding(dense_low_levels=True, **kw)
+    enc_h = HashEncoding(dense_low_levels=False, **kw)
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (64, 3))
+    vd = enc_d.init(jax.random.PRNGKey(1), pts)
+    # level sides: floor(scaling)+2 -> dense iff side^3 <= 1024 (levels 0-1)
+    bound = enc_d.bind(vd)
+    assert bound.dense_sides is not None
+    assert bound.dense_sides[0] > 0 and bound.dense_sides[-1] == 0
+
+    out = enc_d.apply(vd, pts)
+    assert out.shape == (64, 4 * 2) and np.isfinite(np.asarray(out)).all()
+
+    # same table params, hashed indexing -> different features on dense levels
+    out_h = enc_h.apply(vd, pts)
+    assert not np.allclose(np.asarray(out), np.asarray(out_h))
+    # highest (hashed-in-both) level identical
+    np.testing.assert_allclose(np.asarray(out[:, -2:]), np.asarray(out_h[:, -2:]), rtol=1e-6)
+
+    # gradient flows through both table and positions in dense mode
+    def loss(v, p):
+        return jnp.sum(enc_d.apply(v, p) ** 2)
+
+    gt, gp = jax.grad(loss, argnums=(0, 1))(vd, pts)
+    assert float(jnp.abs(gt["params"]["hash_table"]).sum()) > 0
+    assert np.isfinite(np.asarray(gp)).all()
+
+    # collision-freeness: two distinct level-0 cells map to distinct rows
+    from neuradar_tpu.field_components.encodings import corner_index
+
+    coords = jnp.asarray([[[0, 0, 0]], [[1, 0, 0]], [[0, 1, 0]], [[2, 2, 2]]], jnp.int32)  # [4, L=1, 3]
+    rows = corner_index(coords, 1024, jnp.zeros(1, jnp.int32), (6,))
+    assert len(set(np.asarray(rows).ravel().tolist())) == 4
