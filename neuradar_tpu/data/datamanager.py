@@ -223,6 +223,17 @@ class ADDataManager:
 
         # host caches
         self.images_u8 = np.ascontiguousarray(outputs.images)  # [Nc, H, W, 3] uint8
+        # pixel masks (True = keep; cf. reference PixelSampler
+        # rejection_sample_mask, pixel_samplers.py:53-110): patch top-lefts
+        # are rejection-sampled so accepted patches avoid masked pixels.
+        # Integral images make the per-patch masked-pixel count O(1).
+        masks = getattr(outputs, "masks", None)
+        if masks is not None:
+            inv = (~np.asarray(masks, bool)).astype(np.int64)  # 1 = masked
+            self._mask_integral = np.zeros((inv.shape[0], inv.shape[1] + 1, inv.shape[2] + 1), np.int64)
+            self._mask_integral[:, 1:, 1:] = inv.cumsum(axis=1).cumsum(axis=2)
+        else:
+            self._mask_integral = None
         self._pack_lidar(outputs)
         self._pad_radar(outputs)
         self._queue: Optional[queue.Queue] = None
@@ -290,6 +301,8 @@ class ADDataManager:
         cam_frames = rng.choice(cam_split, size=c.num_rgb_patches)
         tl_r = rng.randint(0, H - gt_patch + 1, size=c.num_rgb_patches)
         tl_c = rng.randint(0, W - gt_patch + 1, size=c.num_rgb_patches)
+        if self._mask_integral is not None:
+            tl_r, tl_c = self._reject_masked_patches(rng, cam_frames, tl_r, tl_c, gt_patch, H, W)
         top_left = np.stack([tl_r, tl_c], axis=1)
         # gather GT patches in uint8 (threaded C++ gather) and normalize on
         # DEVICE: 4x less host->device traffic than f32 (the biggest per-step
@@ -315,6 +328,37 @@ class ADDataManager:
             "radar_gt": self.radar_gt[radar_scan_idx],
             "radar_gt_mask": self.radar_gt_mask[radar_scan_idx],
         }
+
+    def _masked_counts(self, cam_frames, tl_r, tl_c, gt_patch):
+        """Masked-pixel count per candidate patch via the integral image."""
+        ii = self._mask_integral[cam_frames]
+        b = np.arange(len(cam_frames))
+        return (
+            ii[b, tl_r + gt_patch, tl_c + gt_patch]
+            - ii[b, tl_r, tl_c + gt_patch]
+            - ii[b, tl_r + gt_patch, tl_c]
+            + ii[b, tl_r, tl_c]
+        )
+
+    def _reject_masked_patches(self, rng, cam_frames, tl_r, tl_c, gt_patch, H, W, max_iters: int = 20):
+        """Resample patch top-lefts whose footprint touches masked pixels
+        (reference rejection_sample_mask with max_num_iterations; here the
+        fallback keeps the least-masked candidate seen)."""
+        best_r, best_c = tl_r.copy(), tl_c.copy()
+        best_bad = self._masked_counts(cam_frames, best_r, best_c, gt_patch)
+        for _ in range(max_iters):
+            redo = best_bad > 0
+            if not redo.any():
+                break
+            n = int(redo.sum())
+            cand_r = rng.randint(0, H - gt_patch + 1, size=n)
+            cand_c = rng.randint(0, W - gt_patch + 1, size=n)
+            cand_bad = self._masked_counts(cam_frames[redo], cand_r, cand_c, gt_patch)
+            improve = cand_bad < best_bad[redo]
+            idx = np.flatnonzero(redo)[improve]
+            best_r[idx], best_c[idx] = cand_r[improve], cand_c[improve]
+            best_bad[idx] = cand_bad[improve]
+        return best_r, best_c
 
     # -- prefetching -----------------------------------------------------------
 

@@ -48,6 +48,11 @@ class DataparserOutputs:
     camera_times: np.ndarray  # [Nc]
     camera_sensor_idxs: np.ndarray  # [Nc]
     images: np.ndarray  # [Nc, H, W, 3] uint8
+    masks: Optional[np.ndarray] = None
+    """[Nc, H, W] bool, True = pixel participates in training. The
+    datamanager rejection-samples patch positions against these (cf.
+    reference pixel_samplers rejection_sample_mask; masks generated e.g. by
+    scripts/process_nuscenes_masks)."""
     camera_velocities: Optional[np.ndarray] = None  # [Nc, 3]
     rolling_shutter_offsets: Optional[np.ndarray] = None  # [Nc, 2]
 

@@ -69,7 +69,8 @@ class NerfstudioFormatDataParser:
         def frame_val(f, key, default=None):
             return f.get(key, meta.get(key, default))
 
-        poses, images, intr, dist, times = [], [], [], [], []
+        poses, images, intr, dist, times, masks = [], [], [], [], [], []
+        any_mask = False
         H = W = None
         for i, f in enumerate(frames):
             img_path = root / f["file_path"]
@@ -84,6 +85,17 @@ class NerfstudioFormatDataParser:
             elif arr.shape[:2] != (H, W):
                 raise ValueError(f"mixed image sizes: {arr.shape[:2]} vs {(H, W)}")
             images.append(arr)
+            # per-frame foreground mask (reference nerfstudio dataparser
+            # mask_path; 255/nonzero = keep); frames without one are fully kept
+            mask_rel = f.get("mask_path")
+            if mask_rel and (root / mask_rel).exists():
+                mimg = Image.open(root / mask_rel).convert("L")
+                if c.downscale_factor > 1:
+                    mimg = mimg.resize((W, H))
+                masks.append(np.asarray(mimg) > 127)
+                any_mask = True
+            else:
+                masks.append(np.ones((H, W), bool))
             m = np.asarray(f["transform_matrix"], np.float64)
             poses.append(m[:3, :4])
             s = 1.0 / c.downscale_factor
@@ -119,6 +131,7 @@ class NerfstudioFormatDataParser:
             camera_times=times.astype(np.float32),
             camera_sensor_idxs=np.zeros(n, np.int32),
             images=np.stack(images),
+            masks=np.stack(masks) if any_mask else None,
             lidar_to_worlds=np.zeros((0, 3, 4), np.float32),
             lidar_times=np.zeros(0, np.float32),
             lidar_sensor_idxs=np.zeros(0, np.int32),

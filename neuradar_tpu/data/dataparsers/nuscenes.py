@@ -38,6 +38,10 @@ class NuScenesDataParserConfig:
     version: str = "v1.0-trainval"
     cameras: Tuple[str, ...] = ("FRONT",)
     eval_fraction: float = 0.125
+    mask_dir: str = ""
+    """Directory of dynamic-object masks produced by
+    scripts/process_nuscenes_masks (masks/CAM_*/<frame>.png, 255 = keep);
+    empty disables masking (cf. reference nuscenes_dataparser.py:124-125)."""
 
     def setup(self) -> "NuScenesDataParser":
         return NuScenesDataParser(self)
@@ -68,7 +72,7 @@ class NuScenesDataParser:
             m[:3, 3] = rec["translation"]
             return m
 
-        c2ws, intr, images, cam_times = [], [], [], []
+        c2ws, intr, images, cam_times, masks = [], [], [], [], []
         l2ws, lidar_points, lidar_times = [], [], []
         sample = nusc.get("sample", scene["first_sample_token"])
         while True:
@@ -98,6 +102,13 @@ class NuScenesDataParser:
                 intr.append([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
                 images.append(np.asarray(PIL.Image.open(nusc.get_sample_data_path(sd_c["token"]))))
                 cam_times.append(sd_c["timestamp"] / 1e6)
+                if cfg.mask_dir:
+                    from pathlib import Path as _P
+
+                    mp = (_P(cfg.mask_dir) / "masks" / f"CAM_{cam}"
+                          / _P(sd_c["filename"]).name.replace("jpg", "png"))
+                    masks.append(np.asarray(PIL.Image.open(mp)) > 127 if mp.exists()
+                                 else np.ones(images[-1].shape[:2], bool))
 
             if not sample["next"]:
                 break
@@ -129,6 +140,7 @@ class NuScenesDataParser:
             camera_times=cam_times.astype(np.float32),
             camera_sensor_idxs=np.zeros(n, np.int64),
             images=images,
+            masks=np.stack(masks) if masks else None,
             lidar_to_worlds=l2ws,
             lidar_times=lidar_times.astype(np.float32),
             lidar_sensor_idxs=np.ones(len(l2ws), np.int64),

@@ -84,3 +84,37 @@ def test_benchmarking_harness(tmp_path):
     table = json.loads(out.read_text())
     assert set(table["scenes"]) == {"sceneA", "sceneB"}
     assert np.isfinite(table["mean_psnr"])
+
+
+def test_mask_path_loading(tmp_path):
+    """frames may carry mask_path (reference nerfstudio dataparser): loaded
+    as boolean keep-masks; frames without one are fully kept."""
+    import json
+
+    import numpy as np
+    import PIL.Image
+
+    from neuradar_tpu.data.dataparsers.nerfstudio_format import (
+        NerfstudioFormatDataParser,
+        NerfstudioFormatDataParserConfig,
+    )
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "masks").mkdir()
+    frames = []
+    for i in range(3):
+        PIL.Image.fromarray(np.full((16, 24, 3), 100 + i, np.uint8)).save(tmp_path / "images" / f"f{i}.png")
+        fr = {"file_path": f"images/f{i}.png",
+              "transform_matrix": np.eye(4).tolist(), "fl_x": 20.0, "fl_y": 20.0, "cx": 12.0, "cy": 8.0}
+        if i == 1:  # only frame 1 has a mask: left half excluded
+            m = np.ones((16, 24), np.uint8) * 255
+            m[:, :12] = 0
+            PIL.Image.fromarray(m).save(tmp_path / "masks" / f"f{i}.png")
+            fr["mask_path"] = f"masks/f{i}.png"
+        frames.append(fr)
+    (tmp_path / "transforms.json").write_text(json.dumps({"frames": frames}))
+
+    out = NerfstudioFormatDataParser(NerfstudioFormatDataParserConfig(data=str(tmp_path))).get_dataparser_outputs()
+    assert out.masks is not None and out.masks.shape == (3, 16, 24)
+    assert out.masks[0].all() and out.masks[2].all()
+    assert not out.masks[1][:, :12].any() and out.masks[1][:, 12:].all()
