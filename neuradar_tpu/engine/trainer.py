@@ -98,6 +98,16 @@ class TrainerConfig:
     """Accumulate gradients over k batches before applying updates
     (cf. the reference's per-group grad accumulation, trainer.py:549-598,
     engine/optimizers.py zero_grad_some/optimizer_scaler_step_some)."""
+    data_parallel: str = "auto"
+    """'auto': when more than one device is visible and every batch segment
+    (rgb patches / lidar rays / radar scans) divides the device count, shard
+    each batch's leading axis over a device mesh — XLA inserts the gradient
+    psum (replaces the reference's DDP launcher; parallel/sharding.py).
+    'off': always single-device."""
+    tensor_parallel: int = 1
+    """Additionally shard the flat hash tables (the dominant parameter mass)
+    over this many devices: mesh becomes (data x model); must divide the
+    device count (parallel/sharding.param_shardings)."""
     seed: int = 42
     save_only_latest_checkpoint: bool = True
     load_dir: Optional[str] = None
@@ -214,13 +224,55 @@ class Trainer:
             if hasattr(self, "_eval_loss_fn"):
                 del self._eval_loss_fn
 
+    def _multichip_shardings(self):
+        """(in_shardings, scan_in_shardings, out_shardings) for multi-device
+        training, or None when single-device / disabled / non-divisible."""
+        n = jax.device_count()
+        c = self.config
+        if n <= 1 or c.data_parallel == "off":
+            return None
+        dmc = c.pipeline.datamanager
+        for name, size in (("num_rgb_patches", dmc.num_rgb_patches),
+                           ("num_lidar_rays", dmc.num_lidar_rays),
+                           ("num_radar_scans", dmc.num_radar_scans)):
+            if size and size % n:
+                print(f"[trainer] data_parallel off: {name}={size} not divisible by {n} devices")
+                return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from neuradar_tpu.parallel.sharding import make_mesh, make_mesh_2d, param_shardings, replicated
+
+        tp = max(1, c.tensor_parallel)
+        if tp > 1:
+            assert n % tp == 0, f"tensor_parallel={tp} must divide device count {n}"
+            mesh = make_mesh_2d(n // tp, tp)
+            p_shard = param_shardings(self.params, mesh)
+            o_shard = param_shardings(self.opt_state, mesh)
+        else:
+            mesh = make_mesh(n)
+            p_shard = o_shard = replicated(mesh)
+        rep = replicated(mesh)
+        batch_s = NamedSharding(mesh, P("data"))
+        scan_batch_s = NamedSharding(mesh, P(None, "data"))  # [K, B, ...]
+        print(f"[trainer] multi-device training: dp={mesh.shape['data']}"
+              + (f" x tp={tp}" if tp > 1 else "") + f" over {n} devices")
+        return (
+            dict(in_shardings=(p_shard, o_shard, rep, batch_s, rep),
+                 out_shardings=(p_shard, o_shard, rep, rep, rep, rep)),
+            dict(in_shardings=(p_shard, o_shard, rep, scan_batch_s, rep),
+                 out_shardings=(p_shard, o_shard, rep, rep, rep, rep)),
+        )
+
     def _build_train_step(self):
         loss_fn = self.pipeline.make_train_loss_fn()
         tx = self.tx
+        shardings = self._multichip_shardings()
+        step_kw = shardings[0] if shardings else {}
+        scan_kw = shardings[1] if shardings else {}
 
         # donated buffers: the param/Adam-state update happens in-place in
         # HBM rather than allocating fresh output copies each step
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2), **step_kw)
         def train_step(params, opt_state, batch_stats, batch, rng):
             (total, (loss_dict, metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch_stats, batch, rng
@@ -234,7 +286,7 @@ class Trainer:
 
         # K steps per dispatch: scan the step over K stacked batches; only
         # the final step's scalars are returned (sufficient for logging)
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("k",))
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("k",), **scan_kw)
         def train_steps(params, opt_state, batch_stats, batches, rng, k):
             def body(carry, xs):
                 params, opt_state, batch_stats = carry

@@ -176,3 +176,33 @@ def test_full_model_train_step_dp_tp_parity():
     total_tp = float(total_tp)
     np.testing.assert_allclose(total_tp, total1, rtol=2e-4)
     assert _param_delta(p_tp, params) > 0
+
+
+def test_trainer_cli_data_parallel_path(tmp_path):
+    """Trainer-level multi-device wiring (TrainerConfig.data_parallel): with
+    batch segments divisible by the 8 virtual devices the jitted step is
+    built with dp shardings, and training runs (the CLI-reachable path,
+    not just the dryrun helpers)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from test_trainer_e2e import tiny_outputs, tiny_trainer_config
+
+    from neuradar_tpu.engine.trainer import Trainer
+
+    cfg = tiny_trainer_config()
+    cfg.output_dir = str(tmp_path)
+    dm = cfg.pipeline.datamanager
+    dm.num_rgb_patches, dm.num_lidar_rays, dm.num_radar_scans = 8, 256, 8
+    trainer = Trainer(cfg, dataparser_outputs=tiny_outputs())
+    trainer.setup()
+    assert trainer._multichip_shardings() is not None  # dp path active
+    m = trainer.train(2)
+    assert np.isfinite(m["loss"])
+
+    # non-divisible sizes fall back to single-device cleanly
+    cfg2 = tiny_trainer_config()
+    cfg2.output_dir = str(tmp_path / "b")
+    trainer2 = Trainer(cfg2, dataparser_outputs=tiny_outputs())
+    trainer2.setup()
+    assert trainer2._multichip_shardings() is None
