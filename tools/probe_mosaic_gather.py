@@ -72,7 +72,7 @@ def main():
     # 3. one-hot matmul fallback (always lowers; MXU cost T x N):
     def k_onehot(table_ref, idx_ref, out_ref):
         oh = (idx_ref[:, 0][:, None] == jax.lax.broadcasted_iota(jnp.int32, (N, T), 1)).astype(jnp.float32)
-        out_ref[:] = jax.lax.dot(oh, table_ref[:], precision=jax.lax.Precision.DEFAULT)
+        out_ref[:] = jax.lax.dot(oh, table_ref[:], precision=jax.lax.Precision.HIGHEST)
 
     ref = np.asarray(table2d)[np.asarray(idx)]
     out = run("onehot_matmul", k_onehot, (N, F), table2d, idx2d)
@@ -89,7 +89,10 @@ def main():
 
         jax.lax.fori_loop(0, N, body, 0)
 
-    run("fori_row_loads", k_loop, (N, F), table2d, idx2d)
+    out = run("fori_row_loads", k_loop, (N, F), table2d, idx2d)
+    if out is not None:
+        print(json.dumps({"form": "fori_row_loads_correct", "ok": bool(np.allclose(out, ref, atol=1e-5))}),
+              flush=True)
 
 
 if __name__ == "__main__":
