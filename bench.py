@@ -58,6 +58,14 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4):
         # conservative) reading beats a null artifact
         dm = ADDataManagerConfig(num_rgb_patches=5, patch_size=32, num_lidar_rays=2048,
                                  num_radar_scans=2, max_radar_gt=256)
+    elif scale == "micro":
+        # last rung: the smallest batch that still exercises all three
+        # modalities on the PRODUCTION model (~6.5k rays). The 2026-08-17
+        # episode crashed every production train step >= eighth (14k rays)
+        # while the tiny-MODEL step ran (tools/bisect_relay_crash.py) — this
+        # rung also bisects model-class vs batch-scale as the trigger.
+        dm = ADDataManagerConfig(num_rgb_patches=2, patch_size=32, num_lidar_rays=1024,
+                                 num_radar_scans=1, max_radar_gt=128)
     elif scale == "half":
         dm = ADDataManagerConfig(num_rgb_patches=20, patch_size=32, num_lidar_rays=8192,
                                  num_radar_scans=8, max_radar_gt=256)
@@ -170,15 +178,15 @@ def main_with_retries() -> None:
 
     ladder = [
         ["--chunks", "8", "--scale", "full"],
-        # degraded-relay bisect (2026-08-16): full (112k rays) and half (56k)
-        # crash the worker; 3/8 (42k) survives — largest measurable fallback
+        # degraded-relay bisects (2026-08-16/17): episodes crash the worker
+        # above a scale threshold that varies by episode (half one day, below
+        # eighth the next) — descend fast to bank SOME honest reading, then
+        # retry the big scales in case the worker recovered
         ["--chunks", "8", "--scale", "three8"],
-        ["--chunks", "16", "--scale", "quarter"],
-        # tiny probe completes through any relay episode observed so far —
-        # guarantees a non-null (clearly conservative) reading
         ["--chunks", "8", "--scale", "eighth"],
+        ["--chunks", "8", "--scale", "micro"],
         ["--chunks", "8", "--scale", "full"],
-        ["--chunks", "8", "--scale", "three8"],
+        ["--chunks", "16", "--scale", "quarter"],
     ]
     # below this the relay is provably degraded (healthy runs measured
     # 199k-279k rays/s; a degraded-relay episode measured ~750): keep trying
