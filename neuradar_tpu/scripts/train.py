@@ -31,6 +31,39 @@ def _config_to_jsonable(obj):
     return repr(obj)
 
 
+_DIST_FLAGS = ("--coordinator", "--num-processes", "--process-id")
+
+
+def supervise(child_argv, ckpt_dir, max_restarts, resumable=True, spawn=None) -> int:
+    """Run training in a child process; on a nonzero exit, restart it up to
+    max_restarts times, resuming from the run's latest checkpoint when one
+    exists (training continues TO max_num_iterations — Trainer.train resume
+    accounting). Production robustness for device-runtime crash classes
+    (e.g. a TPU worker restart) that kill the client process; the reference
+    has no equivalent (its DDP launcher dies with the worker). `spawn` is
+    injectable for tests; default re-execs this CLI."""
+    import subprocess
+
+    spawn = spawn or (
+        lambda argv: subprocess.call([sys.executable, "-m", "neuradar_tpu.scripts.train", *argv])
+    )
+    attempt = 0
+    while True:
+        argv = list(child_argv)
+        if attempt and resumable and Path(ckpt_dir).exists():
+            argv += ["--load_dir", str(ckpt_dir)]
+        rc = spawn(argv)
+        if rc == 0 or attempt >= max_restarts:
+            return rc
+        attempt += 1
+        has_ckpt = resumable and Path(ckpt_dir).exists()
+        print(
+            f"[train] child exited rc={rc}; auto-restart {attempt}/{max_restarts}"
+            + (f", resuming from {ckpt_dir}" if has_ckpt else " (no checkpoint yet — cold restart)"),
+            file=sys.stderr, flush=True,
+        )
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     from neuradar_tpu.configs.cli import describe, parse_overrides
@@ -44,6 +77,24 @@ def main(argv=None) -> int:
         return 0
 
     method = argv.pop(0)
+
+    # --auto-restart N: supervise training in a child process, restarting on
+    # crash (resume from the run's checkpoints). Handled before any jax use.
+    n_restarts = 0
+    if "--auto-restart" in argv:
+        i = argv.index("--auto-restart")
+        n_restarts = int(argv[i + 1])
+        del argv[i : i + 2]
+    if n_restarts > 0:
+        cfg_argv = list(argv)
+        for flag in _DIST_FLAGS:
+            while flag in cfg_argv:
+                i = cfg_argv.index(flag)
+                del cfg_argv[i : i + 2]
+        cfg = parse_overrides(get_method(method), cfg_argv)
+        ckpt_dir = Path(cfg.output_dir) / cfg.experiment_name / cfg.method_name / "checkpoints"
+        return supervise([method, *argv], ckpt_dir, n_restarts,
+                         resumable=hasattr(cfg, "load_dir"))
 
     # Multi-host bootstrap BEFORE any jax use (cf. reference train.py launch()
     # world_size>1 branch): --coordinator/--num-processes/--process-id or the
