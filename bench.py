@@ -131,7 +131,19 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4):
     warm_loss = float(total)
     log(f"train step compiled (warmup loss {warm_loss:.4f}); timing...")
 
-    n_dispatches = max(12 // scan_steps, 2)
+    # adaptive timing window: estimate one dispatch first, then size the
+    # timed loop to ~60 s — a degraded relay episode can execute ~500x slow,
+    # where a fixed 12-dispatch window at full scale would outlive the
+    # ladder's per-attempt timeout and record nothing
+    t0 = time.perf_counter()
+    params, opt_state, batch_stats, total = train_steps(
+        params, opt_state, batch_stats, stack_batches(scan_steps),
+        jax.random.fold_in(rng, 10_000), scan_steps
+    )
+    _ = float(total)
+    est_dispatch = time.perf_counter() - t0
+    n_dispatches = int(np.clip(60.0 / max(est_dispatch, 1e-3), 2, max(12 // scan_steps, 2)))
+    log(f"~{est_dispatch:.2f}s/dispatch -> timing {n_dispatches} dispatches")
     n_iters = n_dispatches * scan_steps
     t0 = time.perf_counter()
     for i in range(n_dispatches):
@@ -179,14 +191,16 @@ def main_with_retries() -> None:
     ladder = [
         ["--chunks", "8", "--scale", "full"],
         # degraded-relay bisects (2026-08-16/17): episodes crash the worker
-        # above a scale threshold that varies by episode (half one day, below
-        # eighth the next) — descend fast to bank SOME honest reading, then
-        # retry the big scales in case the worker recovered
-        ["--chunks", "8", "--scale", "three8"],
-        ["--chunks", "8", "--scale", "eighth"],
+        # above a PROGRAM-SIZE threshold that varies by episode. Measured
+        # 2026-08-17: eighth with the K=4 batch scan crashes but eighth with
+        # scan_steps=1 completes — the K-stacked scan is part of the size —
+        # so the fallback rungs drop to K=1 first, then descend batch scale
+        # to bank SOME honest reading before retrying the headline config.
+        ["--chunks", "8", "--scale", "full", "--scan-steps", "1"],
+        ["--chunks", "8", "--scale", "three8", "--scan-steps", "1"],
+        ["--chunks", "8", "--scale", "eighth", "--scan-steps", "1"],
         ["--chunks", "8", "--scale", "micro"],
         ["--chunks", "8", "--scale", "full"],
-        ["--chunks", "16", "--scale", "quarter"],
     ]
     # below this the relay is provably degraded (healthy runs measured
     # 199k-279k rays/s; a degraded-relay episode measured ~750): keep trying
