@@ -110,6 +110,10 @@ class TrainerConfig:
     device count (parallel/sharding.param_shardings)."""
     seed: int = 42
     save_only_latest_checkpoint: bool = True
+    save_final_checkpoint: bool = True
+    """Save a checkpoint when the loop ends. Validation harnesses turn this
+    off: fetching the full param tree through a degraded device link can take
+    longer than the training itself (see docs/PERFORMANCE.md relay notes)."""
     load_dir: Optional[str] = None
     early_stopping: bool = False
     tracker: MetricTrackerConfig = dataclass_field(default_factory=MetricTrackerConfig)
@@ -427,7 +431,8 @@ class Trainer:
             jax.profiler.stop_trace()
             self._tracing = False
         last_metrics["total_train_time"] = time.perf_counter() - t_train_start
-        self.save_checkpoint()
+        if self.config.save_final_checkpoint:
+            self.save_checkpoint()
         self.pipeline.datamanager.stop()
         return last_metrics
 

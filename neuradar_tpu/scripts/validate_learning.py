@@ -25,8 +25,9 @@ def main(argv=None) -> int:
                         help="optimizer steps per device dispatch (amortizes the relay round trip)")
     parser.add_argument("--output", default="/tmp/learning_check.json")
     parser.add_argument(
-        "--scale", choices=("full", "small"), default="full",
-        help="small = quarter batch; same learning dynamics, smaller device program",
+        "--scale", choices=("full", "small", "micro"), default="full",
+        help="small = quarter batch, micro = ~6.5k rays (the smallest all-modality "
+             "program; survives relay episodes that crash larger train steps)",
     )
     parser.add_argument("--set-decoder", action="store_true",
                         help="use the DETR-style set radar decoder (radar_decoder_type='set')")
@@ -42,7 +43,11 @@ def main(argv=None) -> int:
     from neuradar_tpu.engine.trainer import Trainer, TrainerConfig
     from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipelineConfig
 
-    if args.scale == "small":
+    if args.scale == "micro":
+        dm = ADDataManagerConfig(
+            num_rgb_patches=2, patch_size=32, num_lidar_rays=1024, num_radar_scans=1, max_radar_gt=128
+        )
+    elif args.scale == "small":
         dm = ADDataManagerConfig(
             num_rgb_patches=10, patch_size=32, num_lidar_rays=4096, num_radar_scans=4, max_radar_gt=256
         )
@@ -65,6 +70,8 @@ def main(argv=None) -> int:
         steps_per_eval_all_images=0,
         steps_per_eval_all_radars=0,
         steps_per_save=0,
+        save_final_checkpoint=False,  # a degraded link can spend longer on the
+        # final param fetch than on the 300 training steps themselves
         steps_per_log=10,
         experiment_name="learning_check",
         output_dir="/tmp/nrt_learning_check",

@@ -34,7 +34,7 @@ def _step_once(pipeline):
     variables = pipeline.init_variables(0)
     loss_fn = pipeline.make_train_loss_fn()
     batch = jax.tree.map(jnp.asarray, pipeline.datamanager.sample_train_batch())
-    total, (loss_dict, metrics, _) = loss_fn(
+    total, (loss_dict, metrics, _) = jax.jit(loss_fn)(
         variables["params"], variables.get("batch_stats", {}), batch, jax.random.PRNGKey(0)
     )
     return float(total), loss_dict

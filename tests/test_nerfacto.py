@@ -1,11 +1,22 @@
 """Nerfacto / LidarNerfacto model family tests."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from neuradar_tpu.cameras.rays import RayBundle
 from neuradar_tpu.models.nerfacto import NerfactoModel, NerfactoModelConfig
+
+
+def _init_and_loss(model, rngs, bundle, batch):
+    """Jitted init + one jitted loss_and_metrics eval (eager dispatch of the
+    full program is ~5x slower on the 1-core CI host)."""
+    init_fn = jax.jit(functools.partial(model.init, train=True, method=NerfactoModel.loss_and_metrics))
+    variables = init_fn(rngs, bundle, batch)
+    loss_fn = jax.jit(functools.partial(model.apply, train=True, method=NerfactoModel.loss_and_metrics))
+    return variables, loss_fn(variables, bundle, batch, rngs=rngs)
 
 
 def make_bundle(n=64):
@@ -33,10 +44,7 @@ def test_nerfacto_forward_and_loss():
     bundle = make_bundle()
     batch = {"rgb": jax.random.uniform(jax.random.PRNGKey(1), (64, 3))}
     rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, bundle, batch, train=True, method=NerfactoModel.loss_and_metrics)
-    total, (loss_dict, metrics, outputs) = model.apply(
-        variables, bundle, batch, train=True, method=NerfactoModel.loss_and_metrics, rngs=rngs
-    )
+    variables, (total, (loss_dict, metrics, outputs)) = _init_and_loss(model, rngs, bundle, batch)
     assert np.isfinite(float(total))
     assert outputs["rgb"].shape == (64, 3)
     assert "interlevel_loss" in loss_dict and "psnr" in metrics
@@ -52,10 +60,7 @@ def test_lidar_nerfacto_heads():
         "did_return": jnp.ones((32, 1), bool),
     }
     rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, bundle, batch, train=True, method=NerfactoModel.loss_and_metrics)
-    total, (loss_dict, metrics, outputs) = model.apply(
-        variables, bundle, batch, train=True, method=NerfactoModel.loss_and_metrics, rngs=rngs
-    )
+    variables, (total, (loss_dict, metrics, outputs)) = _init_and_loss(model, rngs, bundle, batch)
     assert np.isfinite(float(total))
     assert "depth_loss" in loss_dict and "ray_drop_loss" in loss_dict
     assert outputs["intensity"].shape == (32, 1)
@@ -66,8 +71,8 @@ def test_query_rgb_at_points():
     1-sample RaySamples at world positions)."""
     model = NerfactoModel(config=small_cfg(), static_scale=10.0)
     bundle = make_bundle(8)
-    variables = model.init({"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
-                           bundle, train=True)
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, bundle)
     pts = jnp.asarray(np.random.default_rng(0).uniform(-5, 5, (16, 3)), jnp.float32)
     dirs = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (16, 1))
     rgb = model.apply(variables, pts, dirs, method=NerfactoModel.query_rgb)

@@ -1,6 +1,8 @@
 """End-to-end NeuRadar model tests: forward, loss, gradients — the
 integration coverage the reference lacks (SURVEY.md §4)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -102,7 +104,13 @@ def model_and_params():
         scene=SceneMeta(static_scale=100.0, duration=5.0, num_sensors=2, num_train_frames=4),
         trajectories=make_trajectories(),
     )
-    variables = model.init(RNGS, bundle, batch, layout, train=True, method=NeuRadarModel.loss_and_metrics)
+    # jitted init: ~5x faster than eager op-by-op dispatch on the 1-core CI
+    # host, and the compiled program lands in the persistent cache
+    init_fn = jax.jit(
+        functools.partial(model.init, train=True, method=NeuRadarModel.loss_and_metrics),
+        static_argnames=("layout",),
+    )
+    variables = init_fn(RNGS, bundle, batch, layout=layout)
     return model, variables, layout, bundle, batch
 
 
@@ -152,7 +160,7 @@ def test_gradients_flow(model_and_params):
         )
         return total
 
-    grads = jax.grad(loss_fn)(params)
+    grads = jax.jit(jax.grad(loss_fn))(params)
     flat = jax.tree.leaves(jax.tree.map(lambda g: jnp.abs(g).sum(), grads))
     total_grad = sum(float(x) for x in flat)
     assert np.isfinite(total_grad) and total_grad > 0

@@ -2,6 +2,7 @@
 eval mode (no stochastic sampling)."""
 
 import dataclasses
+import functools
 
 import jax
 import numpy as np
@@ -20,7 +21,11 @@ def setup():
 
     scene = SceneMeta(static_scale=100.0, duration=5.0, num_sensors=2, num_train_frames=4)
     model = NeuRadarModel(config=cfg, scene=scene, trajectories=make_trajectories())
-    variables = model.init(RNGS, bundle, batch, layout, train=True, method=NeuRadarModel.loss_and_metrics)
+    init_fn = jax.jit(
+        functools.partial(model.init, train=True, method=NeuRadarModel.loss_and_metrics),
+        static_argnames=("layout",),
+    )
+    variables = init_fn(RNGS, bundle, batch, layout=layout)
     return model, variables, layout, bundle, batch, cfg, scene
 
 
@@ -55,7 +60,7 @@ def test_chunked_train_gradients(setup):
         )
         return total
 
-    grads = jax.grad(loss_fn)(params)
+    grads = jax.jit(jax.grad(loss_fn))(params)
     gsum = sum(float(abs(g).sum()) for g in jax.tree.leaves(grads))
     assert np.isfinite(gsum) and gsum > 0
 
@@ -86,7 +91,7 @@ def test_radar_decode_chunked_matches_unchunked(setup):
 
     import jax as _jax
 
-    grads = _jax.grad(loss2)(variables["params"])
+    grads = _jax.jit(_jax.grad(loss2))(variables["params"])
     leaf = grads["radar_decoder"] if "radar_decoder" in grads else grads
     total_abs = sum(float(np.abs(np.asarray(x)).sum()) for x in _jax.tree.leaves(leaf))
     assert np.isfinite(total_abs) and total_abs > 0

@@ -108,7 +108,7 @@ def test_set_decoder_model_train_loss():
     variables = pipe.init_variables(0)
     batch = jax.tree.map(jnp.asarray, pipe.datamanager.sample_train_batch())
     loss_fn = pipe.make_train_loss_fn()
-    (total, (loss_dict, metrics, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+    (total, (loss_dict, metrics, _)), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
         variables["params"], variables.get("batch_stats", {}), batch, jax.random.PRNGKey(0)
     )
     assert np.isfinite(float(total))
@@ -134,6 +134,6 @@ def test_set_decoder_loss_compatible():
         loss, _ = calculate_radar_loss(gt, mask, out, loss_type="nll")
         return loss
 
-    loss, grads = jax.value_and_grad(loss_fn)(variables)
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables)
     assert np.isfinite(float(loss))
     assert sum(float(abs(g).sum()) for g in jax.tree.leaves(grads)) > 0

@@ -66,6 +66,18 @@ def test_training_runs_and_loss_finite(trained):
     assert metrics["train_rays_per_sec"] > 0
 
 
+def test_save_final_checkpoint_off(trained, monkeypatch):
+    """save_final_checkpoint=False skips the end-of-loop save (validation
+    harnesses: a degraded device link can spend longer fetching params than
+    training)."""
+    trainer, _ = trained
+    monkeypatch.setattr(trainer.config, "save_final_checkpoint", False)
+    monkeypatch.setattr(trainer, "save_checkpoint",
+                        lambda: (_ for _ in ()).throw(AssertionError("should not save")))
+    metrics = trainer.train(0)
+    assert "total_train_time" in metrics
+
+
 def test_checkpoint_roundtrip(trained):
     trainer, _ = trained
     path = trainer.save_checkpoint()
