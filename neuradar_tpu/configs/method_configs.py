@@ -146,9 +146,78 @@ method_configs["neuradar"] = _neuradar
 method_configs["neuradar-vod"] = _neuradar_vod
 method_configs["neuradar-synthetic"] = _neuradar_synthetic
 method_configs["neurad"] = _neurad
+def _scale_camera_optimizer(cfg: TrainerConfig) -> TrainerConfig:
+    """cf. method_configs.py:417-427,458-470: the *-scaleopt variants weight
+    z-rot/x-trans/y-trans down 100x with per-axis translation L2."""
+    cfg.pipeline.model.camera_optimizer = ScaledCameraOptimizerConfig(
+        mode="SO3xR3",
+        weights=(1.0, 1.0, 0.01, 0.01, 0.01, 1.0),
+        trans_l2_penalty=(1e-2, 1e-2, 1e-3),
+    )
+    return cfg
+
+
+def _neurader() -> TrainerConfig:
+    """cf. method_configs.py:446-456 ('Bigger, better, longer, stronger'):
+    2.5x schedule, halved learning rates, doubled static grid resolution,
+    +1 hashmap bit on every grid."""
+    cfg = _scaled(_neurad, 2.5, "neurader")()
+    for g in cfg.optimizers.values():
+        g.optimizer.lr *= 0.5
+        if g.scheduler is not None:
+            g.scheduler.lr_final *= 0.5
+    m = cfg.pipeline.model
+    for f in (m.field, m.sampling.proposal_field_1, m.sampling.proposal_field_2):
+        f.grid.static.max_res *= 2
+        f.grid.static.base_res *= 2
+        f.grid.static.log2_hashmap_size += 1
+        f.grid.actor.log2_hashmap_size += 1
+    return cfg
+
+
+def _neuradest() -> TrainerConfig:
+    """cf. method_configs.py:470: neurader stretched another 3x."""
+    cfg = _scaled(_neurader, 3.0, "neuradest")()
+    return cfg
+
+
+def _neurad_paper() -> TrainerConfig:
+    """cf. method_configs.py:476-480: paper settings — no temporal
+    appearance, no actor flip augmentation."""
+    cfg = _neurad()
+    cfg.method_name = "neurad-paper"
+    cfg.pipeline.model.use_temporal_appearance = False
+    for f in (cfg.pipeline.model.field, cfg.pipeline.model.sampling.proposal_field_1,
+              cfg.pipeline.model.sampling.proposal_field_2):
+        f.grid.actor.flip_prob = 0.0
+    return cfg
+
+
+def _neurad_2x_paper() -> TrainerConfig:
+    """cf. method_configs.py:481-485: paper settings on the neurader scale."""
+    cfg = _neurader()
+    cfg.method_name = "neurad-2x-paper"
+    cfg.pipeline.model.use_temporal_appearance = False
+    for f in (cfg.pipeline.model.field, cfg.pipeline.model.sampling.proposal_field_1,
+              cfg.pipeline.model.sampling.proposal_field_2):
+        f.grid.actor.flip_prob = 0.0
+    return cfg
+
+
 method_configs["neurad-scaleopt"] = _neurad_scaleopt
-method_configs["neurader"] = _scaled(_neurad, 3.0, "neurader")
-method_configs["neuradest"] = _scaled(_neurad, 5.0, "neuradest")
+method_configs["neurader"] = _neurader
+method_configs["neuradest"] = _neuradest
+method_configs["neurader-scaleopt"] = lambda: _scale_camera_optimizer(
+    _with_name(_neurader(), "neurader-scaleopt"))
+method_configs["neuradest-scaleopt"] = lambda: _scale_camera_optimizer(
+    _with_name(_neuradest(), "neuradest-scaleopt"))
+method_configs["neurad-paper"] = _neurad_paper
+method_configs["neurad-2x-paper"] = _neurad_2x_paper
+
+
+def _with_name(cfg: TrainerConfig, name: str) -> TrainerConfig:
+    cfg.method_name = name
+    return cfg
 method_configs["neurad-nuscenes"] = _neurad_on(_nuscenes_parser, "neurad-nuscenes")
 method_configs["neurad-pandaset"] = _neurad_on(_pandaset_parser, "neurad-pandaset")
 method_configs["neurad-kittimot"] = _neurad_on(_kittimot_parser, "neurad-kittimot")
@@ -219,7 +288,40 @@ def _nerfacto_data():
     return cfg
 
 
+def _nerfacto_big():
+    """cf. method_configs.py:100-143 (nerfacto-big): longer schedule, wider
+    MLPs, denser sampling, larger grid."""
+    from neuradar_tpu.models.nerfacto import NerfactoModelConfig
+
+    cfg = _nerfacto()
+    cfg.method_name = "nerfacto-big"
+    cfg.max_num_iterations = 100000
+    cfg.model = NerfactoModelConfig(
+        num_nerf_samples_per_ray=128, num_proposal_samples_per_ray=(512, 256),
+        hidden_dim=128, hidden_dim_color=128, appearance_embedding_dim=128,
+        max_res=4096, log2_hashmap_size=21,
+    )
+    return cfg
+
+
+def _nerfacto_huge():
+    """cf. method_configs.py:144-190 (nerfacto-huge)."""
+    from neuradar_tpu.models.nerfacto import NerfactoModelConfig
+
+    cfg = _nerfacto()
+    cfg.method_name = "nerfacto-huge"
+    cfg.max_num_iterations = 100000
+    cfg.model = NerfactoModelConfig(
+        num_nerf_samples_per_ray=64, num_proposal_samples_per_ray=(512, 512),
+        hidden_dim=256, hidden_dim_color=256, appearance_embedding_dim=32,
+        max_res=8192, log2_hashmap_size=21,
+    )
+    return cfg
+
+
 method_configs["nerfacto"] = _nerfacto
+method_configs["nerfacto-big"] = _nerfacto_big
+method_configs["nerfacto-huge"] = _nerfacto_huge
 method_configs["lidar-nerfacto"] = _lidar_nerfacto
 method_configs["nerfacto-data"] = _nerfacto_data
 
@@ -229,8 +331,14 @@ method_descriptions = {
     "neuradar-synthetic": "NeuRadar on the built-in synthetic scene (no dataset needed).",
     "neurad": "Camera+lidar NeuRAD.",
     "neurad-scaleopt": "NeuRAD with scaled camera optimization.",
-    "neurader": "NeuRAD 3x training schedule.",
-    "neuradest": "NeuRAD 5x training schedule.",
+    "neurader": "NeuRAD 2.5x schedule, halved lrs, doubled grids (reference 'bigger better longer stronger').",
+    "neuradest": "neurader stretched another 3x.",
+    "neurader-scaleopt": "neurader with scaled camera optimization.",
+    "neuradest-scaleopt": "neuradest with scaled camera optimization.",
+    "neurad-paper": "Paper settings: no temporal appearance, no actor flip.",
+    "neurad-2x-paper": "Paper settings at the neurader scale.",
+    "nerfacto-big": "Nerfacto, 100k iters, wider MLPs, larger grid.",
+    "nerfacto-huge": "Nerfacto, 100k iters, widest MLPs, densest sampling.",
 }
 
 
