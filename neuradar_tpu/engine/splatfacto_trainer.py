@@ -118,7 +118,7 @@ class SplatfactoTrainer:
             return params, opt_state, state, loss, overflow_frac
 
         self._train_step = jax.jit(train_step)
-        self._refine = jax.jit(lambda p, s, k: sf.refine_gaussians(cfg_model, p, s, k))
+        self._refine = jax.jit(lambda p, s, k, step: sf.refine_gaussians(cfg_model, p, s, k, step))
 
     def _camera_arrays(self, idx: int):
         out = self.outputs
@@ -153,7 +153,8 @@ class SplatfactoTrainer:
             )
             if self._step > cfg.model.warmup_steps and self._step % cfg.model.refine_every == 0:
                 key, sub = jax.random.split(key)
-                self.params, self.state, refreshed = self._refine(self.params, self.state, sub)
+                self.params, self.state, refreshed = self._refine(self.params, self.state, sub,
+                                                                  jnp.int32(self._step))
                 # reset Adam moments ONLY for the refreshed slots (cf. the
                 # reference's dup_in_optim); surviving gaussians keep theirs
                 fresh = self.tx.init(self.params)
@@ -166,6 +167,17 @@ class SplatfactoTrainer:
                     return old  # counts / scalar state keep their history
 
                 self.opt_state = jax.tree.map(merge, self.opt_state, fresh)
+                reset_interval = cfg.model.refine_every * cfg.model.reset_alpha_every
+                if cfg.model.reset_alpha_every and self._step % reset_interval == 0:
+                    # opacity reset (reference reset_opacities): clamp all
+                    # opacities to 2x the cull threshold and zero the opacity
+                    # optimizer moments so the clamp isn't undone by stale
+                    # momentum
+                    self.params = sf.reset_opacities(cfg.model, self.params)
+                    fresh = self.tx.init(self.params)
+                    inner = dict(self.opt_state.inner_states)
+                    inner["opacity_logits"] = fresh.inner_states["opacity_logits"]
+                    self.opt_state = self.opt_state._replace(inner_states=inner)
             if self._step % cfg.steps_per_log == 0:
                 # tile_overflow_frac: fraction of tiles whose overlapping
                 # gaussians exceed tile_top_k (silent truncation indicator)

@@ -42,6 +42,16 @@ class SplatfactoConfig:
     refine_every: int = 100
     warmup_steps: int = 500
     ssim_lambda: float = 0.2
+    reset_alpha_every: int = 30
+    """Refine cycles between opacity resets (cf. reference splatfacto
+    reset_alpha_every: clamping opacities to 2x the cull threshold kills
+    accumulated floaters and lets culling re-evaluate every gaussian)."""
+    cull_scale_thresh: float = 10.0
+    """World-unit scale above which gaussians are culled once the first
+    opacity-reset cycle has passed (cf. reference cull_scale_thresh=0.5 in
+    normalized scene units; AD scenes here are metric)."""
+    stop_split_at: int = 15000
+    """No more densification after this step (reference stop_split_at)."""
 
 
 def sh_num_rest(degree: int) -> int:
@@ -412,22 +422,41 @@ def accumulate_grad_stats(state, grads_means2d_norm, in_view):
     }
 
 
-def refine_gaussians(config: SplatfactoConfig, params, state, rng):
+def reset_opacities(config: SplatfactoConfig, params):
+    """Clamp every opacity to 2x the cull threshold (reference splatfacto
+    reset_opacities): floaters must re-earn their opacity or get culled on
+    the next refine pass."""
+    cap = _logit(min(config.cull_alpha_thresh * 2.0, 0.999))
+    params = dict(params)
+    params["opacity_logits"] = jnp.minimum(params["opacity_logits"], cap)
+    return params
+
+
+def refine_gaussians(config: SplatfactoConfig, params, state, rng, step=None):
     """Densify (clone small / split large high-gradient gaussians) and cull
     transparent ones — all fixed-capacity masked array ops (no reallocation,
     cf. splatfacto densify/cull callbacks which realloc tensors).
+
+    `step` (traced scalar ok) gates the reference's schedule semantics:
+    scale-based culling starts after the first opacity-reset cycle and
+    densification stops at stop_split_at.
     """
     G = config.max_gaussians
     alive = state["alive"]
     avg_grad = state["grad_accum"] / jnp.maximum(state["grad_count"], 1.0)
     opacity = jax.nn.sigmoid(params["opacity_logits"][..., 0])
+    scales = jnp.exp(params["log_scales"]).max(-1)
 
     # cull
     keep = alive & (opacity > config.cull_alpha_thresh)
+    if step is not None:
+        scale_cull_on = step > config.refine_every * config.reset_alpha_every
+        keep = keep & ~(scale_cull_on & (scales > config.cull_scale_thresh))
 
     # densify candidates
-    scales = jnp.exp(params["log_scales"]).max(-1)
     wants = keep & (avg_grad > config.densify_grad_thresh)
+    if step is not None:
+        wants = wants & (step < config.stop_split_at)
     split = wants & (scales > config.densify_scale_thresh)
     clone = wants & ~split
 
