@@ -64,8 +64,7 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4):
         # episode crashed every production train step >= eighth (14k rays)
         # while the tiny-MODEL step ran (tools/bisect_relay_crash.py) — this
         # rung also bisects model-class vs batch-scale as the trigger.
-        dm = ADDataManagerConfig(num_rgb_patches=2, patch_size=32, num_lidar_rays=1024,
-                                 num_radar_scans=1, max_radar_gt=128)
+        dm = ADDataManagerConfig.micro()
     elif scale == "half":
         dm = ADDataManagerConfig(num_rgb_patches=20, patch_size=32, num_lidar_rays=8192,
                                  num_radar_scans=8, max_radar_gt=256)
@@ -199,7 +198,7 @@ def main_with_retries() -> None:
         ["--chunks", "8", "--scale", "full", "--scan-steps", "1"],
         ["--chunks", "8", "--scale", "three8", "--scan-steps", "1"],
         ["--chunks", "8", "--scale", "eighth", "--scan-steps", "1"],
-        ["--chunks", "8", "--scale", "micro"],
+        ["--chunks", "8", "--scale", "micro", "--scan-steps", "1"],
         ["--chunks", "8", "--scale", "full"],
     ]
     # below this the relay is provably degraded (healthy runs measured

@@ -108,7 +108,13 @@ def _scaled(base: Callable[[], TrainerConfig], scale: float, newname: str) -> Ca
         cfg.steps_per_eval_all_images = int(cfg.steps_per_eval_all_images * scale)
         cfg.steps_per_eval_all_radars = int(cfg.steps_per_eval_all_radars * scale)
         cfg.steps_per_save = int(cfg.steps_per_save * scale)
-        cfg.optimizers = default_optimizer_groups(cfg.max_num_iterations)
+        # stretch the existing schedules IN PLACE (reference
+        # _scaled_neurad_training:439-441) — rebuilding the groups would
+        # discard base()'s lr customizations (e.g. neurader's halved lrs)
+        for g in cfg.optimizers.values():
+            if g.scheduler is not None:
+                g.scheduler.max_steps = int(g.scheduler.max_steps * scale)
+                g.scheduler.warmup_steps = int(g.scheduler.warmup_steps * scale)
         return cfg
 
     return make
@@ -146,6 +152,22 @@ method_configs["neuradar"] = _neuradar
 method_configs["neuradar-vod"] = _neuradar_vod
 method_configs["neuradar-synthetic"] = _neuradar_synthetic
 method_configs["neurad"] = _neurad
+def _with_name(cfg: TrainerConfig, name: str) -> TrainerConfig:
+    cfg.method_name = name
+    return cfg
+
+
+def _paperize(cfg: TrainerConfig, name: str) -> TrainerConfig:
+    """cf. method_configs.py:476-485: paper settings — no temporal
+    appearance, no actor flip augmentation."""
+    cfg.method_name = name
+    cfg.pipeline.model.use_temporal_appearance = False
+    for f in (cfg.pipeline.model.field, cfg.pipeline.model.sampling.proposal_field_1,
+              cfg.pipeline.model.sampling.proposal_field_2):
+        f.grid.actor.flip_prob = 0.0
+    return cfg
+
+
 def _scale_camera_optimizer(cfg: TrainerConfig) -> TrainerConfig:
     """cf. method_configs.py:417-427,458-470: the *-scaleopt variants weight
     z-rot/x-trans/y-trans down 100x with per-axis translation L2."""
@@ -181,29 +203,6 @@ def _neuradest() -> TrainerConfig:
     return cfg
 
 
-def _neurad_paper() -> TrainerConfig:
-    """cf. method_configs.py:476-480: paper settings — no temporal
-    appearance, no actor flip augmentation."""
-    cfg = _neurad()
-    cfg.method_name = "neurad-paper"
-    cfg.pipeline.model.use_temporal_appearance = False
-    for f in (cfg.pipeline.model.field, cfg.pipeline.model.sampling.proposal_field_1,
-              cfg.pipeline.model.sampling.proposal_field_2):
-        f.grid.actor.flip_prob = 0.0
-    return cfg
-
-
-def _neurad_2x_paper() -> TrainerConfig:
-    """cf. method_configs.py:481-485: paper settings on the neurader scale."""
-    cfg = _neurader()
-    cfg.method_name = "neurad-2x-paper"
-    cfg.pipeline.model.use_temporal_appearance = False
-    for f in (cfg.pipeline.model.field, cfg.pipeline.model.sampling.proposal_field_1,
-              cfg.pipeline.model.sampling.proposal_field_2):
-        f.grid.actor.flip_prob = 0.0
-    return cfg
-
-
 method_configs["neurad-scaleopt"] = _neurad_scaleopt
 method_configs["neurader"] = _neurader
 method_configs["neuradest"] = _neuradest
@@ -211,13 +210,8 @@ method_configs["neurader-scaleopt"] = lambda: _scale_camera_optimizer(
     _with_name(_neurader(), "neurader-scaleopt"))
 method_configs["neuradest-scaleopt"] = lambda: _scale_camera_optimizer(
     _with_name(_neuradest(), "neuradest-scaleopt"))
-method_configs["neurad-paper"] = _neurad_paper
-method_configs["neurad-2x-paper"] = _neurad_2x_paper
-
-
-def _with_name(cfg: TrainerConfig, name: str) -> TrainerConfig:
-    cfg.method_name = name
-    return cfg
+method_configs["neurad-paper"] = lambda: _paperize(_neurad(), "neurad-paper")
+method_configs["neurad-2x-paper"] = lambda: _paperize(_neurader(), "neurad-2x-paper")
 method_configs["neurad-nuscenes"] = _neurad_on(_nuscenes_parser, "neurad-nuscenes")
 method_configs["neurad-pandaset"] = _neurad_on(_pandaset_parser, "neurad-pandaset")
 method_configs["neurad-kittimot"] = _neurad_on(_kittimot_parser, "neurad-kittimot")

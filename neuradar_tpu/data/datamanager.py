@@ -48,6 +48,15 @@ class ADDataManagerConfig:
     prefetch_depth: int = 4
     seed: int = 42
 
+    @classmethod
+    def micro(cls) -> "ADDataManagerConfig":
+        """The smallest all-modality batch (~6.5k rays with the ZOD FoV
+        grid). bench.py and validate_learning share this exact shape: it is
+        the program empirically known to survive relay episodes that crash
+        every larger production train step (docs/PERFORMANCE.md)."""
+        return cls(num_rgb_patches=2, patch_size=32, num_lidar_rays=1024,
+                   num_radar_scans=1, max_radar_gt=128)
+
 
 @struct.dataclass
 class SensorTables:

@@ -168,13 +168,13 @@ class SplatfactoTrainer:
 
                 self.opt_state = jax.tree.map(merge, self.opt_state, fresh)
                 reset_interval = cfg.model.refine_every * cfg.model.reset_alpha_every
-                if cfg.model.reset_alpha_every and self._step % reset_interval == 0:
-                    # opacity reset (reference reset_opacities): clamp all
-                    # opacities to 2x the cull threshold and zero the opacity
-                    # optimizer moments so the clamp isn't undone by stale
-                    # momentum
+                if (cfg.model.reset_alpha_every and self._step % reset_interval == 0
+                        and self._step < cfg.model.stop_split_at):
+                    # opacity reset (reference splatfacto.py:486-498, gated on
+                    # step < stop_split_at): clamp all opacities to 2x the
+                    # cull threshold and zero the opacity optimizer moments so
+                    # the clamp isn't undone by stale momentum
                     self.params = sf.reset_opacities(cfg.model, self.params)
-                    fresh = self.tx.init(self.params)
                     inner = dict(self.opt_state.inner_states)
                     inner["opacity_logits"] = fresh.inner_states["opacity_logits"]
                     self.opt_state = self.opt_state._replace(inner_states=inner)

@@ -83,7 +83,12 @@ def main(argv=None) -> int:
     n_restarts = 0
     if "--auto-restart" in argv:
         i = argv.index("--auto-restart")
-        n_restarts = int(argv[i + 1])
+        if i + 1 >= len(argv):
+            raise SystemExit("missing value for --auto-restart (expected a restart count)")
+        try:
+            n_restarts = int(argv[i + 1])
+        except ValueError:
+            raise SystemExit(f"invalid --auto-restart value {argv[i + 1]!r} (expected an integer)")
         del argv[i : i + 2]
     if n_restarts > 0:
         cfg_argv = list(argv)

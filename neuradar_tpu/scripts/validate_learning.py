@@ -44,9 +44,7 @@ def main(argv=None) -> int:
     from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipelineConfig
 
     if args.scale == "micro":
-        dm = ADDataManagerConfig(
-            num_rgb_patches=2, patch_size=32, num_lidar_rays=1024, num_radar_scans=1, max_radar_gt=128
-        )
+        dm = ADDataManagerConfig.micro()  # the episode-surviving shape shared with bench.py
     elif args.scale == "small":
         dm = ADDataManagerConfig(
             num_rgb_patches=10, patch_size=32, num_lidar_rays=4096, num_radar_scans=4, max_radar_gt=256

@@ -27,11 +27,17 @@ def test_neurader_scaling_semantics():
 
 
 def test_neuradest_is_neurader_times_three():
+    base = get_method("neurad")
     er = get_method("neurader")
     est = get_method("neuradest")
     assert est.max_num_iterations == int((er.max_num_iterations - 1) * 3 + 1)
-    # inherits neurader's grid scaling
+    # inherits neurader's grid scaling AND halved learning rates (the
+    # schedule stretch must not rebuild the optimizer groups)
     assert est.pipeline.model.field.grid.static.max_res == er.pipeline.model.field.grid.static.max_res
+    for k, g in est.optimizers.items():
+        assert g.optimizer.lr == pytest.approx(base.optimizers[k].optimizer.lr * 0.5), k
+        if g.scheduler is not None:
+            assert g.scheduler.max_steps == int(er.optimizers[k].scheduler.max_steps * 3)
 
 
 def test_scaleopt_variants_use_scaled_camera_optimizer():
