@@ -248,6 +248,62 @@ def calculate_radar_loss(
     return jnp.mean(losses), assigned
 
 
+def detr_set_loss(
+    gt: jax.Array,
+    gt_mask: jax.Array,
+    radar_output: jax.Array,
+    cost_class: float = 1.0,
+    cost_point: float = 0.2,
+    eos_coef: float = 0.1,
+    point_mult: float = 1.0,
+    assignment: str = "auction",
+) -> Tuple[jax.Array, jax.Array]:
+    """DETR SetCriterion-style loss for the set radar decoder.
+
+    Mirrors the reference's vendored machinery on radar point sets
+    (detr/models/matcher.py:26-96 + detr/models/detr.py:102-210):
+
+    * Hungarian/auction matching under stop_gradient with
+      cost = cost_class * (-existence) + cost_point * L1(xyz, gt)
+      (the matcher's 1 - prob class cost, L1 box cost; no giou for points);
+    * existence BCE where unmatched queries are weighted by ``eos_coef``
+      (SetCriterion.loss_labels with the no-object empty_weight);
+    * L1 point loss on matched pairs normalized by the GT count
+      (SetCriterion.loss_boxes: sum / num_boxes).
+
+    Args:
+        gt: [N, G, 3], gt_mask: [N, G], radar_output: [N, Q, 7].
+
+    Returns:
+        scalar mean loss over scans, and the assignment [N, G].
+    """
+    ep = radar_output[..., 0]
+    xyz = radar_output[..., 1:4]
+
+    def scan_cost(g, m, p_ep, p_xyz):
+        l1 = jnp.abs(g[:, None, :] - p_xyz[None, :, :]).sum(-1)  # [G, Q]
+        return jnp.where(m[:, None], cost_class * (-p_ep)[None, :] + cost_point * l1, 0.0)
+
+    cost = jax.lax.stop_gradient(jax.vmap(scan_cost)(gt, gt_mask, ep, xyz))
+    assigned = solve_assignment(cost, gt_mask, assignment)  # [N, G], -1 if none
+    Q = ep.shape[-1]
+
+    def scan_loss(g, m, p_ep, p_xyz, a):
+        valid = (a >= 0) & m
+        matched = jnp.zeros((Q,), bool).at[jnp.where(valid, a, Q)].set(True, mode="drop")
+        t = matched.astype(p_ep.dtype)
+        bce = -(t * jnp.log(p_ep + EPS) + (1.0 - t) * jnp.log1p(-p_ep + EPS))
+        w = jnp.where(matched, 1.0, eos_coef)
+        loss_exist = jnp.sum(w * bce) / jnp.maximum(jnp.sum(w), EPS)
+        sel = p_xyz[jnp.clip(a, 0, None)]  # [G, 3]
+        l1 = jnp.abs(sel - g).sum(-1)
+        loss_point = jnp.sum(jnp.where(valid, l1, 0.0)) / jnp.maximum(valid.sum(), 1)
+        return loss_exist + point_mult * loss_point
+
+    losses = jax.vmap(scan_loss)(gt, gt_mask, ep, xyz, assigned)
+    return jnp.mean(losses), assigned
+
+
 # ---------------------------------------------------------------------------
 # Point sampling (for eval / rendering)
 # ---------------------------------------------------------------------------

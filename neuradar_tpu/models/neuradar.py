@@ -83,6 +83,11 @@ class LossSettings:
     radar_mult: float = 0.02
     radar_loss_type: str = "nll"  # nll | euclidean
     radar_assignment: str = "auction"  # auction (on-device) | hungarian (host)
+    radar_set_loss: str = "mb"
+    """Loss for the set decoder (radar_decoder_type='set'): 'mb' reuses the
+    multi-Bernoulli loss with n_mb=num_queries; 'detr' uses SetCriterion
+    semantics (class-cost matching, eos-weighted existence BCE, L1 points —
+    radar_utils.detr_set_loss, cf. reference detr/models/detr.py:102-210)."""
 
 
 @dataclass
@@ -639,28 +644,32 @@ class NeuRadarModel(nn.Module):
 
         # ---- radar
         if "radar_output" in outputs and "radar_gt" in batch:
-            radar_loss, assoc = radar_utils.calculate_radar_loss(
-                batch["radar_gt"],
-                batch["radar_gt_mask"],
-                outputs["radar_output"],
-                loss_type=conf.radar_loss_type,
-                training=train,
-                assignment=conf.radar_assignment,
-            )
+            if cfg.radar_decoder_type == "set" and conf.radar_set_loss == "detr":
+                # SetCriterion semantics for the set decoder (see LossSettings)
+                def radar_loss_fn(pred):
+                    return radar_utils.detr_set_loss(
+                        batch["radar_gt"], batch["radar_gt_mask"], pred,
+                        assignment=conf.radar_assignment,
+                    )
+            else:
+                def radar_loss_fn(pred):
+                    return radar_utils.calculate_radar_loss(
+                        batch["radar_gt"], batch["radar_gt_mask"], pred,
+                        loss_type=conf.radar_loss_type, training=train,
+                        assignment=conf.radar_assignment,
+                    )
+
+            radar_loss, assoc = radar_loss_fn(outputs["radar_output"])
             metrics["radar_loss"] = radar_loss
             loss_dict["radar_loss"] = conf.radar_mult * radar_loss
             if train and "radar_aux_outputs" in outputs:
                 # deep supervision: every intermediate set-decoder layer gets
-                # the same MB loss at full weight (DETR sums aux losses,
+                # the same loss at full weight (DETR sums aux losses,
                 # reference detr/models/detr.py SetCriterion aux path)
                 aux = outputs["radar_aux_outputs"]
                 aux_total = 0.0
                 for k in range(aux.shape[0]):
-                    aux_k, _ = radar_utils.calculate_radar_loss(
-                        batch["radar_gt"], batch["radar_gt_mask"], aux[k],
-                        loss_type=conf.radar_loss_type, training=train,
-                        assignment=conf.radar_assignment,
-                    )
+                    aux_k, _ = radar_loss_fn(aux[k])
                     aux_total = aux_total + aux_k
                 loss_dict["radar_aux_loss"] = conf.radar_mult * aux_total
 

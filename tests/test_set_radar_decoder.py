@@ -80,6 +80,72 @@ def test_set_decoder_learns_targets():
     assert c < min(chamfer0, 1.0), (chamfer0, c)
 
 
+def test_detr_set_loss_semantics():
+    """SetCriterion semantics (radar_utils.detr_set_loss): near-perfect
+    predictions score lower than bad ones; eos weighting keeps the
+    no-object term bounded; gradients flow to ep and xyz."""
+    from neuradar_tpu.model_components.radar_utils import detr_set_loss
+
+    gt = jnp.asarray([[[5.0, 0.0, 0.0], [0.0, 5.0, 0.0]]])
+    mask = jnp.ones((1, 2), bool)
+    Q = 6
+
+    def pred_with(ep_vals, xyz_vals):
+        out = jnp.zeros((1, Q, 7))
+        out = out.at[0, :, 0].set(jnp.asarray(ep_vals))
+        out = out.at[0, :, 1:4].set(jnp.asarray(xyz_vals))
+        return out
+
+    good_xyz = jnp.concatenate([gt[0], jnp.zeros((Q - 2, 3))])
+    good = pred_with([0.99, 0.99] + [0.01] * (Q - 2), good_xyz)
+    bad = pred_with([0.5] * Q, jnp.ones((Q, 3)) * 50.0)
+    lg, ag = detr_set_loss(gt, mask, good)
+    lb, _ = detr_set_loss(gt, mask, bad)
+    assert float(lg) < float(lb)
+    assert float(lg) < 0.2  # matched BCE ~0.01, L1 0, eos-weighted rest small
+    # the two GT match the two confident co-located queries
+    assert sorted(np.asarray(ag[0]).tolist()) == [0, 1]
+    # gradients flow into both heads' outputs
+    g = jax.grad(lambda p: detr_set_loss(gt, mask, p)[0])(good)
+    assert float(jnp.abs(g[..., 0]).sum()) > 0 and float(jnp.abs(g[..., 1:4]).sum()) > 0
+
+
+def test_set_decoder_learns_with_detr_loss():
+    """The set decoder also converges under the DETR SetCriterion loss."""
+    import optax
+
+    from neuradar_tpu.model_components.radar_utils import detr_set_loss
+
+    dec = SetRadarDecoder(d_model=32, num_queries=12, num_decoder_layers=2, nhead=1,
+                          dim_feedforward=32, dropout=0.0, position_scale=20.0)
+    gt = jnp.asarray([[[5.0, 2.0, 0.5], [8.0, -3.0, 0.0], [12.0, 1.0, -0.5], [6.0, 6.0, 1.0]]])
+    mask = jnp.ones((1, 4), bool)
+    geom = jnp.concatenate([gt[0], jnp.zeros((28, 3))])[None]
+    feats = jnp.tanh(jnp.repeat(geom / 10.0, 32 // 3 + 1, axis=-1)[..., :32])
+
+    variables = dec.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, feats, geom)
+    tx = optax.adam(5e-3)
+    opt_state = tx.init(variables["params"])
+
+    def loss_fn(params):
+        out, _ = dec.apply({"params": params}, feats, geom)
+        loss, _ = detr_set_loss(gt, mask, out)
+        return loss
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = variables["params"]
+    loss0 = float(loss_fn(params))
+    for _ in range(400):
+        params, opt_state, loss = step(params, opt_state)
+    assert np.isfinite(float(loss))
+    assert float(loss) < 0.5 * loss0, (loss0, float(loss))
+
+
 def test_set_decoder_aux_outputs():
     """aux_loss returns every intermediate layer's predictions through the
     SHARED heads (same param tree as without aux)."""
@@ -116,6 +182,18 @@ def test_set_decoder_model_train_loss():
     assert np.isfinite(float(loss_dict["radar_aux_loss"]))
     gsum = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
     assert np.isfinite(gsum) and gsum > 0
+
+    # the DETR SetCriterion loss wires through the same model path
+    pipe.config.model.loss.radar_set_loss = "detr"
+    loss_fn2 = pipe.make_train_loss_fn()
+    (total2, (loss_dict2, _, _)), grads2 = jax.jit(jax.value_and_grad(loss_fn2, has_aux=True))(
+        variables["params"], variables.get("batch_stats", {}), batch, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(total2))
+    assert np.isfinite(float(loss_dict2["radar_loss"]))
+    assert float(loss_dict2["radar_loss"]) != float(loss_dict["radar_loss"])  # a different criterion
+    gsum2 = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads2))
+    assert np.isfinite(gsum2) and gsum2 > 0
 
 
 def test_set_decoder_loss_compatible():
