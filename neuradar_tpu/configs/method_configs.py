@@ -148,7 +148,17 @@ def _kittimot_parser():
     return KittiMotDataParserConfig()
 
 
+def _neuradar_set() -> TrainerConfig:
+    """The paper's DETR set-based decoder variant (BASELINE.json config[4])."""
+    cfg = _neuradar()
+    cfg.method_name = "neuradar-set"
+    cfg.pipeline.model.radar_decoder_type = "set"
+    cfg.pipeline.model.loss.radar_set_loss = "detr"
+    return cfg
+
+
 method_configs["neuradar"] = _neuradar
+method_configs["neuradar-set"] = _neuradar_set
 method_configs["neuradar-vod"] = _neuradar_vod
 method_configs["neuradar-synthetic"] = _neuradar_synthetic
 method_configs["neurad"] = _neurad
@@ -321,6 +331,7 @@ method_configs["nerfacto-data"] = _nerfacto_data
 
 method_descriptions = {
     "neuradar": "Joint camera+lidar+radar NeuRadar on ZOD.",
+    "neuradar-set": "NeuRadar with the DETR set-based radar decoder + SetCriterion loss.",
     "neuradar-vod": "NeuRadar on View-of-Delft.",
     "neuradar-synthetic": "NeuRadar on the built-in synthetic scene (no dataset needed).",
     "neurad": "Camera+lidar NeuRAD.",
