@@ -276,3 +276,95 @@ def test_projection_analytic_ewa():
     )
     np.testing.assert_allclose(float(cov_rot[0, 0]), (fx / z0) ** 2 * sy**2 + 0.3, rtol=1e-4)
     np.testing.assert_allclose(float(cov_rot[0, 2]), (fy / z0) ** 2 * sx**2 + 0.3, rtol=1e-4)
+
+
+def test_quat_to_rotmat_matches_scipy():
+    """wxyz quaternion -> rotation matrix parity with scipy (gsplat's
+    _torch_impl.quat_to_rotmat uses the same wxyz convention)."""
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.RandomState(3)
+    q_wxyz = rng.randn(32, 4).astype(np.float32)
+    got = np.asarray(sf.quat_to_rotmat(jnp.asarray(q_wxyz)))
+    q_norm = q_wxyz / np.linalg.norm(q_wxyz, axis=-1, keepdims=True)
+    want = Rotation.from_quat(q_norm[:, [1, 2, 3, 0]]).as_matrix()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # proper rotations: orthonormal, det +1
+    np.testing.assert_allclose(got @ np.swapaxes(got, -1, -2), np.tile(np.eye(3), (32, 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(got), 1.0, atol=1e-5)
+
+
+def test_projection_monte_carlo_ewa():
+    """Independent EWA validation for a GENERAL pose: sample the 3D gaussian,
+    push every sample through the exact nonlinear pinhole projection, and
+    compare the empirical 2D moments against the analytic (mean2d, cov2d).
+    Validates the full J @ W @ Sigma @ W^T @ J^T chain (incl. the world->
+    camera rotation and the off-axis Jacobian terms) against something that
+    is NOT the same formula — cf. gsplat project_gaussians semantics
+    (reference splatfacto.py:31)."""
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.RandomState(7)
+    fx, fy, cx, cy, W, H = 120.0, 100.0, 64.0, 48.0, 128, 96
+    # nontrivial camera: small rotation + translation
+    R_wc = Rotation.from_rotvec([0.1, -0.2, 0.05]).as_matrix().astype(np.float64)
+    t_wc = np.array([0.3, -0.1, 0.2])
+    w2c = np.concatenate([R_wc, t_wc[:, None]], axis=1)
+
+    q = rng.randn(4)
+    q /= np.linalg.norm(q)
+    scales = np.array([0.08, 0.03, 0.05])  # small vs depth -> linearization accurate
+    mean_w = np.array([0.7, -0.4, -6.0])
+
+    params = {
+        "means": jnp.asarray(mean_w[None].astype(np.float32)),
+        "log_scales": jnp.log(jnp.asarray(scales[None].astype(np.float32))),
+        "quats": jnp.asarray(q[None].astype(np.float32)),
+        "opacity_logits": jnp.zeros((1, 1)),
+        "rgb_logits": jnp.zeros((1, 3)),
+    }
+    mean2d, cov2d, depth, radius, in_view = sf.project_gaussians(
+        params, jnp.asarray([True]), jnp.asarray(w2c, jnp.float32), fx, fy, cx, cy, W, H
+    )
+    assert bool(in_view[0])
+
+    # Monte Carlo: exact projection of 400k samples from N(mean, R S^2 R^T)
+    R3 = Rotation.from_quat(q[[1, 2, 3, 0]]).as_matrix()
+    eps = rng.randn(400_000, 3)
+    pts_w = mean_w + (eps * scales) @ R3.T
+    pts_c = pts_w @ R_wc.T + t_wc
+    x, y, z = pts_c[:, 0], pts_c[:, 1], pts_c[:, 2]
+    u = fx * (x / -z) + cx
+    v = fy * (-y / -z) + cy
+    emp_mean = np.stack([u, v]).mean(axis=1)
+    emp_cov = np.cov(np.stack([u, v]))
+
+    # mean: first-order EWA projects the mean exactly through the pinhole;
+    # the MC mean differs by the (tiny) second-order perspective curvature
+    np.testing.assert_allclose(np.asarray(mean2d[0]), emp_mean, atol=0.05)
+    np.testing.assert_allclose(float(depth[0]), -pts_c[:, 2].mean(), rtol=1e-2)
+    a, b, c = [float(cov2d[0, i]) for i in range(3)]
+    analytic = np.array([[a - 0.3, b], [b, c - 0.3]])  # strip the screen-space blur
+    np.testing.assert_allclose(analytic, emp_cov, rtol=0.05, atol=0.01)
+
+    # radius = 3 sqrt(lambda_max) of the BLURRED cov, vs numpy eigh
+    lam = np.linalg.eigvalsh(np.array([[a, b], [b, c]]))
+    np.testing.assert_allclose(float(radius[0]), 3.0 * np.sqrt(lam[-1]), rtol=1e-5)
+
+
+def test_projection_behind_camera_excluded():
+    """A gaussian behind the camera must be out of view even though the
+    sign-flipped pinhole math can land its pixel coordinates on screen."""
+    params = {
+        "means": jnp.asarray([[0.0, 0.0, 5.0], [0.0, 0.0, -5.0]]),  # +z is behind
+        "log_scales": jnp.log(jnp.full((2, 3), 0.1)),
+        "quats": jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (2, 1)),
+        "opacity_logits": jnp.zeros((2, 1)),
+        "rgb_logits": jnp.zeros((2, 3)),
+    }
+    alive = jnp.asarray([True, True])
+    _, _, depth, _, in_view = sf.project_gaussians(
+        params, alive, jnp.eye(3, 4), 50.0, 50.0, 16.0, 16.0, 32, 32
+    )
+    assert float(depth[0]) < 0 and not bool(in_view[0])
+    assert float(depth[1]) > 0 and bool(in_view[1])
