@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -33,7 +34,13 @@ T0 = time.perf_counter()
 def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4):
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
+    if os.environ.get("NEURADAR_BENCH_CPU"):
+        # developer/CI escape hatch: measure on the local CPU backend (env
+        # alone is ignored here — sitecustomize pre-registers the TPU plugin)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache_cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     import optax
@@ -205,6 +212,10 @@ def main_with_retries() -> None:
     # 199k-279k rays/s; a degraded-relay episode measured ~750): keep trying
     # for a sane reading but still report the best real measurement
     degraded_thresh = 10_000.0
+    # sleeps between attempts are env-tunable so the CI ladder test
+    # (tests/test_bench_ladder.py) can drive the real subprocess path fast
+    fail_sleep = float(os.environ.get("NEURADAR_BENCH_FAIL_SLEEP", "30"))
+    degraded_sleep = float(os.environ.get("NEURADAR_BENCH_DEGRADED_SLEEP", "120"))
     history_path = "BENCH_HISTORY.jsonl"
     best = None
     child = None
@@ -247,7 +258,7 @@ def main_with_retries() -> None:
         if result is None:
             print(f"[bench] attempt {attempt + 1}/{len(ladder)} ({extra}) failed:\n{stderr[-2000:]}",
                   file=sys.stderr, flush=True)
-            time.sleep(min(30, max(0.0, WALLTIME_BUDGET_S - (time.perf_counter() - T0))))
+            time.sleep(min(fail_sleep, max(0.0, WALLTIME_BUDGET_S - (time.perf_counter() - T0))))
             continue
         try:  # running log of every successful measurement (committed; the
             # honest record across relay-health episodes)
@@ -262,7 +273,7 @@ def main_with_retries() -> None:
             break
         print(f"[bench] attempt {attempt + 1} measured {result['value']} rays/s — relay degraded, retrying",
               file=sys.stderr, flush=True)
-        time.sleep(120)
+        time.sleep(degraded_sleep)
     if best is None:
         raise SystemExit("bench failed after retries")
     if best["value"] < degraded_thresh:
@@ -292,6 +303,25 @@ def main_with_retries() -> None:
 
 if __name__ == "__main__":
     if "--worker" in sys.argv:
+        fake = os.environ.get("NEURADAR_BENCH_FAKE_VALUES")
+        if fake:
+            # CI harness (tests/test_bench_ladder.py): consume one scripted
+            # outcome per worker invocation ("crash" or a rays/s value) via a
+            # file-backed counter, exercising the REAL ladder/subprocess path
+            state = os.environ.get("NEURADAR_BENCH_FAKE_STATE", "/tmp/bench_fake_state")
+            try:
+                n = int(open(state).read())
+            except (OSError, ValueError):
+                n = 0
+            with open(state, "w") as f:
+                f.write(str(n + 1))
+            values = fake.split(",")
+            v = values[min(n, len(values) - 1)].strip()
+            if v == "crash":
+                raise SystemExit("fake worker: scripted crash")
+            print(json.dumps({"metric": "train_rays_per_sec", "value": float(v),
+                              "unit": "rays/s", "vs_baseline": float(v) / BASELINE_RAYS_PER_SEC}))
+            raise SystemExit(0)
         a = sys.argv
         chunks = int(a[a.index("--chunks") + 1]) if "--chunks" in a else 8
         scale = a[a.index("--scale") + 1] if "--scale" in a else "full"

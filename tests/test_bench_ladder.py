@@ -1,0 +1,95 @@
+"""bench.py ladder robustness: the driver-facing contract.
+
+The driver captures BENCH_r{N}.json from bench.py's stdout and may SIGTERM
+it at any point; VERDICT r1's top failure was a killed run that recorded
+nothing. These tests drive the REAL main_with_retries subprocess ladder with
+a scripted fake worker (NEURADAR_BENCH_FAKE_VALUES) and assert:
+  * a crashed attempt falls through to the next rung;
+  * every successful reading appends to BENCH_HISTORY.jsonl;
+  * the best-so-far JSON line hits stdout immediately (not only at exit);
+  * a healthy (>= threshold) reading stops the ladder;
+  * SIGTERM mid-ladder still exits 0 with the best-so-far as the last line.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+BENCH = str(Path(__file__).resolve().parent.parent / "bench.py")
+
+
+def _env(tmp_path, values, fail_sleep="0", degraded_sleep="0"):
+    env = dict(os.environ)
+    env.update(
+        NEURADAR_BENCH_FAKE_VALUES=values,
+        NEURADAR_BENCH_FAKE_STATE=str(tmp_path / "fake_state"),
+        NEURADAR_BENCH_FAIL_SLEEP=fail_sleep,
+        NEURADAR_BENCH_DEGRADED_SLEEP=degraded_sleep,
+    )
+    return env
+
+
+def _json_lines(text):
+    out = []
+    for line in text.splitlines():
+        if line.startswith("{"):
+            out.append(json.loads(line))
+    return out
+
+
+def test_ladder_crash_then_degraded_then_healthy(tmp_path):
+    r = subprocess.run(
+        [sys.executable, BENCH],
+        env=_env(tmp_path, "crash,750,200000"),
+        cwd=tmp_path, capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = _json_lines(r.stdout)
+    # best-so-far after the degraded attempt, best-so-far after the healthy
+    # one, final emit — and the healthy reading stops the ladder
+    values = [rec["value"] for rec in lines]
+    assert values == [750.0, 200000.0, 200000.0]
+    assert int(open(tmp_path / "fake_state").read()) == 3  # exactly 3 attempts
+    hist = [json.loads(x) for x in (tmp_path / "BENCH_HISTORY.jsonl").read_text().splitlines()]
+    assert [h["value"] for h in hist] == [750.0, 200000.0]
+    assert all(h["metric"] == "train_rays_per_sec" for h in hist)
+
+
+def test_ladder_all_degraded_reports_best_with_history_note(tmp_path):
+    # seed history with a prior healthy reading: the degraded-run note must
+    # reference the best RECORDED measurement, never a constant
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        json.dumps({"ts": 0, "metric": "train_rays_per_sec", "value": 123456.0}) + "\n"
+    )
+    r = subprocess.run(
+        [sys.executable, BENCH],
+        env=_env(tmp_path, "300,750,600"),
+        cwd=tmp_path, capture_output=True, text=True, timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = _json_lines(r.stdout)
+    assert lines[-1]["value"] == 750.0
+    assert "123456" in lines[-1].get("note", "")
+
+
+def test_ladder_sigterm_flushes_best_so_far(tmp_path):
+    proc = subprocess.Popen(
+        [sys.executable, BENCH],
+        env=_env(tmp_path, "600,650", degraded_sleep="60"),
+        cwd=tmp_path, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    hist = tmp_path / "BENCH_HISTORY.jsonl"
+    deadline = time.time() + 60
+    while time.time() < deadline and not hist.exists():
+        time.sleep(0.2)
+    assert hist.exists(), "first reading never landed"
+    time.sleep(0.5)  # let the ladder enter its degraded-retry sleep
+    proc.send_signal(signal.SIGTERM)
+    stdout, _ = proc.communicate(timeout=30)
+    assert proc.returncode == 0
+    lines = _json_lines(stdout)
+    assert lines and lines[-1]["value"] == 600.0
