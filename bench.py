@@ -163,16 +163,21 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4):
 
     world = jax.device_count()
     rays_per_sec = world * rays_per_batch * n_iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
-            }
-        )
-    )
+    result = {
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+    if os.environ.get("NEURADAR_BENCH_APPEND_HISTORY"):
+        # direct-worker sweeps (chunk/K tuning in a healthy relay window)
+        # bank their readings too; the ladder appends for itself
+        with open("BENCH_HISTORY.jsonl", "a") as f:
+            f.write(json.dumps({"ts": time.time(),
+                                "args": ["--chunks", str(chunks), "--scale", scale,
+                                         "--scan-steps", str(scan_steps)],
+                                **result}) + "\n")
 
 
 WALLTIME_BUDGET_S = 70 * 60  # hard cap: finish (with a reading or not) well under the driver budget
