@@ -56,6 +56,45 @@ def sine_position_embedding(xyz: jax.Array, num_channels: int, temperature: floa
     return jnp.concatenate(embeds, axis=-1)
 
 
+class FusedSelfAttention(nn.Module):
+    """MultiHeadDotProductAttention drop-in whose attention core is the
+    Pallas fused kernel (ops/attention.py): scores never materialize in HBM.
+
+    The q/k/v/out projections are DenseGenerals with flax MHA's exact
+    submodule names and kernel shapes, so parameter trees (and checkpoints)
+    are interchangeable with the flax implementation.
+    """
+
+    num_heads: int = 1
+    qkv_features: int = 48
+    out_features: int = 48
+    dropout_rate: float = 0.0
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, inputs_q: jax.Array, inputs_k: jax.Array, inputs_v: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        from neuradar_tpu.ops.attention import fused_self_attention
+
+        H = self.num_heads
+        Dh = self.qkv_features // H
+        proj = lambda name: nn.DenseGeneral(features=(H, Dh), name=name)
+        q = proj("query")(inputs_q)  # [B, S, H, Dh]
+        k = proj("key")(inputs_k)
+        v = proj("value")(inputs_v)
+
+        B, S = q.shape[0], q.shape[1]
+        fold = lambda x: jnp.swapaxes(x, 1, 2).reshape(B * H, S, Dh)
+        rate = 0.0 if deterministic else self.dropout_rate
+        if rate > 0.0:
+            seed = jax.random.randint(self.make_rng("dropout"), (), 0, 2**31 - 1, jnp.int32)
+        else:
+            seed = 0
+        out = fused_self_attention(fold(q), fold(k), fold(v), seed, rate, None, self.interpret)
+        out = jnp.swapaxes(out.reshape(B, H, S, Dh), 1, 2)  # [B, S, H, Dh]
+        return nn.DenseGeneral(features=self.out_features, axis=(-2, -1), name="out")(out)
+
+
 class TransformerEncoderLayer(nn.Module):
     """Pre-norm encoder layer with positional embedding added to q/k only."""
 
@@ -63,19 +102,29 @@ class TransformerEncoderLayer(nn.Module):
     nhead: int = 1
     dim_feedforward: int = 64
     dropout: float = 0.1
+    attn_impl: str = "flax"
+    """'flax' (XLA MultiHeadDotProductAttention), 'pallas' (fused VMEM
+    kernel, ops/attention.py), or 'pallas_interpret' (CPU testing)."""
 
     @nn.compact
     def __call__(self, src: jax.Array, pos: jax.Array, train: bool = False) -> jax.Array:
         x = nn.LayerNorm(name="norm1")(src)
         qk = x + pos
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead,
-            qkv_features=self.d_model,
-            out_features=self.d_model,
-            dropout_rate=self.dropout,
-            deterministic=not train,
-            name="self_attn",
-        )(inputs_q=qk, inputs_k=qk, inputs_v=x)
+        if self.attn_impl.startswith("pallas"):
+            attn = FusedSelfAttention(
+                num_heads=self.nhead, qkv_features=self.d_model, out_features=self.d_model,
+                dropout_rate=self.dropout, interpret=self.attn_impl == "pallas_interpret",
+                name="self_attn",
+            )(inputs_q=qk, inputs_k=qk, inputs_v=x, deterministic=not train)
+        else:
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.nhead,
+                qkv_features=self.d_model,
+                out_features=self.d_model,
+                dropout_rate=self.dropout,
+                deterministic=not train,
+                name="self_attn",
+            )(inputs_q=qk, inputs_k=qk, inputs_v=x)
         src = src + nn.Dropout(self.dropout, deterministic=not train, name="drop1")(attn)
 
         x = nn.LayerNorm(name="norm2")(src)
@@ -94,12 +143,14 @@ class RadarTransformer(nn.Module):
     num_layers: int = 1
     dim_feedforward: int = 64
     dropout: float = 0.1
+    attn_impl: str = "flax"
 
     @nn.compact
     def __call__(self, src: jax.Array, pos: jax.Array, train: bool = False) -> jax.Array:
         for i in range(self.num_layers):
             src = TransformerEncoderLayer(
-                self.d_model, self.nhead, self.dim_feedforward, self.dropout, name=f"layer_{i}"
+                self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                attn_impl=self.attn_impl, name=f"layer_{i}"
             )(src, pos, train)
         return nn.LayerNorm(name="final_norm")(src)
 
@@ -119,6 +170,8 @@ class RadarDecoder(nn.Module):
 
     d_model: int = 48
     offset_scale: float = 1.5
+    attn_impl: str = "flax"
+    """Self-attention implementation (see TransformerEncoderLayer)."""
 
     @nn.compact
     def __call__(
@@ -133,7 +186,8 @@ class RadarDecoder(nn.Module):
             radar_output [N, nr, 7] and angles [N, nr, 2].
         """
         pos = sine_position_embedding(geometry_xyz, self.d_model)
-        decoded = RadarTransformer(d_model=self.d_model, name="transformer")(features, pos, train)
+        decoded = RadarTransformer(d_model=self.d_model, attn_impl=self.attn_impl,
+                                   name="transformer")(features, pos, train)
 
         offset = self.offset_scale * MLP(out_dim=3, num_layers=3, layer_width=16, out_activation=jnp.tanh,
                                          name="offset_head")(decoded)
@@ -201,6 +255,9 @@ class SetRadarDecoder(nn.Module):
     dim_feedforward: int = 64
     dropout: float = 0.1
     position_scale: float = 100.0  # query positions regressed in meters / scale
+    attn_impl: str = "flax"
+    """Self-attention implementation for the ray-memory ENCODER (the
+    quadratic cost); the Q x S decoder cross-attention stays flax."""
     aux_loss: bool = False
     """Deep supervision: also return every intermediate decoder layer's
     predictions through the SHARED norm + heads (cf. the reference's vendored
@@ -214,6 +271,7 @@ class SetRadarDecoder(nn.Module):
         mem_pos = sine_position_embedding(geometry_xyz, self.d_model)
         memory = RadarTransformer(d_model=self.d_model, nhead=self.nhead,
                                   dim_feedforward=self.dim_feedforward, dropout=self.dropout,
+                                  attn_impl=self.attn_impl,
                                   name="encoder")(features, mem_pos, train)
 
         query_embed = self.param(

@@ -134,6 +134,12 @@ class NeuRadarModelConfig:
     # 1.9x faster fwd+bwd at the chunked bf16 production shape, 2026-08-17 —
     # docs/PERFORMANCE.md), OFF elsewhere (the CPU fallback interprets).
     use_pallas_composite: Optional[bool] = None
+    # fused Pallas self-attention for the radar encoder
+    # (ops/attention.py: scores stay in VMEM instead of materializing
+    # [scans, rays, rays] in HBM twice). Default OFF until a healthy-relay
+    # A/B lands a keep/kill number (docs/PERFORMANCE.md playbook); on a
+    # non-TPU backend the kernel runs in interpret mode (CI coverage).
+    use_pallas_attention: Optional[bool] = None
     """Sequential ray chunks for the NFF core (nn.scan); bounds the padded
     HBM footprint of [rays, samples] intermediates. Must divide total rays
     (otherwise falls back to a single unchunked evaluation)."""
@@ -242,19 +248,27 @@ class NeuRadarModel(nn.Module):
         n_features = cfg.field.nff_out_dim + cfg.appearance_dim
         self.rgb_decoder = RGBDecoder(hidden_dim=cfg.rgb_hidden_dim, upsample_factor=cfg.rgb_upsample_factor)
         self.lidar_decoder = MLP(out_dim=2, num_layers=3, layer_width=32)
+        if cfg.use_pallas_attention:
+            import jax as _jax
+
+            attn_impl = "pallas" if _jax.default_backend() == "tpu" else "pallas_interpret"
+        else:
+            attn_impl = "flax"
         if cfg.radar_decoder_type == "set":
             self.radar_decoder = SetRadarDecoder(
                 d_model=n_features, num_queries=cfg.num_radar_queries,
                 position_scale=self.scene.static_scale,
+                attn_impl=attn_impl,
                 aux_loss=cfg.radar_set_aux_loss,
             )
         else:
             # remat: the backward pass recomputes each group's attention
-            # instead of keeping every [g, nr, nr] residual alive
+            # instead of keeping every [g, nr, nr] residual alive (moot for
+            # the fused-attention path, whose scores never reach HBM)
             decoder_cls = (
                 nn.remat(RadarDecoder, static_argnums=(3,)) if cfg.radar_decode_chunks > 1 else RadarDecoder
             )
-            self.radar_decoder = decoder_cls(d_model=n_features)
+            self.radar_decoder = decoder_cls(d_model=n_features, attn_impl=attn_impl)
         self.vgg_loss = VGGPerceptualLossPix2Pix()
 
     # -- forward ------------------------------------------------------------
