@@ -77,6 +77,9 @@ class FusedSelfAttention(nn.Module):
         from neuradar_tpu.ops.attention import fused_self_attention
 
         H = self.num_heads
+        assert self.qkv_features % H == 0, (
+            f"qkv_features {self.qkv_features} not divisible by num_heads {H}"
+        )  # mirrors flax MHA; keeps parameter trees interchangeable
         Dh = self.qkv_features // H
         proj = lambda name: nn.DenseGeneral(features=(H, Dh), name=name)
         q = proj("query")(inputs_q)  # [B, S, H, Dh]

@@ -129,20 +129,20 @@ class NeuRadarModelConfig:
     """bfloat16 halves hashgrid gather bandwidth + runs MLPs on the MXU in
     bf16 (the TPU analogue of the reference's AMP, trainer.py:200)."""
     nff_chunks: int = 1
-    # fused Pallas compositing (ops/volumetric.fused_composite_sky) instead
-    # of the XLA cumprod formulation. None = auto: ON for real TPU (measured
-    # 1.9x faster fwd+bwd at the chunked bf16 production shape, 2026-08-17 —
-    # docs/PERFORMANCE.md), OFF elsewhere (the CPU fallback interprets).
-    use_pallas_composite: Optional[bool] = None
-    # fused Pallas self-attention for the radar encoder
-    # (ops/attention.py: scores stay in VMEM instead of materializing
-    # [scans, rays, rays] in HBM twice). Default OFF until a healthy-relay
-    # A/B lands a keep/kill number (docs/PERFORMANCE.md playbook); on a
-    # non-TPU backend the kernel runs in interpret mode (CI coverage).
-    use_pallas_attention: Optional[bool] = None
     """Sequential ray chunks for the NFF core (nn.scan); bounds the padded
     HBM footprint of [rays, samples] intermediates. Must divide total rays
     (otherwise falls back to a single unchunked evaluation)."""
+    use_pallas_composite: Optional[bool] = None
+    """Fused Pallas compositing (ops/volumetric.fused_composite_sky) instead
+    of the XLA cumprod formulation. None = auto: ON for real TPU (measured
+    1.9x faster fwd+bwd at the chunked bf16 production shape, 2026-08-17 —
+    docs/PERFORMANCE.md), OFF elsewhere (the CPU fallback interprets)."""
+    use_pallas_attention: Optional[bool] = None
+    """Fused Pallas self-attention for the radar encoder (ops/attention.py:
+    scores stay in VMEM instead of materializing [scans, rays, rays] in HBM
+    twice). Default OFF until a healthy-relay A/B lands a keep/kill number
+    (docs/PERFORMANCE.md playbook); on a non-TPU backend the kernel runs in
+    interpret mode (CI coverage)."""
     radar_decode_chunks: int = 4
     """Radar scans are decoded in this many groups (remat'd): the encoder's
     self-attention materializes [scans, rays, rays] — 16 x 3424^2 at the

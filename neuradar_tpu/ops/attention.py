@@ -176,12 +176,15 @@ def _bwd_call(q, k, v, do, seed, scale, rate, interpret):
         out_specs=[qblk, kvblk, kvblk],
         out_shape=[
             jax.ShapeDtypeStruct((B, nq * bq, D), q.dtype),
-            jax.ShapeDtypeStruct((B, s_pad, D), k.dtype),
-            jax.ShapeDtypeStruct((B, s_pad, D), v.dtype),
+            # dK/dV accumulate across query blocks: keep the running sums in
+            # f32 even for bf16 inputs (14 read-modify-write rounds at the
+            # production shape would round partial sums to 8 mantissa bits)
+            jax.ShapeDtypeStruct((B, s_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, s_pad, D), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.asarray(seed, jnp.int32).reshape(1), qp, kp, vp, dop)
-    return dq[:, :S], dk[:, :S], dv[:, :S]
+    return dq[:, :S], dk[:, :S].astype(k.dtype), dv[:, :S].astype(v.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))

@@ -4,7 +4,6 @@ mode on CPU (the same kernel compiles for TPU via Mosaic)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from neuradar_tpu.ops.attention import fused_self_attention, reference_attention
 
@@ -58,10 +57,7 @@ def test_bf16_inputs():
 
 def test_dropout_deterministic_per_seed():
     q, k, v = _qkv(b=2, s=256, d=48, seed=4)
-    try:
-        a = fused_self_attention(q, k, v, 7, 0.2, None, True)
-    except Exception as e:  # pragma: no cover - interpreter PRNG support
-        pytest.skip(f"interpret-mode PRNG unsupported: {e}")
+    a = fused_self_attention(q, k, v, 7, 0.2, None, True)
     b = fused_self_attention(q, k, v, 7, 0.2, None, True)
     c = fused_self_attention(q, k, v, 8, 0.2, None, True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -75,10 +71,7 @@ def test_dropout_deterministic_per_seed():
 
 def test_dropout_gradients_finite_and_masked():
     q, k, v = _qkv(b=1, s=200, d=32, seed=5)
-    try:
-        g = jax.grad(lambda q: jnp.sum(fused_self_attention(q, k, v, 3, 0.3, None, True) ** 2))(q)
-    except Exception as e:  # pragma: no cover
-        pytest.skip(f"interpret-mode PRNG unsupported: {e}")
+    g = jax.grad(lambda q: jnp.sum(fused_self_attention(q, k, v, 3, 0.3, None, True) ** 2))(q)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
 

@@ -57,7 +57,7 @@ def main() -> None:
             @jax.jit
             def scan_g(params, src, pos):
                 def body(carry, i):
-                    gr = g(params, src + carry * jnp.asarray(1e-7, src.dtype), pos)
+                    gr = g(params, src + (carry * 1e-7).astype(src.dtype), pos)
                     s = sum(jnp.sum(x).astype(jnp.float32) for x in jax.tree_util.tree_leaves(gr))
                     return s, None
 
@@ -68,7 +68,7 @@ def main() -> None:
             t0 = time.perf_counter()
             acc = 0.0
             for i in range(args.iters):
-                acc = scan_g(variables["params"], src + i * jnp.asarray(1e-6, dtype), pos)
+                acc = scan_g(variables["params"], src + jnp.asarray(i * 1e-6, dtype), pos)
             _ = float(acc)
             ms = (time.perf_counter() - t0) / (args.iters * args.inner) * 1e3
             print(json.dumps({

@@ -3,9 +3,10 @@
 Loops forever (bounded by --max-hours), probing every --interval minutes:
   stage 1: time N varied small matmul value-fetches (healthy: ~40 ms/call;
            degraded episodes execute ~500x slow, so even these crawl).
-  stage 2: if stage 1 is fast, run one micro-scale production train step via
-           bench.py machinery (cheap, known to survive every episode) and
-           check its rays/s against the degraded-regime ceiling (~1k).
+  stage 2: if stage 1 is fast, run a micro-scale bench.py worker (init +
+           compile + its adaptive timed window — the smallest production
+           measurement, known to survive every episode) and check its rays/s
+           against the degraded-regime ceiling (~1k).
 
 Exits 0 the first time BOTH stages pass (so a background launcher can react),
 exits 3 on --max-hours elapsed without a healthy window. Appends one JSON
@@ -58,7 +59,8 @@ def probe_small(timeout_s: int) -> dict:
 
 
 def probe_micro(timeout_s: int) -> dict:
-    """One micro-scale production train-step dispatch via bench.py --probe-only."""
+    """Micro-scale production measurement: `bench.py --worker --scale micro`
+    (full worker init + warmup + adaptive timed window, bounded by timeout_s)."""
     t0 = time.time()
     cmd = [sys.executable, "bench.py", "--worker", "--chunks", "8",
            "--scale", "micro", "--scan-steps", "1"]
