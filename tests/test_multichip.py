@@ -206,3 +206,34 @@ def test_trainer_cli_data_parallel_path(tmp_path):
     trainer2 = Trainer(cfg2, dataparser_outputs=tiny_outputs())
     trainer2.setup()
     assert trainer2._multichip_shardings() is None
+
+
+def test_pallas_attention_composes_with_dp_sharding():
+    """The fused-attention pallas_call is an opaque custom call to the XLA
+    partitioner — assert it still executes (and matches unsharded numerics)
+    when the scan batch is dp-sharded over the 8 virtual devices, so
+    use_pallas_attention + data_parallel cannot silently break."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from neuradar_tpu.model_components.radar_decoder import RadarDecoder
+    from neuradar_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(8)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (8, 160, 48), jnp.float32)
+    geom = jax.random.normal(jax.random.PRNGKey(1), (8, 160, 3), jnp.float32) * 10
+    dec = RadarDecoder(d_model=48, attn_impl="pallas_interpret")
+    variables = dec.init(jax.random.PRNGKey(2), feats[:1], geom[:1])
+
+    feats_s = jax.device_put(feats, NamedSharding(mesh, P("data")))
+    geom_s = jax.device_put(geom, NamedSharding(mesh, P("data")))
+    vars_s = jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, P())), variables)
+
+    @jax.jit
+    def fwd(v, f, g):
+        out, _ = dec.apply(v, f, g, False)
+        return jnp.sum(out)
+
+    sharded = float(fwd(vars_s, feats_s, geom_s))
+    unsharded = float(fwd(variables, feats, geom))
+    np.testing.assert_allclose(sharded, unsharded, rtol=1e-5)
