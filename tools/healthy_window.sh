@@ -1,0 +1,46 @@
+#!/bin/bash
+# Execute the healthy-window playbook (docs/PERFORMANCE.md) end to end.
+# Run when tools/relay_watch.py reports RELAY_HEALTHY. Each step is bounded;
+# readings append to BENCH_HISTORY.jsonl; everything logs to $LOG.
+# Steps are ordered by value so a window that closes mid-run still banks the
+# headline first. Serial on purpose: one chip, one host core.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${LOG:-/tmp/healthy_window.log}
+exec >>"$LOG" 2>&1
+echo "=== healthy_window $(date -u +%FT%TZ) ==="
+
+run() {
+  local t=$1; shift
+  echo "--- [$(date -u +%T)] $* (timeout ${t}s)"
+  timeout -k 60 "$t" "$@"
+  echo "--- rc=$?"
+}
+
+# 1. headline train bench (ladder appends history + prints best-so-far)
+run 4500 python bench.py
+
+# 2. K-sweep at full scale (amortization), then chunk sweep at the best K
+export NEURADAR_BENCH_APPEND_HISTORY=1
+for K in 1 8 16; do
+  run 2000 python bench.py --worker --chunks 8 --scale full --scan-steps "$K"
+done
+for C in 4 16; do
+  run 2000 python bench.py --worker --chunks "$C" --scale full --scan-steps 4
+done
+unset NEURADAR_BENCH_APPEND_HISTORY
+
+# 3. eval-render throughput (rays/s + fps; appends history)
+run 2400 python tools/bench_eval.py
+
+# 4. fused radar attention keep/kill at production shape (JSON lines land in
+#    $LOG; copy the readings into BENCH_HISTORY.jsonl with a ts/args wrapper)
+run 2400 python tools/ab_attention.py
+
+# 5. component attribution (hashgrids / MLP / composite / PDF / radar / CNN)
+run 2400 python tools/profile_components.py
+
+# 6. full-scale learning check (no final-ckpt fetch)
+run 5400 python -m neuradar_tpu.scripts.validate_learning --iters 300
+
+echo "=== done $(date -u +%FT%TZ) ==="
