@@ -221,9 +221,27 @@ def main_with_retries() -> None:
     # (tests/test_bench_ladder.py) can drive the real subprocess path fast
     fail_sleep = float(os.environ.get("NEURADAR_BENCH_FAIL_SLEEP", "30"))
     degraded_sleep = float(os.environ.get("NEURADAR_BENCH_DEGRADED_SLEEP", "120"))
+    max_attempt_timeout = float(os.environ.get("NEURADAR_BENCH_ATTEMPT_TIMEOUT", "2400"))
     history_path = "BENCH_HISTORY.jsonl"
     best = None
     child = None
+    dead_timeouts = 0  # consecutive timeouts with no worker progress at all
+
+    def history_best() -> float:
+        """Best train_rays_per_sec actually on record (committed history)."""
+        hb = 0.0
+        try:
+            with open(history_path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                        if rec.get("metric") == "train_rays_per_sec":
+                            hb = max(hb, rec.get("value", 0.0))
+                    except (json.JSONDecodeError, AttributeError):
+                        continue  # truncated/corrupt line from a killed append
+        except OSError:
+            pass
+        return hb
 
     def emit_best():
         if best is not None:
@@ -244,7 +262,8 @@ def main_with_retries() -> None:
         if remaining < 420:
             log("walltime budget nearly exhausted; stopping the ladder")
             break
-        attempt_timeout = min(2400.0, remaining - 120.0)
+        attempt_timeout = min(max_attempt_timeout, remaining - 120.0)
+        timed_out = False
         try:
             child = subprocess.Popen(
                 [sys.executable, __file__, "--worker", *extra],
@@ -252,10 +271,22 @@ def main_with_retries() -> None:
             )
             stdout, stderr = child.communicate(timeout=attempt_timeout)
         except subprocess.TimeoutExpired:  # wedged relay: count as a failed attempt
+            timed_out = True
             child.kill()
-            stdout, _ = child.communicate()
+            stdout, werr = child.communicate()
             stdout = stdout or ""
-            stderr = f"attempt timed out after {attempt_timeout:.0f}s"
+            stderr = f"attempt timed out after {attempt_timeout:.0f}s\n" + (werr or "")
+        # a worker that logged nothing hung at BACKEND INIT (a fully wedged
+        # relay hangs jax.devices() itself, >420 s measured 2026-08-17):
+        # two in a row means the relay is unreachable, not merely degraded —
+        # stop burning the budget and emit the outage sentinel below
+        if timed_out and "[bench" not in stderr:
+            dead_timeouts += 1
+            if dead_timeouts >= 2:
+                log("two attempts hung before backend init — relay unreachable, stopping")
+                break
+        elif timed_out is False:
+            dead_timeouts = 0
         result = None
         for line in stdout.splitlines():
             if line.startswith("{"):
@@ -280,23 +311,26 @@ def main_with_retries() -> None:
               file=sys.stderr, flush=True)
         time.sleep(degraded_sleep)
     if best is None:
-        raise SystemExit("bench failed after retries")
+        # total outage (e.g. the relay hangs backend init for the whole
+        # window): emit a PARSEABLE honest zero instead of dying with no
+        # JSON — the note points at the committed measurement record
+        hist_best = history_best()
+        sentinel = {
+            "metric": "train_rays_per_sec", "value": 0.0, "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "note": ("TPU relay unreachable for the whole bench window (no attempt "
+                     "initialized a backend); this 0.0 is an outage marker, not a "
+                     f"measurement. Best recorded measurement for this code path: "
+                     f"{hist_best:.0f} rays/s (vs_baseline {hist_best / BASELINE_RAYS_PER_SEC:.2f}, "
+                     "committed BENCH_HISTORY.jsonl)"),
+        }
+        print(json.dumps(sentinel), flush=True)
+        return
     if best["value"] < degraded_thresh:
         # annotate with the best measurement actually on record — never a
         # constant baked into code (the committed BENCH_HISTORY.jsonl is the
         # honest record across relay-health episodes)
-        hist_best = 0.0
-        try:
-            with open(history_path) as f:
-                for line in f:
-                    try:
-                        rec = json.loads(line)
-                        if rec.get("metric") == "train_rays_per_sec":
-                            hist_best = max(hist_best, rec.get("value", 0.0))
-                    except (json.JSONDecodeError, AttributeError):
-                        continue  # truncated/corrupt line from a killed append
-        except OSError:
-            pass
+        hist_best = history_best()
         if hist_best > best["value"]:
             print(f"[bench] NOTE: all attempts ran on a degraded TPU relay (best recorded "
                   f"measurement: {hist_best:.0f} rays/s, BENCH_HISTORY.jsonl)", file=sys.stderr)
@@ -324,6 +358,8 @@ if __name__ == "__main__":
             v = values[min(n, len(values) - 1)].strip()
             if v == "crash":
                 raise SystemExit("fake worker: scripted crash")
+            if v == "hang":  # simulates a backend-init hang (no output at all)
+                time.sleep(3600)
             print(json.dumps({"metric": "train_rays_per_sec", "value": float(v),
                               "unit": "rays/s", "vs_baseline": float(v) / BASELINE_RAYS_PER_SEC}))
             raise SystemExit(0)

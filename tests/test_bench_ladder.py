@@ -93,3 +93,23 @@ def test_ladder_sigterm_flushes_best_so_far(tmp_path):
     assert proc.returncode == 0
     lines = _json_lines(stdout)
     assert lines and lines[-1]["value"] == 600.0
+
+
+def test_ladder_total_outage_emits_parseable_sentinel(tmp_path):
+    """A relay that hangs backend init (no worker output at all) must yield a
+    parseable zero-marker with the history pointer — never a null artifact —
+    and stop after two dead timeouts instead of burning the whole budget."""
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        json.dumps({"ts": 0, "metric": "train_rays_per_sec", "value": 278883.0}) + "\n"
+    )
+    env = _env(tmp_path, "hang")
+    env["NEURADAR_BENCH_ATTEMPT_TIMEOUT"] = "3"
+    r = subprocess.run(
+        [sys.executable, BENCH], env=env, cwd=tmp_path,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = _json_lines(r.stdout)
+    assert len(lines) == 1 and lines[0]["value"] == 0.0
+    assert "278883" in lines[0]["note"] and "outage" in lines[0]["note"]
+    assert int(open(tmp_path / "fake_state").read()) == 2  # stopped after 2 hangs
