@@ -1,0 +1,80 @@
+"""Top-level CLI surface: eval.py / render.py / render_radar.py main()
+functions driven end-to-end against a real (tiny) run directory — the
+load-config + checkpoint-reload + output-writing paths the component tests
+don't touch (cf. reference scripts/eval.py:34-83, render.py, render_radar.py)."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    """Drive the TRAIN CLI for 3 tiny steps and return the run directory
+    (config.json + checkpoints/), i.e. exactly what --load-config consumes —
+    the same surface a user touches."""
+    from neuradar_tpu.scripts.train import main
+
+    out_dir = tmp_path_factory.mktemp("cli_runs")
+    rc = main([
+        "neuradar-synthetic",
+        "--max-num-iterations", "3",
+        "--steps-per-eval-batch", "0", "--steps-per-eval-image", "0",
+        "--steps-per-eval-all-images", "0", "--steps-per-eval-all-radars", "0",
+        "--steps-per-save", "0", "--steps-per-log", "1",
+        "--output-dir", str(out_dir), "--experiment-name", "clitest",
+        "--dataparser.num_frames", "8", "--dataparser.image_height", "24",
+        "--dataparser.image_width", "36", "--dataparser.lidar_points_per_scan", "256",
+        "--pipeline.datamanager.num_rgb_patches", "2", "--pipeline.datamanager.patch_size", "4",
+        "--pipeline.datamanager.num_lidar_rays", "32", "--pipeline.datamanager.num_radar_scans", "2",
+        "--pipeline.datamanager.max_radar_gt", "16",
+        "--pipeline.model.field.grid.static.log2_hashmap_size", "12",
+        "--pipeline.model.field.grid.actor.log2_hashmap_size", "10",
+        "--pipeline.model.sampling.proposal_field_1.grid.static.log2_hashmap_size", "11",
+        "--pipeline.model.sampling.proposal_field_1.grid.actor.log2_hashmap_size", "9",
+        "--pipeline.model.sampling.proposal_field_2.grid.static.log2_hashmap_size", "11",
+        "--pipeline.model.sampling.proposal_field_2.grid.actor.log2_hashmap_size", "9",
+        "--pipeline.model.sampling.num_proposal_samples", "16,8",
+        "--pipeline.model.sampling.num_nerf_samples", "6",
+    ])
+    assert rc in (0, None)
+    run = out_dir / "clitest" / "neuradar-synthetic"
+    assert (run / "config.json").exists(), list(out_dir.rglob("*"))[:20]
+    return run
+
+
+def test_eval_cli(run_dir, tmp_path):
+    from neuradar_tpu.scripts.eval import main
+
+    out = tmp_path / "eval.json"
+    rc = main(["--load-config", str(run_dir), "--output-path", str(out),
+               "--radar-sampling-rounds", "1"])
+    assert rc == 0
+    rec = json.loads(out.read_text())
+    res = rec["results"]
+    assert np.isfinite(res["psnr"]) and np.isfinite(res["eval_rays_per_sec"])
+    assert any(k.startswith("radar_chamfer") or "chamfer" in k for k in res)
+    assert rec["checkpoint_step"] >= 3
+
+
+def test_render_dataset_cli(run_dir, tmp_path):
+    from neuradar_tpu.scripts.render import main
+
+    out = tmp_path / "renders"
+    rc = main(["dataset", "--load-config", str(run_dir), "--output-dir", str(out),
+               "--max-frames", "1"])
+    assert rc == 0
+    pngs = list(out.rglob("*.png")) + list(out.rglob("*.jpg"))
+    assert pngs, f"no images written under {out}"
+
+
+def test_render_radar_dataset_cli(run_dir, tmp_path):
+    from neuradar_tpu.scripts.render_radar import main
+
+    out = tmp_path / "radar_renders"
+    rc = main(["dataset", "--load-config", str(run_dir), "--output-dir", str(out),
+               "--max-scans", "1"])
+    assert rc == 0
+    written = [p for p in out.rglob("*") if p.is_file()]
+    assert written, f"nothing written under {out}"
