@@ -78,3 +78,23 @@ def test_render_radar_dataset_cli(run_dir, tmp_path):
     assert rc == 0
     written = [p for p in out.rglob("*") if p.is_file()]
     assert written, f"nothing written under {out}"
+
+
+def test_exporter_pointcloud_cli(run_dir, tmp_path):
+    from neuradar_tpu.scripts.exporter import main
+
+    out = tmp_path / "points.ply"
+    rc = main(["pointcloud", "--load-config", str(run_dir), "--output-path", str(out),
+               "--max-scans", "1", "--points-per-scan", "256"])
+    assert rc == 0
+    data = out.read_bytes()
+    assert data.startswith(b"ply") and len(data) > 100
+
+
+def test_radar_eval_baseline_cli(capsys):
+    from neuradar_tpu.scripts.radar_eval_baseline import main
+
+    rc = main(["--dataset", "synthetic"])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "chamfer" in printed.lower() or "gospa" in printed.lower()
