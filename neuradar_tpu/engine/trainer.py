@@ -176,7 +176,7 @@ class Trainer:
 
             self._viewer_lidar_cloud = None  # lazy: accumulated on first use
 
-            def viewer_render(c2w, actor=None, overlays=None, preview=False):
+            def viewer_render(c2w, actor=None, overlays=None, preview=False, time_s=0.0):
                 edits = None
                 if actor:
                     edits = ActorEdits(
@@ -192,7 +192,8 @@ class Trainer:
                 hw = (48, 78) if preview else (96, 156)
                 with self.train_lock:  # see __init__: donation would delete
                     # the params this render reads if a step ran concurrently
-                    rgb = self.pipeline.render_pose(self.eval_variables(), c2w, actor_edits=edits, hw=hw)
+                    rgb = self.pipeline.render_pose(self.eval_variables(), c2w, actor_edits=edits, hw=hw,
+                                                    time_s=float(time_s))
                 if overlays:
                     from neuradar_tpu.viewer.overlays import draw_scene_overlays
 
@@ -206,12 +207,15 @@ class Trainer:
                         lidar_points=self._viewer_lidar_cloud,
                         trajectories=self.pipeline.outputs.trajectories,
                         camera_poses=self.pipeline.outputs.camera_to_worlds,
+                        time_s=float(time_s),
                     )
                 return rgb
 
+            times = getattr(self.pipeline.outputs, "camera_times", None)
+            scene_duration = float(np.max(times)) if times is not None and len(np.atleast_1d(times)) else 0.0
             self._viewer = ViewerServer(
                 render_fn=viewer_render,
-                stats_fn=lambda: {"step": self._step},
+                stats_fn=lambda: {"step": self._step, "scene_duration": round(scene_duration, 2)},
                 port=cfg.viewer_port,
             )
             self._viewer.start()

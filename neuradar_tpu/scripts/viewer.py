@@ -28,7 +28,7 @@ def build_viewer(trainer, port: int = 7007):
     variables = trainer.eval_variables()
     lidar_cloud = {"pts": None}
 
-    def render(c2w, actor=None, overlays=None, preview=False):
+    def render(c2w, actor=None, overlays=None, preview=False, time_s=0.0):
         edits = None
         if actor:
             edits = ActorEdits(
@@ -39,7 +39,7 @@ def build_viewer(trainer, port: int = 7007):
                 remove=bool(actor.get("remove", False)),
             )
         hw = (48, 78) if preview else (96, 156)
-        rgb = pipeline.render_pose(variables, c2w, actor_edits=edits, hw=hw)
+        rgb = pipeline.render_pose(variables, c2w, actor_edits=edits, hw=hw, time_s=float(time_s))
         if overlays:
             from neuradar_tpu.viewer.overlays import draw_scene_overlays
 
@@ -51,12 +51,17 @@ def build_viewer(trainer, port: int = 7007):
                 lidar_points=lidar_cloud["pts"],
                 trajectories=pipeline.outputs.trajectories,
                 camera_poses=pipeline.outputs.camera_to_worlds,
+                time_s=float(time_s),
             )
         return rgb
 
+    times = getattr(pipeline.outputs, "camera_times", None)
+    stats = {"step": trainer._step, "mode": "frozen"}
+    if times is not None and len(np.atleast_1d(times)):
+        stats["scene_duration"] = round(float(np.max(times)), 2)
     return ViewerServer(
         render_fn=render,
-        stats_fn=lambda: {"step": trainer._step, "mode": "frozen"},
+        stats_fn=lambda: dict(stats),
         port=port,
     )
 

@@ -44,6 +44,10 @@ long <input id="along" type="number" value="0" step="0.5"/>
 rot <input id="arot" type="number" value="0" step="0.1"/>
 <label><input id="arem" type="checkbox" style="width:auto"/>remove</label>
 <button onclick="render()">apply</button><br/>
+time <input id="atime" type="range" min="0" max="12" value="0" step="0.1"
+  style="width:140px" oninput="document.getElementById('atv').textContent=this.value; render(true)"
+  onchange="render()" title="scene time (s): dynamic actors move along their trajectories"/>
+<span id="atv">0</span>s<br/>
 show <label><input id="olidar" type="checkbox" style="width:auto" onchange="render()"/>lidar</label>
 <label><input id="oboxes" type="checkbox" style="width:auto" onchange="render()"/>boxes</label>
 <label><input id="ofrusta" type="checkbox" style="width:auto" onchange="render()"/>frusta</label><br/>
@@ -69,6 +73,7 @@ function pose() {
   const ob = document.getElementById('oboxes').checked;
   const of = document.getElementById('ofrusta').checked;
   if (ol || ob || of) body.overlays = {lidar: ol, boxes: ob, frusta: of};
+  body.time = +document.getElementById('atime').value;
   return body;
 }
 let dirty = false, settleTimer = null;
@@ -116,6 +121,7 @@ async function stats() {
   try {
     const r = await fetch('/stats'); const j = await r.json();
     document.getElementById('stats').textContent = JSON.stringify(j);
+    if (j.scene_duration) document.getElementById('atime').max = j.scene_duration;
   } catch (err) {}
   setTimeout(stats, 2000);
 }
@@ -142,8 +148,10 @@ class ViewerServer:
     """Threaded HTTP viewer bound to a render callback.
 
     render_fn(c2w [3,4]) -> rgb uint8 [H, W, 3]; richer signatures
-    (c2w, actor), (c2w, actor, overlays), (c2w, actor, overlays, preview)
-    are detected by arity. `preview=True` marks in-motion requests — render
+    (c2w, actor), (c2w, actor, overlays), (c2w, actor, overlays, preview),
+    (c2w, actor, overlays, preview, time_s) are detected by arity. time_s
+    scrubs dynamic actors along their trajectories (the HUD time slider —
+    the reference AD viewer's scene-time control). `preview=True` marks in-motion requests — render
     at reduced resolution for responsiveness and the client settles to a
     full-res frame when motion stops (the reference's render_state_machine
     low-res-move / high-res-static behavior, viewer/render_state_machine.py).
@@ -164,7 +172,9 @@ class ViewerServer:
             self._arity = 1
 
     def _render(self, c2w: np.ndarray, actor: Optional[dict], overlays: Optional[dict] = None,
-                preview: bool = False):
+                preview: bool = False, time_s: float = 0.0):
+        if self._arity >= 5:
+            return self.render_fn(c2w, actor, overlays, preview, time_s)
         if self._arity >= 4:
             return self.render_fn(c2w, actor, overlays, preview)
         if self._arity >= 3:
@@ -215,7 +225,8 @@ class ViewerServer:
                     return
                 try:
                     rgb = viewer._render(c2w, req.get("actor"), req.get("overlays"),
-                                         bool(req.get("preview", False)))
+                                         bool(req.get("preview", False)),
+                                         float(req.get("time", 0.0)))
                     import PIL.Image
 
                     buf = io.BytesIO()

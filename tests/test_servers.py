@@ -273,7 +273,7 @@ def test_standalone_viewer_build(tmp_path):
             camera_to_worlds = np.eye(3, 4, dtype=np.float32)[None]
 
         @staticmethod
-        def render_pose(variables, c2w, actor_edits=None, hw=(96, 156)):
+        def render_pose(variables, c2w, actor_edits=None, hw=(96, 156), time_s=0.0):
             return np.full((hw[0], hw[1], 3), 77, np.uint8)
 
         @staticmethod
@@ -301,5 +301,34 @@ def test_standalone_viewer_build(tmp_path):
         )
         with urllib.request.urlopen(req, timeout=10) as r:
             assert r.read()[:2] == b"\xff\xd8"
+    finally:
+        v.stop()
+
+
+def test_viewer_server_time_passthrough():
+    """The HUD time slider scrubs scene time: /render's `time` field reaches
+    a 5-arity callback as time_s (dynamic actors move along trajectories)."""
+    import urllib.request
+
+    from neuradar_tpu.viewer.viewer import ViewerServer
+
+    seen = []
+
+    def render_fn(c2w, actor=None, overlays=None, preview=False, time_s=0.0):
+        seen.append((preview, time_s))
+        return np.full((12, 16, 3), 64, np.uint8)
+
+    port = _free_port()
+    v = ViewerServer(render_fn=render_fn, port=port)
+    v.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/render",
+            data=json.dumps({"eye": [0, 0, 2], "target": [5, 0, 1],
+                             "time": 3.5, "preview": True}).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 200
+        assert seen == [(True, 3.5)]
     finally:
         v.stop()
