@@ -47,7 +47,7 @@ rot <input id="arot" type="number" value="0" step="0.1"/>
 time <input id="atime" type="range" min="0" max="12" value="0" step="0.1"
   style="width:140px" oninput="document.getElementById('atv').textContent=this.value; render(true)"
   onchange="render()" title="scene time (s): dynamic actors move along their trajectories"/>
-<span id="atv">0</span>s<br/>
+<span id="atv">0</span>s <button id="play" onclick="togglePlay()">&#9654;</button><br/>
 show <label><input id="olidar" type="checkbox" style="width:auto" onchange="render()"/>lidar</label>
 <label><input id="oboxes" type="checkbox" style="width:auto" onchange="render()"/>boxes</label>
 <label><input id="ofrusta" type="checkbox" style="width:auto" onchange="render()"/>frusta</label><br/>
@@ -95,6 +95,19 @@ async function render(preview) {
     clearTimeout(settleTimer);
     settleTimer = setTimeout(() => render(false), 300);
   }
+}
+let playing = null;
+function togglePlay() {  // animate scene time at preview resolution
+  const btn = document.getElementById('play'), t = document.getElementById('atime');
+  if (playing) { clearInterval(playing); playing = null; btn.innerHTML = '&#9654;'; render(); return; }
+  btn.innerHTML = '&#9646;&#9646;';
+  playing = setInterval(() => {
+    let v = +t.value + +t.step * 5;
+    if (v > +t.max) v = 0;
+    t.value = v;
+    document.getElementById('atv').textContent = t.value;
+    render(true);
+  }, 400);
 }
 async function keyframe() {
   const r = await fetch('/keyframe', {method: 'POST', body: JSON.stringify(pose())});
