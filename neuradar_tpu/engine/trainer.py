@@ -175,6 +175,7 @@ class Trainer:
             from neuradar_tpu.viewer.viewer import ViewerServer
 
             self._viewer_lidar_cloud = None  # lazy: accumulated on first use
+            self._viewer_radar_cache = {}  # one rendered radar scan, keyed (time, edited)
 
             def viewer_render(c2w, actor=None, overlays=None, preview=False, time_s=0.0):
                 edits = None
@@ -201,6 +202,17 @@ class Trainer:
                         self._viewer_lidar_cloud = self.pipeline.datamanager.get_accumulated_lidar_points(
                             max_points=60_000
                         )
+                    radar_pts = None
+                    if overlays.get("radar"):
+                        key = (round(float(time_s), 1), bool(actor))
+                        if self._viewer_radar_cache.get("key") != key:
+                            with self.train_lock:
+                                self._viewer_radar_cache = {
+                                    "key": key,
+                                    "pts": self.pipeline.radar_points_world(
+                                        self.eval_variables(), float(time_s), actor_edits=edits),
+                                }
+                        radar_pts = self._viewer_radar_cache.get("pts")
                     rgb = draw_scene_overlays(
                         np.ascontiguousarray(rgb), c2w,
                         self.pipeline.viewer_intrinsics(rgb.shape[:2]), overlays,
@@ -208,6 +220,7 @@ class Trainer:
                         trajectories=self.pipeline.outputs.trajectories,
                         camera_poses=self.pipeline.outputs.camera_to_worlds,
                         time_s=float(time_s),
+                        radar_points=radar_pts,
                     )
                 return rgb
 

@@ -314,6 +314,27 @@ class ADNeuRadarPipeline:
         """Render one radar scan -> multi-Bernoulli output [n_mb, 7]."""
         return {"radar_output": np.asarray(self._render_radar_deferred(variables, scan_idx, actor_edits)[0])}
 
+    def radar_points_world(
+        self, variables, time_s: float = 0.0, threshold: float = 0.5, actor_edits=None
+    ) -> np.ndarray:
+        """Predicted radar detections as WORLD points for the scan nearest
+        time_s (viewer radar overlay; cf. the reference viewer's radar point
+        clouds). Deterministic euclidean sampling: keep MB means with
+        existence probability > threshold. Returns [K, 3] float32 (K may be
+        0); empty when the scene has no radar."""
+        from neuradar_tpu.model_components.radar_utils import sample_radar_points
+
+        out = self.outputs
+        if out.radar_to_worlds is None or not len(out.radar_to_worlds):
+            return np.zeros((0, 3), np.float32)
+        times = np.atleast_1d(out.radar_times if out.radar_times is not None else [0.0])
+        scan_idx = int(np.argmin(np.abs(times - time_s)))
+        radar_output = self.render_radar(variables, scan_idx, actor_edits)["radar_output"]
+        pts, keep = sample_radar_points(jnp.asarray(radar_output), "euclidean", threshold=threshold)
+        pts = np.asarray(pts)[np.asarray(keep)]
+        r2w = np.asarray(out.radar_to_worlds[scan_idx], np.float64)
+        return (pts @ r2w[:3, :3].T + r2w[:3, 3]).astype(np.float32)
+
     def render_lidar(
         self, variables, scan_idx: int, max_points: int = 16384, _defer: bool = False
     ) -> Dict[str, np.ndarray]:

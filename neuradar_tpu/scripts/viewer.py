@@ -27,6 +27,7 @@ def build_viewer(trainer, port: int = 7007):
     pipeline = trainer.pipeline
     variables = trainer.eval_variables()
     lidar_cloud = {"pts": None}
+    radar_cache = {}
 
     def render(c2w, actor=None, overlays=None, preview=False, time_s=0.0):
         edits = None
@@ -45,6 +46,13 @@ def build_viewer(trainer, port: int = 7007):
 
             if overlays.get("lidar") and lidar_cloud["pts"] is None:
                 lidar_cloud["pts"] = pipeline.datamanager.get_accumulated_lidar_points(max_points=60_000)
+            radar_pts = None
+            if overlays.get("radar") and hasattr(pipeline, "radar_points_world"):
+                key = (round(float(time_s), 1), bool(actor))
+                if radar_cache.get("key") != key:
+                    radar_cache.update(key=key, pts=pipeline.radar_points_world(
+                        variables, float(time_s), actor_edits=edits))
+                radar_pts = radar_cache.get("pts")
             rgb = draw_scene_overlays(
                 np.ascontiguousarray(rgb), c2w,
                 pipeline.viewer_intrinsics(rgb.shape[:2]), overlays,
@@ -52,6 +60,7 @@ def build_viewer(trainer, port: int = 7007):
                 trajectories=pipeline.outputs.trajectories,
                 camera_poses=pipeline.outputs.camera_to_worlds,
                 time_s=float(time_s),
+                radar_points=radar_pts,
             )
         return rgb
 

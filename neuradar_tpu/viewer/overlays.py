@@ -130,13 +130,21 @@ def draw_scene_overlays(
     trajectories: Optional[List[dict]] = None,
     camera_poses: Optional[np.ndarray] = None,
     time_s: float = 0.0,
+    radar_points: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Composite the requested overlays onto a render (rgb modified in
-    place and returned). opts keys: lidar / boxes / frusta (bools)."""
+    place and returned). opts keys: lidar / boxes / frusta / radar (bools)."""
     fx, fy, cx, cy = intrinsics
     if opts.get("lidar") and lidar_points is not None and len(lidar_points):
         uv, z = project_points(c2w, fx, fy, cx, cy, lidar_points)
         draw_points(rgb, uv, z)
+    if opts.get("radar") and radar_points is not None and len(radar_points):
+        uv, z = project_points(c2w, fx, fy, cx, cy, radar_points)
+        # predicted radar detections: magenta, drawn 2x2 for visibility
+        col = np.tile(np.array([[255, 0, 255]], np.uint8), (len(uv), 1))
+        for du in (0, 1):
+            for dv in (0, 1):
+                draw_points(rgb, uv + np.array([du, dv]), z, colors=col)
     if opts.get("boxes") and trajectories:
         for corners in actor_boxes_at_time(trajectories, time_s):
             draw_wireframe(rgb, c2w, fx, fy, cx, cy, corners)

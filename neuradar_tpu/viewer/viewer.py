@@ -49,6 +49,7 @@ time <input id="atime" type="range" min="0" max="12" value="0" step="0.1"
   onchange="render()" title="scene time (s): dynamic actors move along their trajectories"/>
 <span id="atv">0</span>s <button id="play" onclick="togglePlay()">&#9654;</button><br/>
 show <label><input id="olidar" type="checkbox" style="width:auto" onchange="render()"/>lidar</label>
+<label><input id="oradar" type="checkbox" style="width:auto" onchange="render()"/>radar</label>
 <label><input id="oboxes" type="checkbox" style="width:auto" onchange="render()"/>boxes</label>
 <label><input id="ofrusta" type="checkbox" style="width:auto" onchange="render()"/>frusta</label><br/>
 <button onclick="keyframe()">add keyframe</button>
@@ -70,9 +71,10 @@ function pose() {
   const rem = document.getElementById('arem').checked;
   if (lat || lng || rot || rem) body.actor = {index: aidx, lateral: lat, longitudinal: lng, rotation: rot, remove: rem};
   const ol = document.getElementById('olidar').checked;
+  const orr = document.getElementById('oradar').checked;
   const ob = document.getElementById('oboxes').checked;
   const of = document.getElementById('ofrusta').checked;
-  if (ol || ob || of) body.overlays = {lidar: ol, boxes: ob, frusta: of};
+  if (ol || orr || ob || of) body.overlays = {lidar: ol, radar: orr, boxes: ob, frusta: of};
   body.time = +document.getElementById('atime').value;
   return body;
 }

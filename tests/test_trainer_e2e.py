@@ -240,3 +240,13 @@ def test_texture_bake_vertex_colors(trained, tmp_path):
     write_ply_mesh(out, verts, faces, colors=colors)
     _, _, c2 = read_ply_mesh(out)
     np.testing.assert_allclose(c2, colors, atol=1 / 255)
+
+
+def test_radar_points_world(trained):
+    """Viewer radar overlay source: world-space predicted detections for the
+    scan nearest a scene time (threshold low so an untrained model yields
+    points; deterministic euclidean sampling)."""
+    trainer, _ = trained
+    pts = trainer.pipeline.radar_points_world(trainer.eval_variables(), time_s=0.5, threshold=0.0)
+    assert pts.ndim == 2 and pts.shape[1] == 3
+    assert len(pts) > 0 and np.isfinite(pts).all()

@@ -95,3 +95,22 @@ def test_change_patch_sampler_updates_layout():
     u = dm.u
     assert b["image"].shape[1] == old_ps * 2 * u
     dm.stop()
+
+
+def test_radar_points_overlay_drawn():
+    """Predicted radar detections draw as magenta markers when opts['radar']."""
+    import numpy as np
+
+    from neuradar_tpu.viewer.overlays import draw_scene_overlays
+
+    rgb = np.zeros((48, 64, 3), np.uint8)
+    c2w = np.eye(3, 4)  # camera at origin looking -z
+    pts = np.array([[0.0, 0.0, -5.0], [1.0, 0.5, -8.0]])
+    out = draw_scene_overlays(rgb, c2w, (40.0, 40.0, 32.0, 24.0), {"radar": True},
+                              radar_points=pts)
+    magenta = (out[..., 0] == 255) & (out[..., 1] == 0) & (out[..., 2] == 255)
+    assert magenta.sum() >= 4  # 2x2 marker per visible point
+    # radar off: nothing drawn
+    out2 = draw_scene_overlays(np.zeros((48, 64, 3), np.uint8), c2w,
+                               (40.0, 40.0, 32.0, 24.0), {}, radar_points=pts)
+    assert out2.sum() == 0
