@@ -98,3 +98,40 @@ def test_radar_eval_baseline_cli(capsys):
     assert rc == 0
     printed = capsys.readouterr().out
     assert "chamfer" in printed.lower() or "gospa" in printed.lower()
+
+
+def test_viewer_cli(run_dir):
+    """Standalone viewer CLI on a real run: serves stats + a time-scrubbed
+    render with radar/box overlays (the reference run_viewer surface)."""
+    import json as _json
+    import threading
+    import time as _time
+    import urllib.request
+
+    from neuradar_tpu.scripts.viewer import main
+
+    port = 7401
+    t = threading.Thread(
+        target=main,
+        args=(["--load-config", str(run_dir), "--port", str(port), "--serve-seconds", "300"],),
+        daemon=True,
+    )
+    t.start()
+    for i in range(60):
+        _time.sleep(2)
+        try:
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=5) as r:
+                stats = _json.loads(r.read())
+            break
+        except Exception:
+            if i == 59:
+                raise
+    assert "scene_duration" in stats and stats["scene_duration"] > 0
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/render",
+        data=_json.dumps({"eye": [-6, 0, 2], "target": [8, 0, 0], "time": 1.0,
+                          "overlays": {"radar": True, "boxes": True}}).encode(),
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        body = r.read()
+    assert body[:2] == b"\xff\xd8"
