@@ -285,7 +285,7 @@ def main_with_retries() -> None:
             if dead_timeouts >= 2:
                 log("two attempts hung before backend init — relay unreachable, stopping")
                 break
-        elif timed_out is False:
+        else:  # the worker made progress (or finished): hangs are not consecutive
             dead_timeouts = 0
         result = None
         for line in stdout.splitlines():
@@ -318,11 +318,12 @@ def main_with_retries() -> None:
         sentinel = {
             "metric": "train_rays_per_sec", "value": 0.0, "unit": "rays/s",
             "vs_baseline": 0.0,
-            "note": ("TPU relay unreachable for the whole bench window (no attempt "
-                     "initialized a backend); this 0.0 is an outage marker, not a "
-                     f"measurement. Best recorded measurement for this code path: "
-                     f"{hist_best:.0f} rays/s (vs_baseline {hist_best / BASELINE_RAYS_PER_SEC:.2f}, "
-                     "committed BENCH_HISTORY.jsonl)"),
+            "note": (("TPU relay unreachable (attempts hung before backend init)"
+                      if dead_timeouts >= 2 else
+                      "TPU relay outage: every attempt crashed or timed out without a reading")
+                     + "; this 0.0 is an outage marker, not a measurement. Best recorded "
+                     f"measurement for this code path: {hist_best:.0f} rays/s "
+                     f"(vs_baseline {hist_best / BASELINE_RAYS_PER_SEC:.2f}, committed BENCH_HISTORY.jsonl)"),
         }
         print(json.dumps(sentinel), flush=True)
         return

@@ -174,61 +174,17 @@ class Trainer:
             from neuradar_tpu.model_components.dynamic_actors import ActorEdits
             from neuradar_tpu.viewer.viewer import ViewerServer
 
-            self._viewer_lidar_cloud = None  # lazy: accumulated on first use
-            self._viewer_radar_cache = {}  # one rendered radar scan, keyed (time, edited)
+            from neuradar_tpu.viewer.callbacks import make_viewer_render_fn, scene_duration
 
-            def viewer_render(c2w, actor=None, overlays=None, preview=False, time_s=0.0):
-                edits = None
-                if actor:
-                    edits = ActorEdits(
-                        lateral=float(actor.get("lateral", 0.0)),
-                        longitudinal=float(actor.get("longitudinal", 0.0)),
-                        rotation=float(actor.get("rotation", 0.0)),
-                        index=int(actor.get("index", -1)),
-                        remove=bool(actor.get("remove", False)),
-                    )
-                # in-motion requests render at half resolution (the client
-                # upscales and settles to full res when motion stops) —
-                # the render_state_machine low-res-move behavior
-                hw = (48, 78) if preview else (96, 156)
-                with self.train_lock:  # see __init__: donation would delete
-                    # the params this render reads if a step ran concurrently
-                    rgb = self.pipeline.render_pose(self.eval_variables(), c2w, actor_edits=edits, hw=hw,
-                                                    time_s=float(time_s))
-                if overlays:
-                    from neuradar_tpu.viewer.overlays import draw_scene_overlays
-
-                    if overlays.get("lidar") and self._viewer_lidar_cloud is None:
-                        self._viewer_lidar_cloud = self.pipeline.datamanager.get_accumulated_lidar_points(
-                            max_points=60_000
-                        )
-                    radar_pts = None
-                    if overlays.get("radar"):
-                        key = (round(float(time_s), 1), bool(actor))
-                        if self._viewer_radar_cache.get("key") != key:
-                            with self.train_lock:
-                                self._viewer_radar_cache = {
-                                    "key": key,
-                                    "pts": self.pipeline.radar_points_world(
-                                        self.eval_variables(), float(time_s), actor_edits=edits),
-                                }
-                        radar_pts = self._viewer_radar_cache.get("pts")
-                    rgb = draw_scene_overlays(
-                        np.ascontiguousarray(rgb), c2w,
-                        self.pipeline.viewer_intrinsics(rgb.shape[:2]), overlays,
-                        lidar_points=self._viewer_lidar_cloud,
-                        trajectories=self.pipeline.outputs.trajectories,
-                        camera_poses=self.pipeline.outputs.camera_to_worlds,
-                        time_s=float(time_s),
-                        radar_points=radar_pts,
-                    )
-                return rgb
-
-            times = getattr(self.pipeline.outputs, "camera_times", None)
-            scene_duration = float(np.max(times)) if times is not None and len(np.atleast_1d(times)) else 0.0
+            viewer_render = make_viewer_render_fn(
+                self.pipeline, self.eval_variables, lock=self.train_lock,
+                # refresh the radar-overlay cache as the model trains
+                version_fn=lambda: self._step // 100,
+            )
+            duration = round(scene_duration(self.pipeline), 2)
             self._viewer = ViewerServer(
                 render_fn=viewer_render,
-                stats_fn=lambda: {"step": self._step, "scene_duration": round(scene_duration, 2)},
+                stats_fn=lambda: {"step": self._step, "scene_duration": duration},
                 port=cfg.viewer_port,
             )
             self._viewer.start()

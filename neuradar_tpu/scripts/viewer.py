@@ -15,59 +15,21 @@ import argparse
 import time
 from pathlib import Path
 
-import numpy as np
-
 
 def build_viewer(trainer, port: int = 7007):
     """ViewerServer wired to a (frozen) trainer — the same callback stack the
     in-training viewer uses, minus the train-lock contention."""
-    from neuradar_tpu.model_components.dynamic_actors import ActorEdits
+    from neuradar_tpu.viewer.callbacks import make_viewer_render_fn, scene_duration
     from neuradar_tpu.viewer.viewer import ViewerServer
 
     pipeline = trainer.pipeline
     variables = trainer.eval_variables()
-    lidar_cloud = {"pts": None}
-    radar_cache = {}
+    render = make_viewer_render_fn(pipeline, lambda: variables)
 
-    def render(c2w, actor=None, overlays=None, preview=False, time_s=0.0):
-        edits = None
-        if actor:
-            edits = ActorEdits(
-                lateral=float(actor.get("lateral", 0.0)),
-                longitudinal=float(actor.get("longitudinal", 0.0)),
-                rotation=float(actor.get("rotation", 0.0)),
-                index=int(actor.get("index", -1)),
-                remove=bool(actor.get("remove", False)),
-            )
-        hw = (48, 78) if preview else (96, 156)
-        rgb = pipeline.render_pose(variables, c2w, actor_edits=edits, hw=hw, time_s=float(time_s))
-        if overlays:
-            from neuradar_tpu.viewer.overlays import draw_scene_overlays
-
-            if overlays.get("lidar") and lidar_cloud["pts"] is None:
-                lidar_cloud["pts"] = pipeline.datamanager.get_accumulated_lidar_points(max_points=60_000)
-            radar_pts = None
-            if overlays.get("radar") and hasattr(pipeline, "radar_points_world"):
-                key = (round(float(time_s), 1), bool(actor))
-                if radar_cache.get("key") != key:
-                    radar_cache.update(key=key, pts=pipeline.radar_points_world(
-                        variables, float(time_s), actor_edits=edits))
-                radar_pts = radar_cache.get("pts")
-            rgb = draw_scene_overlays(
-                np.ascontiguousarray(rgb), c2w,
-                pipeline.viewer_intrinsics(rgb.shape[:2]), overlays,
-                lidar_points=lidar_cloud["pts"],
-                trajectories=pipeline.outputs.trajectories,
-                camera_poses=pipeline.outputs.camera_to_worlds,
-                time_s=float(time_s),
-                radar_points=radar_pts,
-            )
-        return rgb
-
-    times = getattr(pipeline.outputs, "camera_times", None)
     stats = {"step": trainer._step, "mode": "frozen"}
-    if times is not None and len(np.atleast_1d(times)):
-        stats["scene_duration"] = round(float(np.max(times)), 2)
+    duration = scene_duration(pipeline)
+    if duration > 0:
+        stats["scene_duration"] = round(duration, 2)
     return ViewerServer(
         render_fn=render,
         stats_fn=lambda: dict(stats),

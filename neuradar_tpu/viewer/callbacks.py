@@ -1,0 +1,101 @@
+"""Shared viewer render callback.
+
+One implementation for both viewer hosts — the in-training viewer
+(engine/trainer.py, renders between train steps under train_lock) and the
+standalone frozen viewer (scripts/viewer.py) — so overlay/caching fixes
+cannot diverge between them.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+from neuradar_tpu.model_components.dynamic_actors import ActorEdits
+
+
+def make_viewer_render_fn(
+    pipeline,
+    get_variables: Callable,
+    lock: Optional[threading.Lock] = None,
+    version_fn: Optional[Callable[[], int]] = None,
+):
+    """Build the (c2w, actor, overlays, preview, time_s) render callback.
+
+    Args:
+        pipeline: ADNeuRadarPipeline (render_pose / radar_points_world /
+            viewer_intrinsics / datamanager / outputs).
+        get_variables: returns the CURRENT eval variables (live training
+            params or a frozen checkpoint).
+        lock: serializes device work against training (trainer.train_lock);
+            None for a frozen viewer.
+        version_fn: cache-busting version for the radar overlay — the
+            in-training viewer passes a coarse step counter so detections
+            refresh as the model learns; None (frozen) never expires.
+    """
+    state = {"lidar": None, "radar_key": None, "radar_pts": None}
+    cache_lock = threading.Lock()  # handler threads race on the radar cache
+
+    def device_ctx():
+        return lock if lock is not None else contextlib.nullcontext()
+
+    def render(c2w, actor=None, overlays=None, preview=False, time_s=0.0):
+        edits = None
+        if actor:
+            edits = ActorEdits(
+                lateral=float(actor.get("lateral", 0.0)),
+                longitudinal=float(actor.get("longitudinal", 0.0)),
+                rotation=float(actor.get("rotation", 0.0)),
+                index=int(actor.get("index", -1)),
+                remove=bool(actor.get("remove", False)),
+            )
+        # in-motion requests render at half resolution (the client upscales
+        # and settles to full res when motion stops) — the reference
+        # render_state_machine's low-res-move behavior
+        hw = (48, 78) if preview else (96, 156)
+        with device_ctx():
+            rgb = pipeline.render_pose(get_variables(), c2w, actor_edits=edits, hw=hw,
+                                       time_s=float(time_s))
+        if overlays:
+            from neuradar_tpu.viewer.overlays import draw_scene_overlays
+
+            if overlays.get("lidar") and state["lidar"] is None:
+                state["lidar"] = pipeline.datamanager.get_accumulated_lidar_points(max_points=60_000)
+            radar_pts = None
+            if overlays.get("radar") and hasattr(pipeline, "radar_points_world"):
+                # key on the ACTUAL edit values (not just their presence) and
+                # a model version so detections track edits and training
+                key = (
+                    round(float(time_s), 1),
+                    None if not actor else tuple(sorted(actor.items())),
+                    version_fn() if version_fn is not None else 0,
+                )
+                with cache_lock:  # also dedups concurrent radar renders
+                    if state["radar_key"] != key:
+                        with device_ctx():
+                            pts = pipeline.radar_points_world(
+                                get_variables(), float(time_s), actor_edits=edits)
+                        state["radar_key"], state["radar_pts"] = key, pts
+                    radar_pts = state["radar_pts"]
+            rgb = draw_scene_overlays(
+                np.ascontiguousarray(rgb), c2w,
+                pipeline.viewer_intrinsics(rgb.shape[:2]), overlays,
+                lidar_points=state["lidar"],
+                trajectories=pipeline.outputs.trajectories,
+                camera_poses=pipeline.outputs.camera_to_worlds,
+                time_s=float(time_s),
+                radar_points=radar_pts,
+            )
+        return rgb
+
+    return render
+
+
+def scene_duration(pipeline) -> float:
+    times = getattr(pipeline.outputs, "camera_times", None)
+    if times is None or not len(np.atleast_1d(times)):
+        return 0.0
+    return float(np.max(times))

@@ -78,7 +78,7 @@ function pose() {
   body.time = +document.getElementById('atime').value;
   return body;
 }
-let dirty = false, settleTimer = null;
+let dirty = false, settleTimer = null, playing = null;
 async function render(preview) {
   if (pending) { dirty = true; return; }  // re-render after the in-flight one
   pending = true;
@@ -93,12 +93,11 @@ async function render(preview) {
     pending = false;
     if (dirty) { dirty = false; render(preview); }
   }
-  if (preview) {  // settle to a full-res frame once motion stops
+  if (preview && !playing) {  // settle to a full-res frame once motion stops
     clearTimeout(settleTimer);
     settleTimer = setTimeout(() => render(false), 300);
   }
 }
-let playing = null;
 function togglePlay() {  // animate scene time at preview resolution
   const btn = document.getElementById('play'), t = document.getElementById('atime');
   if (playing) { clearInterval(playing); playing = null; btn.innerHTML = '&#9654;'; render(); return; }

@@ -108,12 +108,16 @@ def test_viewer_cli(run_dir):
     import time as _time
     import urllib.request
 
+    import socket
+
     from neuradar_tpu.scripts.viewer import main
 
-    port = 7401
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     t = threading.Thread(
         target=main,
-        args=(["--load-config", str(run_dir), "--port", str(port), "--serve-seconds", "300"],),
+        args=(["--load-config", str(run_dir), "--port", str(port), "--serve-seconds", "120"],),
         daemon=True,
     )
     t.start()
