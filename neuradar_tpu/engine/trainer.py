@@ -246,6 +246,15 @@ class Trainer:
         shardings = self._multichip_shardings()
         step_kw = shardings[0] if shardings else {}
         scan_kw = shardings[1] if shardings else {}
+        # multi-host (jax.distributed): host-local arrays can't enter a jit
+        # whose shardings span other processes' devices — batches and state
+        # must be assembled as global jax.Arrays first (sharding.global_put).
+        # Single-process keeps the plain-numpy fast path.
+        self._batch_shardings = None
+        if shardings and jax.process_count() > 1:
+            self._batch_shardings = (step_kw["in_shardings"][3], scan_kw["in_shardings"][3])
+            self._rep_sharding = step_kw["in_shardings"][2]
+            self._globalize_state(step_kw["in_shardings"])
 
         # donated buffers: the param/Adam-state update happens in-place in
         # HBM rather than allocating fresh output copies each step
@@ -283,6 +292,34 @@ class Trainer:
 
         return train_steps
 
+    def _globalize_state(self, in_shardings) -> None:
+        """Re-place params/opt-state/batch-stats as GLOBAL arrays matching
+        the train step's in_shardings (multi-host only). Every host computed
+        identical init values (same seed), mirroring the reference where
+        each DDP rank constructs the same module state."""
+        from neuradar_tpu.parallel.sharding import global_put
+
+        p_s, o_s, rep = in_shardings[0], in_shardings[1], in_shardings[2]
+
+        def gput(tree, sh):
+            sh_tree = jax.tree.map(lambda _: sh, tree) if isinstance(sh, jax.sharding.Sharding) else sh
+            return jax.tree.map(global_put, tree, sh_tree)
+
+        self.params = gput(self.params, p_s)
+        self.opt_state = gput(self.opt_state, o_s)
+        self.batch_stats = gput(self.batch_stats, rep)
+
+    def _device_batch(self, batch, scan: bool):
+        """Host batch -> device arrays: plain asarray single-process, global
+        sharded assembly under multi-controller (same-seed hosts hold the
+        same global batch; each materializes only its shards)."""
+        if self._batch_shardings is None:
+            return jax.tree.map(jnp.asarray, batch)
+        from neuradar_tpu.parallel.sharding import global_put
+
+        sh = self._batch_shardings[1] if scan else self._batch_shardings[0]
+        return jax.tree.map(lambda x: global_put(x, sh), batch)
+
     # -- loop ----------------------------------------------------------------
 
     def train(self, num_iterations: Optional[int] = None) -> Dict[str, float]:
@@ -318,14 +355,18 @@ class Trainer:
                     self._tracing = False
             with profiler.time_function(name="train_iteration"), self.train_lock:
                 step_rng = jax.random.fold_in(rng, step)
+                if self._batch_shardings is not None:
+                    from neuradar_tpu.parallel.sharding import global_put
+
+                    step_rng = global_put(step_rng, self._rep_sharding)
                 if K > 1:
                     hosts = [self.pipeline.datamanager.next_train() for _ in range(k)]
-                    batch = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *hosts)
+                    batch = self._device_batch(jax.tree.map(lambda *xs: np.stack(xs), *hosts), scan=True)
                     self.params, self.opt_state, self.batch_stats, total, loss_dict, metrics = self._train_step(
                         self.params, self.opt_state, self.batch_stats, batch, step_rng, k=k
                     )
                 else:
-                    batch = jax.tree.map(jnp.asarray, self.pipeline.datamanager.next_train())
+                    batch = self._device_batch(self.pipeline.datamanager.next_train(), scan=False)
                     self.params, self.opt_state, self.batch_stats, total, loss_dict, metrics = self._train_step(
                         self.params, self.opt_state, self.batch_stats, batch, step_rng
                     )

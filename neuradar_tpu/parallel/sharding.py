@@ -35,16 +35,50 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def global_put(x: Any, sharding: NamedSharding) -> jax.Array:
+    """device_put that also works under multi-controller jax.
+
+    Single process: plain jax.device_put. Multi-process (jax.distributed):
+    the sharding spans non-addressable devices, so host data must be
+    assembled per-shard via make_array_from_callback — every host holds the
+    same full value (same-seed sampling / replicated params, mirroring the
+    reference where each DDP rank loads identical module state) and each
+    process materializes only its addressable shards."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """Device-put each leaf sharded along axis 0 (leading dim must divide
-    the mesh size — the datamanager's batch sizes are chosen accordingly)."""
+    """Shard each leaf along axis 0 (leading dim must divide the mesh size —
+    the datamanager's batch sizes are chosen accordingly). Every host must
+    pass the same GLOBAL batch (same sampling seed across hosts); see
+    shard_local_batch for per-host loading."""
     sharding = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: global_put(x, sharding), batch)
+
+
+def shard_local_batch(local_batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
+    """Assemble a globally-sharded batch from PER-HOST slices: each process
+    loads only its local_batch_slice of the global batch (the multi-host
+    analogue of the reference's per-rank DataLoader under DDP) and the
+    slices concatenate along axis 0 in process order."""
+    sharding = batch_sharding(mesh, axis_name)
+
+    def put(x):
+        if jax.process_count() == 1:
+            return jax.device_put(x, sharding)
+        arr = np.asarray(x)
+        global_shape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, arr, global_shape)
+
+    return jax.tree.map(put, local_batch)
 
 
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(lambda x: global_put(x, sharding), tree)
 
 
 def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
@@ -79,7 +113,7 @@ def param_shardings(params: Any, mesh: Mesh, table_key: str = "hash_table", axis
 
 
 def shard_params(params: Any, shardings: Any) -> Any:
-    return jax.tree.map(jax.device_put, params, shardings)
+    return jax.tree.map(global_put, params, shardings)
 
 
 def multichip_train_step_tp(train_step_fn, mesh: Mesh, params: Any, opt_state: Any):

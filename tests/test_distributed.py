@@ -1,12 +1,18 @@
-"""Multi-host bootstrap helpers (parallel/distributed.py) on a single host.
+"""Multi-host bootstrap helpers (parallel/distributed.py).
 
-The real multi-host path needs >1 process; here we verify the single-process
-semantics the trainer relies on: no-op init, rank/world-size surface, the
-barrier degenerating safely, and batch slicing (cf. reference
-utils/comms.py:21-71 whose helpers likewise degrade to rank-0 semantics when
-dist is unavailable)."""
+Single-process semantics the trainer relies on (no-op init, rank surface,
+barrier degeneration, batch slicing — cf. reference utils/comms.py:21-71
+whose helpers likewise degrade to rank-0 semantics when dist is
+unavailable), plus a REAL 2-process multi-controller run over localhost:
+the CI analogue of one process per TPU host (reference scripts/train.py's
+mp.spawn + init_process_group), exercising setup_distributed, global
+meshes, cross-process batch assembly and the gradient all-reduce."""
 
+import json
 import os
+import socket
+import subprocess
+import sys
 
 import numpy as np
 
@@ -34,3 +40,79 @@ def test_local_batch_slice_covers_batch():
     assert (s.start, s.stop) == (0, 128)
     x = np.arange(128)
     assert len(x[s]) == 128
+
+
+def _run_multihost(tmp_path, extra_args=(), timeout=420):
+    """Spawn 2 real jax.distributed processes (2 virtual CPU devices each)
+    running tests/multihost_worker.py and return their result blobs."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coordinator = f"localhost:{port}"
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # the worker forces cpu via jax.config
+    flags = [f for f in env.get("XLA_FLAGS", "").split() if "host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=2"])
+    # the worker script lives in tests/ (python puts THAT on sys.path, not
+    # the repo root); never clobber an existing PYTHONPATH — this image's
+    # sitecustomize lives there (CLAUDE.md)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + (os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    outs = [tmp_path / f"proc{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "--coordinator", coordinator,
+             "--num-processes", "2", "--process-id", str(i), "--out", str(outs[i]),
+             *extra_args],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    results = []
+    for i, p in enumerate(procs):
+        try:
+            stdout, stderr = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise AssertionError(f"multihost worker {i} timed out")
+        assert p.returncode == 0, f"worker {i} failed:\n{stderr[-3000:]}"
+        results.append(json.loads(outs[i].read_text()))
+    return results
+
+
+def test_two_process_multihost(tmp_path):
+    """Real 2-process multi-controller run: global mesh of 4 devices,
+    shard_batch / shard_local_batch cross-process assembly, the gradient
+    all-reduce, dp x tp param placement, and the host barrier."""
+    results = _run_multihost(tmp_path)
+    for i, r in enumerate(results):
+        assert r["initialized"] is True
+        assert r["world_size"] == 2 and r["rank"] == i
+        assert r["is_main"] is (i == 0)
+        assert r["local_devices"] == 2 and r["global_devices"] == 4
+        assert r["mesh_size"] == 4
+        assert r["shard_batch_sum"] == 28.0  # sum(arange(8))
+        assert r["local_slice"] == [4 * i, 4 * i + 4]
+        assert r["local_batch_shape"] == [8]  # global, assembled from slices
+        assert r["shard_local_batch_sum"] == 280.0  # sum(arange(8) * 10)
+        assert r["grad_w"] == 3.5  # mean(arange(8)) via cross-process psum
+        assert r["table_sum"] == 120.0  # sum(arange(16))
+        assert r["table_shard_len"] == 8  # tp=2: half the table per device
+        assert r["synced"] is True
+
+
+def test_two_process_trainer(tmp_path):
+    """The full Trainer data-parallel path across PROCESSES: a tiny NeuRadar
+    config trains 2 steps over a 2-process x 2-device mesh, with batches
+    assembled as global arrays (trainer._device_batch) and the gradient
+    all-reduce spanning both processes. Both ranks must agree on the loss."""
+    results = _run_multihost(tmp_path, extra_args=["--trainer"], timeout=900)
+    losses = [r["trainer_loss"] for r in results]
+    for r in results:
+        assert r["trainer_multihost"] is True
+        assert np.isfinite(r["trainer_loss"])
+    assert losses[0] == losses[1]  # replicated outputs agree across ranks
