@@ -71,11 +71,19 @@ def main() -> None:
                 acc = scan_g(variables["params"], src + jnp.asarray(i * 1e-6, dtype), pos)
             _ = float(acc)
             ms = (time.perf_counter() - t0) / (args.iters * args.inner) * 1e3
-            print(json.dumps({
+            rec = {
                 "metric": f"radar_attn_fwdbwd_ms_{shape_name}_{impl_name}",
                 "value": round(ms, 3), "unit": "ms",
                 "dtype": args.dtype, "backend": jax.default_backend(),
-            }), flush=True)
+            }
+            print(json.dumps(rec), flush=True)
+            if on_tpu:
+                # bank real-hardware readings like bench.py does — the
+                # healthy-window playbook runs unattended (relay_watch
+                # auto-launch) and the committed history is the record
+                with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                                       "BENCH_HISTORY.jsonl"), "a") as f:
+                    f.write(json.dumps({"ts": time.time(), "args": ["tools/ab_attention.py"], **rec}) + "\n")
 
 
 if __name__ == "__main__":

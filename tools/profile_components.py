@@ -38,7 +38,20 @@ def timed(name, fn, *args):
             acc = fn(*args, jnp.float32(i))
         _ = float(acc)
         dt = (time.perf_counter() - t0) / (ITERS * INNER)
-        print(json.dumps({"component": name, "ms_per_iter": round(dt * 1e3, 4)}), flush=True)
+        rec = {"component": name, "ms_per_iter": round(dt * 1e3, 4)}
+        print(json.dumps(rec), flush=True)
+        import jax
+
+        if jax.default_backend() == "tpu":
+            # bank real-hardware attributions: the healthy-window playbook
+            # runs unattended (relay_watch auto-launch), so the committed
+            # history — not a scrollback log — is the record
+            hist = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                                "BENCH_HISTORY.jsonl")
+            with open(hist, "a") as f:
+                f.write(json.dumps({"ts": time.time(), "args": ["tools/profile_components.py"],
+                                    "metric": f"component_ms_{name}", "value": rec["ms_per_iter"],
+                                    "unit": "ms"}) + "\n")
         return dt
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"component": name, "error": str(e)[:200]}), flush=True)
