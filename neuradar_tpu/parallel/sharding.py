@@ -46,7 +46,9 @@ def global_put(x: Any, sharding: NamedSharding) -> jax.Array:
     process materializes only its addressable shards."""
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
-    arr = np.asarray(x)
+    if isinstance(x, jax.Array) and x.sharding == sharding:
+        return x  # already globally placed (e.g. state re-globalized after a step rebuild)
+    arr = np.asarray(x)  # raises on non-replicated global arrays — callers re-place only host or replicated data
     return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
 
