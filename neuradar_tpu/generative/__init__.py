@@ -12,6 +12,10 @@ External weights plug through the same `predict(params, x_t, t, cond)`
 interface.
 """
 
+from neuradar_tpu.generative.random_cameras import (  # noqa: F401
+    RandomCamerasConfig,
+    random_train_pose,
+)
 from neuradar_tpu.generative.diffusion import (  # noqa: F401
     PositionalEmbeddings,
     ScoreDistillationGuidance,

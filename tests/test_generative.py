@@ -123,3 +123,55 @@ def test_positional_embeddings_discrete_and_interpolated():
 
     pe_off = PositionalEmbeddings(base, top, side, back, front, mode="off")
     assert float(pe_off(45, 45)[0]) == 0.0
+
+
+def test_random_train_pose_geometry():
+    """Sampler parity with reference random_cameras_datamanager.py:65-151:
+    cameras sit at ~radius from center, the -z camera axis points at the
+    center, vertical angles stay in range, and rays traced through the
+    center pixel hit the center."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neuradar_tpu.generative.random_cameras import RandomCamerasConfig, random_train_pose
+
+    cfg = RandomCamerasConfig(resolution=32, radius_mean=2.5, radius_std=0.0,
+                              jitter_std=0.0, center=(1.0, -2.0, 0.5))
+    cams, vdeg, cdeg = jax.jit(lambda k: random_train_pose(k, 16, cfg))(jax.random.PRNGKey(0))
+
+    center = np.asarray(cfg.center)
+    pos = np.asarray(cams.camera_to_worlds[:, :, 3])
+    np.testing.assert_allclose(np.linalg.norm(pos - center, axis=-1), 2.5, rtol=1e-5)
+
+    # vertical range (-90, 0) + 90 -> arccos in [0, 90] deg
+    assert np.all((np.asarray(vdeg) >= 0) & (np.asarray(vdeg) <= 90.0))
+    assert np.all((np.asarray(cdeg) >= 0) & (np.asarray(cdeg) <= 360.0))
+
+    # -z camera axis must look at the center (reference :110 comment)
+    minus_z = -np.asarray(cams.camera_to_worlds[:, :, 2])
+    to_center = center - pos
+    to_center /= np.linalg.norm(to_center, axis=-1, keepdims=True)
+    np.testing.assert_allclose(minus_z, to_center, atol=1e-5)
+
+    # a center-pixel ray passes within a pixel's angle of the center
+    idx = jnp.arange(16)
+    coords = jnp.broadcast_to(jnp.array([[15.5, 15.5]]), (16, 2))
+    rb = cams.generate_rays(idx, coords)
+    d = np.asarray(rb.directions)
+    cosang = np.sum(d * to_center, axis=-1)
+    assert np.all(cosang > np.cos(0.05))
+
+
+def test_random_train_pose_area_uniform_vertical():
+    """arccos(1-2u) over the full sphere gives E[cos(theta)] = 0 (area
+    uniformity) — a statistical check of the inverse-CDF transform."""
+    import jax
+    import numpy as np
+
+    from neuradar_tpu.generative.random_cameras import RandomCamerasConfig, random_train_pose
+
+    cfg = RandomCamerasConfig(vertical_rotation_range=(-90.0, 90.0))
+    _, vdeg, _ = random_train_pose(jax.random.PRNGKey(1), 4096, cfg)
+    mean_cos = float(np.mean(np.cos(np.deg2rad(np.asarray(vdeg)))))
+    assert abs(mean_cos) < 0.05
