@@ -141,7 +141,10 @@ class NerfactoTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, total, loss_dict, metrics
 
-        self._train_step = jax.jit(train_step)
+        # donate params/opt-state: the Adam update happens in place in HBM
+        # instead of double-buffering the field each step (cf. the flagship
+        # trainer's donation, trainer.py)
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_loss = jax.jit(lambda p, b, r: loss_fn(p, b, r, train=False)[0])
 
     def train(self, max_iters: Optional[int] = None) -> Dict[str, float]:
@@ -152,15 +155,18 @@ class NerfactoTrainer:
         self.dm.start_prefetch()
         last: Dict[str, float] = {}
         t0 = time.time()
+        end = self._step + iters  # self._step moves inside the loop
         try:
-            for step in range(self._step, self._step + iters):
+            for step in range(self._step, end):
                 batch = jax.tree.map(jnp.asarray, self.dm.next_train())
                 key, sub = jax.random.split(key)
                 params, self.opt_state, total, loss_dict, metrics = self._train_step(
                     params, self.opt_state, batch, sub
                 )
-                if step % c.steps_per_log == 0 or step == self._step + iters - 1:
-                    last = {"loss": float(total), **{k: float(v) for k, v in metrics.items()}}
+                if step % c.steps_per_log == 0 or step == end - 1:
+                    # ONE batched fetch (each value fetch is a ~37 ms relay sync)
+                    total, metrics_host = jax.device_get((total, metrics))
+                    last = {"loss": float(total), **{k: float(v) for k, v in metrics_host.items()}}
                     self.writer.put_scalars(step, last)
                 if c.steps_per_eval_batch and step and step % c.steps_per_eval_batch == 0:
                     ev = jax.tree.map(jnp.asarray, self.dm.sample_eval_batch())

@@ -117,8 +117,21 @@ class SplatfactoTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, state, loss, overflow_frac
 
-        self._train_step = jax.jit(train_step)
+        # donate params/opt-state/refine-state: in-place HBM update instead
+        # of double-buffering the full gaussian field + Adam moments each step
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._refine = jax.jit(lambda p, s, k, step: sf.refine_gaussians(cfg_model, p, s, k, step))
+
+        def eval_render(params, state, w2c, intrin, gt):
+            camera = {"w2c": w2c, "fx": intrin[0], "fy": intrin[1], "cx": intrin[2], "cy": intrin[3],
+                      "height": H, "width": W}
+            rend = sf.render_splats(cfg_model, params, state, camera)
+            mse = jnp.mean((rend["rgb"] - gt) ** 2)
+            return rend["rgb"], mse, sf._ssim(rend["rgb"], gt)
+
+        # jitted eval render: eager full-model calls cost ~5x on the 1-core
+        # host (see CLAUDE.md); the compile lands in the persistent cache
+        self._eval_render = jax.jit(eval_render)
 
     def _camera_arrays(self, idx: int):
         out = self.outputs
@@ -180,9 +193,11 @@ class SplatfactoTrainer:
                     self.opt_state = self.opt_state._replace(inner_states=inner)
             if self._step % cfg.steps_per_log == 0:
                 # tile_overflow_frac: fraction of tiles whose overlapping
-                # gaussians exceed tile_top_k (silent truncation indicator)
-                last = {"loss": float(loss), "num_gaussians": float(jnp.sum(self.state["alive"])),
-                        "tile_overflow_frac": float(overflow)}
+                # gaussians exceed tile_top_k (silent truncation indicator).
+                # ONE batched fetch — each value fetch is a ~37 ms relay sync.
+                loss_h, alive_h, overflow_h = jax.device_get((loss, jnp.sum(self.state["alive"]), overflow))
+                last = {"loss": float(loss_h), "num_gaussians": float(alive_h),
+                        "tile_overflow_frac": float(overflow_h)}
                 self.writer.put_scalars(self._step, last)
             if (cfg.steps_per_eval_all_images and self._step > 0
                     and self._step % cfg.steps_per_eval_all_images == 0):
@@ -221,15 +236,19 @@ class SplatfactoTrainer:
         return path
 
     def eval_psnr(self) -> Dict[str, float]:
-        psnrs, ssims = [], []
+        # dispatch every eval render through the jitted path first, then
+        # fetch — one sync per image instead of eager op-by-op execution
+        pending = []
         for idx in self.outputs.camera_split.eval:
-            camera = self._camera(int(idx))
-            rend = sf.render_splats(self.config.model, self.params, self.state, camera)
-            gt = self.outputs.images[int(idx), : self.H, : self.W].astype(np.float32) / 255.0
-            pred = np.asarray(rend["rgb"])
-            mse = float(np.mean((pred - gt) ** 2))
-            psnrs.append(-10 * np.log10(max(mse, 1e-10)))
-            ssims.append(float(sf._ssim(jnp.asarray(pred), jnp.asarray(gt))))
+            w2c, intrin = self._camera_arrays(int(idx))
+            gt = jnp.asarray(self.outputs.images[int(idx), : self.H, : self.W].astype(np.float32) / 255.0)
+            _rgb, mse, ssim = self._eval_render(self.params, self.state, w2c, intrin, gt)
+            pending.append((mse, ssim))
+        psnrs, ssims = [], []
+        for mse, ssim in pending:
+            mse, ssim = jax.device_get((mse, ssim))
+            psnrs.append(-10 * np.log10(max(float(mse), 1e-10)))
+            ssims.append(float(ssim))
         return {
             "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
             "ssim": float(np.mean(ssims)) if ssims else 0.0,

@@ -135,7 +135,11 @@ class Trainer:
             assert config.dataparser is not None, "TrainerConfig.dataparser or explicit outputs required"
             dataparser_outputs = config.dataparser.setup().get_dataparser_outputs()
         self.pipeline = ADNeuRadarPipeline(config.pipeline, dataparser_outputs)
-        self.writer = EventWriter(log_dir=self._run_dir / "logs")
+        # multi-host: only rank 0 logs/writes events (cf. reference
+        # @check_main_thread gating, utils/writer.py + utils/comms.py) —
+        # evals still COMPUTE on every rank (localize_tree is collective).
+        is_main = jax.process_count() == 1 or jax.process_index() == 0
+        self.writer = EventWriter(log_dir=self._run_dir / "logs" if is_main else None, verbose=is_main)
         self.tracker = MetricTracker(config.tracker)
         self._step = 0
         import threading
@@ -171,7 +175,6 @@ class Trainer:
         self._train_step = self._build_train_step()
         self.pipeline.datamanager.start_prefetch()
         if cfg.vis == "viewer":
-            from neuradar_tpu.model_components.dynamic_actors import ActorEdits
             from neuradar_tpu.viewer.viewer import ViewerServer
 
             from neuradar_tpu.viewer.callbacks import make_viewer_render_fn, scene_duration
@@ -384,13 +387,16 @@ class Trainer:
                 now = time.perf_counter()
                 window_dt = max(now - t_last_log, 1e-9)
                 t_last_log = now
-                n_dev = jax.device_count()
                 scalars = {k2: float(v) for k2, v in {**loss_host, **metrics_host}.items()}
                 scalars["loss"] = total
-                # world_size x rays/batch / iter time (cf. trainer.py:333-340),
-                # averaged over the whole window since the last sync so queued
-                # async dispatches are attributed to the steps that ran
-                scalars["train_rays_per_sec"] = n_dev * rays_per_batch * steps_since_log / window_dt
+                # rays/batch x steps / window time, averaged over the whole
+                # window since the last sync so queued async dispatches are
+                # attributed to the steps that ran. Unlike the reference's
+                # world_size multiplier (trainer.py:333-340, one batch PER
+                # DDP rank), the datamanager samples ONE global batch that
+                # the mesh shards — so rays/step is rays_per_batch however
+                # many devices share the work.
+                scalars["train_rays_per_sec"] = rays_per_batch * steps_since_log / window_dt
                 scalars["iter_train_time"] = window_dt / steps_since_log
                 steps_since_log = 0
                 self.writer.put_scalars(step, scalars)
@@ -451,7 +457,17 @@ class Trainer:
         return last_metrics
 
     def eval_variables(self):
-        return {"params": self.params, "batch_stats": self.batch_stats}
+        """Variables for eval/render paths. Multi-host: those paths build
+        host-local inputs (numpy batches, full-image bundles) which cannot
+        enter a computation with arrays sharded across other processes'
+        devices (see _build_train_steps), so fetch a host-local copy —
+        collective for tp-sharded tables, hence called on every rank."""
+        v = {"params": self.params, "batch_stats": self.batch_stats}
+        if getattr(self, "_batch_shardings", None) is not None:
+            from neuradar_tpu.parallel.sharding import localize_tree
+
+            v = localize_tree(v)
+        return v
 
     def _eval_single_image_and_radar(self, step: int) -> None:
         """Render one eval image + one radar scan, log metrics and dump a
@@ -526,7 +542,10 @@ class Trainer:
         }
         ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
-        if self.config.save_only_latest_checkpoint:
+        # GC from rank 0 only — on a shared filesystem every rank globs the
+        # same dir and concurrent rmtrees race (orbax already coordinates
+        # the save itself across processes)
+        if self.config.save_only_latest_checkpoint and jax.process_index() == 0:
             for old in sorted(ckpt_dir.glob("step-*"))[:-1]:
                 import shutil
 

@@ -52,6 +52,32 @@ def global_put(x: Any, sharding: NamedSharding) -> jax.Array:
     return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
 
+def localize_tree(tree: Any) -> Any:
+    """Global jax.Arrays -> host-local arrays (multi-controller eval/save).
+
+    The eval and checkpoint paths build host-local inputs (numpy batches,
+    full-image ray bundles), which cannot enter a computation together with
+    arrays sharded across other processes' devices. The reference solves
+    this by construction — every DDP rank holds a full module replica and
+    rank 0 evals/saves locally (pipelines/base_pipeline.py:305-307,
+    engine/trainer.py @check_main_thread). Equivalent here: fetch a full
+    local copy of each leaf. Replicated leaves copy their local shard;
+    cross-process-sharded leaves (tensor-parallel hash tables) are
+    allgathered — a COLLECTIVE, so under multi-host every process must call
+    this function (then typically only rank 0 uses the result).
+    """
+    def localize(x):
+        if not isinstance(x, jax.Array) or x.is_fully_addressable:
+            return x
+        if x.sharding.is_fully_replicated:
+            return np.asarray(x.addressable_shards[0].data)
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(x, tiled=True)
+
+    return jax.tree.map(localize, tree)
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     """Shard each leaf along axis 0 (leading dim must divide the mesh size —
     the datamanager's batch sizes are chosen accordingly). Every host must

