@@ -62,6 +62,8 @@ def sample_patches(images: np.ndarray, frame_idx: np.ndarray, top_left: np.ndarr
     frame_idx [B] int32, top_left [B, 2] int32 -> [B, patch, patch, 3] f32."""
     lib = get_lib()
     B = len(frame_idx)
+    if B == 0:
+        return np.zeros((0, patch, patch, 3), np.float32)
     if lib is None:
         out = np.stack(
             [images[f, r : r + patch, c : c + patch] for f, (r, c) in zip(frame_idx, top_left)]

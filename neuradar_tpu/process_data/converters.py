@@ -269,7 +269,11 @@ def realitycapture_to_json(
             "p1": float(row.get("t1", 0)), "p2": float(row.get("t2", 0)),
             "transform_matrix": transform.tolist(),
         })
-    return _write(output_dir, {"camera_model": "OPENCV", "frames": frames})
+    # RealityCapture poses are geo-referenced; the reference pins
+    # orientation_override='none' so auto-orientation doesn't re-rotate the
+    # world (realitycapture_utils.py:49)
+    return _write(output_dir, {"camera_model": "OPENCV", "orientation_override": "none",
+                               "frames": frames})
 
 
 # -- ODM ----------------------------------------------------------------------
@@ -284,13 +288,18 @@ def odm_to_json(image_filename_map: Dict[str, Path], cameras_json: Path, shots_g
     cam = next(iter(cams.values()))
     w, h = int(cam["width"]), int(cam["height"])
     scale = max(w, h)
+    # intrinsics convention matches reference odm_utils.cameras2nerfds
+    # (:124-133): focal_x/focal_y preferred over the shared focal, principal
+    # point added RAW to the (dim-1)/2 center (OpenSfM's c_x/c_y are
+    # near-zero pixel offsets there)
     data = {
         "w": w, "h": h,
-        "fl_x": float(cam.get("focal", cam.get("focal_x", 0.85))) * scale,
-        "fl_y": float(cam.get("focal", cam.get("focal_y", 0.85))) * scale,
-        "cx": w / 2.0 + float(cam.get("c_x", 0)) * scale,
-        "cy": h / 2.0 + float(cam.get("c_y", 0)) * scale,
+        "fl_x": float(cam.get("focal_x", cam.get("focal", 0.85))) * scale,
+        "fl_y": float(cam.get("focal_y", cam.get("focal", 0.85))) * scale,
+        "cx": float(cam.get("c_x", 0)) + (w - 1.0) / 2.0,
+        "cy": float(cam.get("c_y", 0)) + (h - 1.0) / 2.0,
         "k1": float(cam.get("k1", 0)), "k2": float(cam.get("k2", 0)),
+        "k3": float(cam.get("k3", 0)),
         "p1": float(cam.get("p1", 0)), "p2": float(cam.get("p2", 0)),
         "camera_model": "OPENCV",
     }
@@ -310,10 +319,12 @@ def odm_to_json(image_filename_map: Dict[str, Path], cameras_json: Path, shots_g
             K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
             R = np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
         c2w = np.eye(4)
+        # R.T == rodrigues(-rotation): the reference's geojson branch
+        # (odm_utils.py:164-172) builds the matrix from the NEGATED axis-angle
+        # and applies NO OpenCV->OpenGL flip (unlike its reconstruction.json
+        # branch) — shots.geojson already carries the final convention
         c2w[:3, :3] = R.T
         c2w[:3, 3] = np.asarray(props["translation"], np.float64)
-        # OpenCV -> OpenGL camera axes
-        c2w[0:3, 1:3] *= -1
         frames.append({"file_path": Path(image_filename_map[name]).as_posix(),
                        "transform_matrix": c2w.tolist()})
     data["frames"] = frames
@@ -360,14 +371,23 @@ def read_colmap_images(path: Path) -> Dict[int, dict]:
     path = Path(path)
     images = {}
     if path.suffix == ".txt":
-        lines = [ln for ln in path.read_text().splitlines() if ln and not ln.startswith("#")]
-        for ln in lines[::2]:  # every other line is the 2D point list
-            p = ln.split()
-            images[int(p[0])] = {
-                "qvec": np.array([float(x) for x in p[1:5]]),
-                "tvec": np.array([float(x) for x in p[5:8]]),
-                "camera_id": int(p[8]), "name": p[9],
-            }
+        # image/points lines strictly alternate, and a zero-observation image
+        # has an EMPTY points line — keep blanks so the pairing stays in
+        # phase (cf. reference colmap_parsing_utils.read_images_text, which
+        # reads the points line pairwise for the same reason)
+        lines = [ln for ln in path.read_text().splitlines() if not ln.startswith("#")]
+        expect_pose = True
+        for ln in lines:
+            if expect_pose and not ln.strip():
+                continue  # blank separator before an image entry
+            if expect_pose:
+                p = ln.split()
+                images[int(p[0])] = {
+                    "qvec": np.array([float(x) for x in p[1:5]]),
+                    "tvec": np.array([float(x) for x in p[5:8]]),
+                    "camera_id": int(p[8]), "name": p[9],
+                }
+            expect_pose = not expect_pose  # next line is the 2D point list (possibly empty)
         return images
     with open(path, "rb") as f:
         (n,) = struct.unpack("<Q", f.read(8))

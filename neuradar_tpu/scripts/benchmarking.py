@@ -59,8 +59,12 @@ def main(argv=None) -> int:
         trainer = NerfactoTrainer(cfg)
         trainer.setup()
         metrics = trainer.train(args.max_iters)
+        # held-out-split PSNR, matching launch_eval_blender.sh semantics —
+        # the final train-batch psnr is reported separately and is NOT
+        # comparable to published blender numbers
         results[scene] = {
-            "psnr": metrics.get("psnr"),
+            "psnr": trainer.eval_psnr().get("eval_psnr"),
+            "train_psnr": metrics.get("psnr"),
             "loss": metrics.get("loss"),
             "train_time_s": round(time.time() - t0, 1),
             "iters": args.max_iters,

@@ -20,21 +20,9 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     run_dir = args.load_config if args.load_config.is_dir() else args.load_config.parent
-    cfg_json = json.loads((run_dir / "config.json").read_text())
+    from neuradar_tpu.scripts.render import _load_trainer
 
-    from neuradar_tpu.configs.method_configs import get_method
-    from neuradar_tpu.engine.trainer import Trainer
-
-    config = get_method(cfg_json.get("method_name", "neuradar-synthetic"))
-    from neuradar_tpu.configs.cli import apply_config_dict
-
-    apply_config_dict(config, cfg_json)
-    config.output_dir = cfg_json.get("output_dir", str(run_dir.parent.parent))
-    config.experiment_name = cfg_json.get("experiment_name", run_dir.parent.name)
-    config.load_dir = str(run_dir / "checkpoints")
-
-    trainer = Trainer(config)
-    trainer.setup()
+    trainer = _load_trainer(run_dir)
     variables = trainer.eval_variables()
     results = {}
     results.update(trainer.pipeline.get_average_eval_image_metrics(variables))
@@ -43,8 +31,8 @@ def main(argv=None) -> int:
         trainer.pipeline.get_average_eval_radar_metrics(variables, sampling_rounds=args.radar_sampling_rounds)
     )
     out = {
-        "experiment": config.experiment_name,
-        "method": config.method_name,
+        "experiment": trainer.config.experiment_name,
+        "method": trainer.config.method_name,
         "checkpoint_step": trainer._step,
         "results": results,
     }

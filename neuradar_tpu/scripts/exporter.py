@@ -171,6 +171,7 @@ def main(argv=None) -> int:
         for scan_idx in list(pipeline.datamanager.eval_lidar_indices())[: args.max_scans]:
             rend = pipeline.render_lidar(variables, int(scan_idx), max_points=args.points_per_scan)
             keep = rend["ray_drop_prob"][:, 0] < 0.5
+            keep[int(rend["num_valid"]):] = False  # drop static-shape padding rows
             pts_sensor = rend["points"][:, :3] / np.linalg.norm(
                 rend["points"][:, :3], axis=-1, keepdims=True
             ).clip(1e-6) * rend["depth"]

@@ -17,20 +17,9 @@ import numpy as np
 
 
 def _load_trainer(run_dir: Path):
-    from neuradar_tpu.configs.method_configs import get_method
-    from neuradar_tpu.engine.trainer import Trainer
+    from neuradar_tpu.scripts.render import _load_trainer as load
 
-    cfg_json = json.loads((run_dir / "config.json").read_text())
-    config = get_method(cfg_json.get("method_name", "neuradar-synthetic"))
-    from neuradar_tpu.configs.cli import apply_config_dict
-
-    apply_config_dict(config, cfg_json)
-    config.output_dir = cfg_json.get("output_dir", str(run_dir.parent.parent))
-    config.experiment_name = cfg_json.get("experiment_name", run_dir.parent.name)
-    config.load_dir = str(run_dir / "checkpoints")
-    trainer = Trainer(config)
-    trainer.setup()
-    return trainer
+    return load(run_dir)
 
 
 def _save_scan(out_dir: Path, name: str, pred: np.ndarray, gt: np.ndarray | None) -> None:
@@ -216,6 +205,7 @@ def main(argv=None) -> int:
             li = int(lids[min(args.frame, len(lids) - 1)])
             lr = pipeline.render_lidar(variables, li)
             keep = lr["ray_drop_prob"][:, 0] < 0.5
+            keep[int(lr["num_valid"]):] = False  # drop static-shape padding rows
             dirs = lr["points"][:, :3] / np.linalg.norm(lr["points"][:, :3], axis=-1, keepdims=True).clip(1e-6)
             write_ply(out_dir / "lidar.ply", (dirs * lr["depth"])[keep])
             written["lidar_scan"] = li

@@ -14,12 +14,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import time
 
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=300)
-    parser.add_argument("--bf16", action="store_true", default=True)
+    parser.add_argument("--bf16", action=argparse.BooleanOptionalAction, default=True,
+                        help="--no-bf16 runs the check in float32 (numerics debugging)")
     parser.add_argument("--chunks", type=int, default=8)
     parser.add_argument("--steps-per-dispatch", type=int, default=4,
                         help="optimizer steps per device dispatch (amortizes the relay round trip)")
@@ -71,7 +73,9 @@ def main(argv=None) -> int:
         save_final_checkpoint=False,  # a degraded link can spend longer on the
         # final param fetch than on the 300 training steps themselves
         steps_per_log=10,
-        experiment_name="learning_check",
+        # unique run dir per invocation: EventWriter appends, and mixing a
+        # previous run's events into the quartile stats corrupts the verdict
+        experiment_name=time.strftime("learning_check_%Y%m%d_%H%M%S"),
         output_dir="/tmp/nrt_learning_check",
     )
     outputs = SyntheticDataParser(

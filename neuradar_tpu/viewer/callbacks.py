@@ -63,7 +63,10 @@ def make_viewer_render_fn(
             from neuradar_tpu.viewer.overlays import draw_scene_overlays
 
             if overlays.get("lidar") and state["lidar"] is None:
-                state["lidar"] = pipeline.datamanager.get_accumulated_lidar_points(max_points=60_000)
+                with cache_lock:  # dedup: concurrent handler threads would
+                    # otherwise run the multi-scan accumulation twice
+                    if state["lidar"] is None:
+                        state["lidar"] = pipeline.datamanager.get_accumulated_lidar_points(max_points=60_000)
             radar_pts = None
             if overlays.get("radar") and hasattr(pipeline, "radar_points_world"):
                 # key on the ACTUAL edit values (not just their presence) and

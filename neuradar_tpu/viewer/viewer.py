@@ -78,9 +78,12 @@ function pose() {
   body.time = +document.getElementById('atime').value;
   return body;
 }
-let dirty = false, settleTimer = null, playing = null;
+let dirty = false, dirtyPreview = false, settleTimer = null, playing = null;
 async function render(preview) {
-  if (pending) { dirty = true; return; }  // re-render after the in-flight one
+  // queue the LATEST request's preview flag, not the in-flight one's: a
+  // full-res request queued behind a preview must settle full-res (and a
+  // drag queued behind a full-res render must stay on the fast path)
+  if (pending) { dirty = true; dirtyPreview = preview; return; }
   pending = true;
   try {
     const body = pose();
@@ -91,7 +94,7 @@ async function render(preview) {
     ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
   } finally {
     pending = false;
-    if (dirty) { dirty = false; render(preview); }
+    if (dirty) { dirty = false; render(dirtyPreview); }
   }
   if (preview && !playing) {  // settle to a full-res frame once motion stops
     clearTimeout(settleTimer);
@@ -148,6 +151,9 @@ def _look_at(eye: np.ndarray, target: np.ndarray, up=np.array([0.0, 0.0, 1.0])) 
     forward = target - eye
     forward = forward / (np.linalg.norm(forward) + 1e-9)
     right = np.cross(forward, up)
+    if np.linalg.norm(right) < 1e-6:  # looking straight along up (top-down
+        # HTTP request): fall back to world-y so the basis stays orthonormal
+        right = np.cross(forward, np.array([0.0, 1.0, 0.0]))
     right = right / (np.linalg.norm(right) + 1e-9)
     true_up = np.cross(right, forward)
     c2w = np.eye(3, 4)

@@ -87,3 +87,19 @@ def test_final_iteration_always_logged(tmp_path):
     last = tr.train(3)
     assert 2 in logged, logged  # final iteration (step 2) logged
     assert "loss" in last and np.isfinite(last["loss"])
+
+
+def test_eval_psnr_on_heldout_split(tmp_path):
+    """eval_psnr renders the eval split full-image (the number benchmarking.py
+    reports — not the train-batch psnr)."""
+    cfg = _small(get_method("nerfacto"), tmp_path)
+    tr = NerfactoTrainer(cfg)
+    tr.setup()
+    tr.train(3)
+    ev = tr.eval_psnr()
+    assert "eval_psnr" in ev and np.isfinite(ev["eval_psnr"])
+    # full-image render has the dataset resolution
+    ci = int(tr.outputs.camera_split.eval[0])
+    img = tr.render_camera(ci)
+    assert img.shape == tuple(tr.outputs.image_size) + (3,)
+    assert np.isfinite(img).all()

@@ -157,3 +157,58 @@ def test_colmap_text_model(tmp_path):
     (d / "images.txt").write_text("# comment\n1 1 0 0 0 0.5 0.5 0.5 1 im0.jpg\n\n")
     data = pd.colmap_to_json(d, tmp_path / "out")
     assert data["fl_x"] == 100.0 and len(data["frames"]) == 1
+
+
+def test_colmap_text_zero_point_image(tmp_path):
+    """A valid images.txt where an image has an EMPTY 2D-point line must stay
+    in phase (regression: blank-line filtering made lines[::2] parse point
+    rows as poses)."""
+    d = tmp_path / "sparse"
+    d.mkdir()
+    (d / "cameras.txt").write_text("1 SIMPLE_PINHOLE 16 12 100.0 8.0 6.0\n")
+    (d / "images.txt").write_text(
+        "# header\n"
+        "1 1 0 0 0 0.5 0.5 0.5 1 im0.jpg\n"
+        "\n"  # zero observations
+        "2 1 0 0 0 1.5 2.5 3.5 1 im1.jpg\n"
+        "4.0 4.0 7 8.0 8.0 9\n"
+    )
+    images = pd.read_colmap_images(d / "images.txt")
+    assert sorted(images) == [1, 2]
+    assert images[1]["name"] == "im0.jpg"
+    assert images[2]["name"] == "im1.jpg"
+    np.testing.assert_allclose(images[2]["tvec"], [1.5, 2.5, 3.5])
+
+
+def test_odm_reference_conventions(tmp_path):
+    """cx/cy use the reference's raw c_x + (w-1)/2 form and the geojson pose
+    branch applies NO OpenCV->OpenGL flip (odm_utils.py:127,164-172)."""
+    (tmp_path / "odm_report").mkdir(parents=True)
+    (tmp_path / "cameras.json").write_text(json.dumps({
+        "v2 cam": {"width": 16, "height": 12, "focal_x": 0.9, "focal_y": 0.8,
+                   "c_x": 0.25, "c_y": -0.5, "k3": 0.01}
+    }))
+    (tmp_path / "odm_report" / "shots.geojson").write_text(json.dumps({
+        "features": [{"properties": {"filename": "img_000.jpg", "rotation": [0, 0, 0],
+                                     "translation": [4.0, 5.0, 6.0]}}]
+    }))
+    data = pd.odm_to_json({"img_000": "images/img_000.jpg"}, tmp_path / "cameras.json",
+                          tmp_path / "odm_report" / "shots.geojson", tmp_path / "out")
+    assert data["fl_x"] == pytest.approx(0.9 * 16)
+    assert data["fl_y"] == pytest.approx(0.8 * 16)
+    assert data["cx"] == pytest.approx(0.25 + 7.5)
+    assert data["cy"] == pytest.approx(-0.5 + 5.5)
+    assert data["k3"] == pytest.approx(0.01)
+    m = np.asarray(data["frames"][0]["transform_matrix"])
+    np.testing.assert_allclose(m[:3, :3], np.eye(3), atol=1e-12)  # no flip
+
+
+def test_realitycapture_orientation_override(tmp_path):
+    """Geo-referenced RealityCapture poses pin orientation_override='none'
+    (reference realitycapture_utils.py:49)."""
+    imgs = _write_images(tmp_path / "out" / "images", n=1)
+    csvf = tmp_path / "poses.csv"
+    csvf.write_text("#name,x,y,alt,heading,pitch,roll,f,px,py,k1,k2,k3,k4,t1,t2\n"
+                    "img_000.jpg,1.0,2.0,3.0,0,0,0,36.0,0,0,0,0,0,0,0,0\n")
+    data = pd.realitycapture_to_json({"img_000": f"images/{imgs[0].name}"}, csvf, tmp_path / "out")
+    assert data["orientation_override"] == "none"
