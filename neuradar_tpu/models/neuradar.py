@@ -140,9 +140,10 @@ class NeuRadarModelConfig:
     use_pallas_attention: Optional[bool] = None
     """Fused Pallas self-attention for the radar encoder (ops/attention.py:
     scores stay in VMEM instead of materializing [scans, rays, rays] in HBM
-    twice). Default OFF until a healthy-relay A/B lands a keep/kill number
-    (docs/PERFORMANCE.md playbook); on a non-TPU backend the kernel runs in
-    interpret mode (CI coverage)."""
+    twice). None = auto: ON for real TPU — A/B measured 2026-08-18 at the
+    production shape: 22.9 -> 3.3 ms fwd+bwd unchunked, 9.0 -> 1.1 ms per
+    remat group (7-8x, docs/PERFORMANCE.md) — OFF elsewhere (interpret mode
+    is CI-only; set True to force it on CPU tests)."""
     radar_decode_chunks: int = 4
     """Radar scans are decoded in this many groups (remat'd): the encoder's
     self-attention materializes [scans, rays, rays] — 16 x 3424^2 at the
@@ -248,10 +249,15 @@ class NeuRadarModel(nn.Module):
         n_features = cfg.field.nff_out_dim + cfg.appearance_dim
         self.rgb_decoder = RGBDecoder(hidden_dim=cfg.rgb_hidden_dim, upsample_factor=cfg.rgb_upsample_factor)
         self.lidar_decoder = MLP(out_dim=2, num_layers=3, layer_width=32)
-        if cfg.use_pallas_attention:
-            import jax as _jax
+        import jax as _jax
 
-            attn_impl = "pallas" if _jax.default_backend() == "tpu" else "pallas_interpret"
+        on_tpu = _jax.default_backend() == "tpu"
+        # None = auto: the fused kernel is a measured 7-8x on real TPU (see
+        # config docstring); interpret mode exists only for CI, so auto never
+        # selects it off-TPU
+        use_attn = cfg.use_pallas_attention if cfg.use_pallas_attention is not None else on_tpu
+        if use_attn:
+            attn_impl = "pallas" if on_tpu else "pallas_interpret"
         else:
             attn_impl = "flax"
         if cfg.radar_decoder_type == "set":
