@@ -31,7 +31,7 @@ def log(msg):
 T0 = time.perf_counter()
 
 
-def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4):
+def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks: int = 0):
     import jax
 
     if os.environ.get("NEURADAR_BENCH_CPU"):
@@ -84,6 +84,9 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4):
     pipe_cfg = ADNeuRadarPipelineConfig(datamanager=dm)
     pipe_cfg.model.loss.vgg_mult = 0.0  # no pretrained VGG in this image
     pipe_cfg.model.nff_chunks = chunks  # bound padded HBM footprint (see models/neuradar.py)
+    if radar_chunks:  # 1 = unchunked radar decode (fused attention never
+        # materializes scores, so remat grouping is optional — A/B knob)
+        pipe_cfg.model.radar_decode_chunks = radar_chunks
     pipe_cfg.model.compute_dtype = "bfloat16"
     pipeline = ADNeuRadarPipeline(pipe_cfg, outputs)
     layout = pipeline.layout
@@ -176,7 +179,8 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4):
         with open("BENCH_HISTORY.jsonl", "a") as f:
             f.write(json.dumps({"ts": time.time(),
                                 "args": ["--chunks", str(chunks), "--scale", scale,
-                                         "--scan-steps", str(scan_steps)],
+                                         "--scan-steps", str(scan_steps)]
+                                + (["--radar-chunks", str(radar_chunks)] if radar_chunks else []),
                                 **result}) + "\n")
 
 
@@ -368,6 +372,7 @@ if __name__ == "__main__":
         chunks = int(a[a.index("--chunks") + 1]) if "--chunks" in a else 8
         scale = a[a.index("--scale") + 1] if "--scale" in a else "full"
         scan_steps = int(a[a.index("--scan-steps") + 1]) if "--scan-steps" in a else 4
-        main(chunks=chunks, scale=scale, scan_steps=scan_steps)
+        radar_chunks = int(a[a.index("--radar-chunks") + 1]) if "--radar-chunks" in a else 0
+        main(chunks=chunks, scale=scale, scan_steps=scan_steps, radar_chunks=radar_chunks)
     else:
         main_with_retries()

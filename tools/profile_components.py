@@ -24,6 +24,14 @@ INNER = 16
 ITERS = 6
 
 
+DEGRADED = False  # set by the hashgrid sentinel (first component timed)
+# healthy hashgrid_static_main is ~2.4 ms/iter (docs/PERFORMANCE.md); a
+# degraded-relay episode inflates gather-heavy programs 100-1000x while
+# matmul-bound ones stay healthy-looking — flag EVERY banked entry so the
+# committed history can't pass degraded attributions off as healthy
+_SENTINEL = ("hashgrid_static_main", 25.0)
+
+
 def timed(name, fn, *args):
     """fn must be a jitted (carry, *args) -> scalar scan runner."""
     import jax.numpy as jnp
@@ -39,6 +47,11 @@ def timed(name, fn, *args):
         _ = float(acc)
         dt = (time.perf_counter() - t0) / (ITERS * INNER)
         rec = {"component": name, "ms_per_iter": round(dt * 1e3, 4)}
+        global DEGRADED
+        if name == _SENTINEL[0] and rec["ms_per_iter"] > _SENTINEL[1]:
+            DEGRADED = True
+        if DEGRADED:
+            rec["relay_degraded"] = True
         print(json.dumps(rec), flush=True)
         import jax
 
@@ -51,7 +64,8 @@ def timed(name, fn, *args):
             with open(hist, "a") as f:
                 f.write(json.dumps({"ts": time.time(), "args": ["tools/profile_components.py"],
                                     "metric": f"component_ms_{name}", "value": rec["ms_per_iter"],
-                                    "unit": "ms"}) + "\n")
+                                    "unit": "ms",
+                                    **({"relay_degraded": True} if DEGRADED else {})}) + "\n")
         return dt
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"component": name, "error": str(e)[:200]}), flush=True)
