@@ -181,6 +181,51 @@ class NerfactoTrainer:
             self.save_checkpoint()
         return last
 
+    # -- full-image eval (the number benchmarking.py reports; cf. reference
+    # launch_eval_blender.sh -> scripts/eval.py full-image metrics) ---------
+
+    def render_camera(self, cam_idx: int) -> np.ndarray:
+        """Render camera ``cam_idx`` full-image (one ray per pixel — nerfacto
+        has no CNN upsampler): rgb float32 [H, W, 3]. Chunked at
+        model.eval_num_rays_per_chunk; all chunks are dispatched before the
+        single fetch (np.asarray is the only relay sync point)."""
+        from neuradar_tpu.cameras.cameras import generate_camera_rays
+
+        H, W = self.outputs.image_size
+        rr, cc = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        coords_np = np.stack([rr.reshape(-1), cc.reshape(-1)], axis=1)
+        n_rays = len(coords_np)
+        chunk = min(self.config.model.eval_num_rays_per_chunk, n_rays)
+        n_pad = (-n_rays) % chunk
+        if n_pad:
+            coords_np = np.concatenate([coords_np, np.repeat(coords_np[-1:], n_pad, axis=0)])
+        if not hasattr(self, "_render_chunk"):
+            self._render_chunk = jax.jit(
+                lambda p, b: self.model.apply({"params": p}, b, train=False)["rgb"]
+            )
+        cameras = self.dm.tables.cameras
+        params = self.variables["params"]
+        outs = []
+        for i in range(0, len(coords_np), chunk):
+            cam_ids = jnp.full((chunk,), cam_idx, jnp.int32)
+            bundle = generate_camera_rays(cameras, cam_ids, jnp.asarray(coords_np[i : i + chunk]))
+            outs.append(self._render_chunk(params, bundle))
+        rgb = np.concatenate([np.asarray(o) for o in outs])[:n_rays]
+        return rgb.reshape(H, W, 3)
+
+    def eval_psnr(self) -> Dict[str, float]:
+        """Mean PSNR over full-image renders of the held-out camera split
+        (lidar-only variant has no images: returns {})."""
+        if self.config.model.predict_lidar:
+            return {}
+        psnrs = []
+        for ci in self.outputs.camera_split.eval:
+            pred = np.clip(self.render_camera(int(ci)), 0.0, 1.0)
+            gt = self.outputs.images[int(ci)].astype(np.float32) / 255.0
+            mse = float(np.mean((pred - gt) ** 2))
+            psnrs.append(-10.0 * np.log10(max(mse, 1e-10)))
+        return {"eval_psnr": float(np.mean(psnrs)), "eval_num_images": float(len(psnrs))} if psnrs else {}
+
     # -- checkpointing (flat-npz; the main Trainer uses orbax — this trainer
     # keeps the single-file format its benchmarking/export flows expect) ----
 

@@ -50,6 +50,9 @@ class NerfactoModelConfig:
     interlevel_loss_mult: float = 1.0
     distortion_loss_mult: float = 0.002
     use_single_jitter: bool = True
+    eval_num_rays_per_chunk: int = 1 << 14
+    """Full-image eval renders run in chunks of this many rays (cf. reference
+    nerfacto method config eval_num_rays_per_chunk, method_configs.py)."""
     predict_lidar: bool = False  # lidar-nerfacto variant
     depth_loss_mult: float = 0.01
     intensity_loss_mult: float = 0.1
