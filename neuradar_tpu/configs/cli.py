@@ -31,13 +31,15 @@ def _coerce(value: str, ann: Any) -> Any:
         return tuple(_coerce(p, elem if elem is not None else _guess_type(p)) for p in parts)
     if origin is Optional or (origin is type(None)):
         return value
-    # Optional[X] / Union
+    # Optional[X] / Union — check the None sentinel BEFORE the members:
+    # bool coercion never raises, so Optional[bool] would otherwise turn
+    # '--x none' into False instead of None (None = auto for the Pallas flags)
     args = get_args(ann)
     if args:
+        if type(None) in args and value.lower() in ("none", "null"):
+            return None
         for a in args:
             if a is type(None):
-                if value.lower() in ("none", "null"):
-                    return None
                 continue
             try:
                 return _coerce(value, a)

@@ -9,7 +9,6 @@ mechanism (plugins/registry.py).
 
 from __future__ import annotations
 
-import copy
 from typing import Callable, Dict
 
 from neuradar_tpu.cameras.camera_optimizers import CameraOptimizerConfig, ScaledCameraOptimizerConfig

@@ -126,8 +126,10 @@ class SplatfactoTrainer:
             camera = {"w2c": w2c, "fx": intrin[0], "fy": intrin[1], "cx": intrin[2], "cy": intrin[3],
                       "height": H, "width": W}
             rend = sf.render_splats(cfg_model, params, state, camera)
-            mse = jnp.mean((rend["rgb"] - gt) ** 2)
-            return rend["rgb"], mse, sf._ssim(rend["rgb"], gt)
+            # colors clamp min-only during training; bound the metric inputs
+            rgb = jnp.clip(rend["rgb"], 0.0, 1.0)
+            mse = jnp.mean((rgb - gt) ** 2)
+            return rgb, mse, sf._ssim(rgb, gt)
 
         # jitted eval render: eager full-model calls cost ~5x on the 1-core
         # host (see CLAUDE.md); the compile lands in the persistent cache

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from neuradar_tpu.field_components.encodings import HashEncoding
-from neuradar_tpu.field_components.spatial_distortions import ScaledSceneContraction, contract_gaussians
+from neuradar_tpu.field_components.spatial_distortions import ScaledSceneContraction
 from neuradar_tpu.model_components.dynamic_actors import (
     ActorCandidates,
     assign_samples_to_actors,

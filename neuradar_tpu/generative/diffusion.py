@@ -117,7 +117,9 @@ class ScoreDistillationGuidance:
 
     Reference semantics (stable_diffusion.py:128-170): sample t, noise the
     image, predict eps with classifier-free guidance
-    `eps_u + s * (eps_c - eps_u)`, weight by w(t)=1-alpha_bar, and return
+    `eps_c + s * (eps_c - eps_u)` (the reference guides from the CONDITIONAL
+    branch, stable_diffusion.py:159 — not the textbook eps_u base; kept for
+    parity), weight by w(t)=1-alpha_bar, and return
     `0.5 * mse(x, stop_grad(x - grad)) / B` so d(loss)/dx == grad.
 
     Args:
@@ -193,9 +195,12 @@ class PositionalEmbeddings:
             if 45 < h <= 135 or h > 225 and h <= 315:
                 return self.side
             return self.back
-        # interpolated — same piecewise blend as the reference (:105-119)
+        # interpolated — same piecewise blend as the reference (:105-119),
+        # except h == 0 lands in the first branch (pure front): the
+        # reference's open interval sends 0 to the last branch, which
+        # EXTRAPOLATES to 4*side - 3*front for a straight-ahead view
         v = max(v, 0.0)
-        if 0 < h <= 90:
+        if 0 <= h <= 90:
             e = h * self.side + (90 - h) * self.front
         elif 90 < h <= 180:
             e = (h - 90) * self.back + (180 - h) * self.side

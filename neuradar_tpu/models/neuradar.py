@@ -249,9 +249,7 @@ class NeuRadarModel(nn.Module):
         n_features = cfg.field.nff_out_dim + cfg.appearance_dim
         self.rgb_decoder = RGBDecoder(hidden_dim=cfg.rgb_hidden_dim, upsample_factor=cfg.rgb_upsample_factor)
         self.lidar_decoder = MLP(out_dim=2, num_layers=3, layer_width=32)
-        import jax as _jax
-
-        on_tpu = _jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
         # None = auto: the fused kernel is a measured 7-8x on real TPU (see
         # config docstring); interpret mode exists only for CI, so auto never
         # selects it off-TPU

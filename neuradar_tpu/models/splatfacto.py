@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from neuradar_tpu.utils.poses import quaternion_to_matrix
+
 TILE = 16
 
 
@@ -108,7 +110,9 @@ def gaussian_colors(params, cam_origin: jax.Array, sh_degree: int) -> jax.Array:
     basis = sh_basis(d, sh_degree)  # [G, B]
     B = basis.shape[-1]
     view_dep = jnp.einsum("gb,gbc->gc", basis, params["sh_rest"].reshape(-1, B, 3))
-    return jnp.clip(base + view_dep, 0.0, 1.0)
+    # clamp min-only (reference gsplat/splatfacto): an upper clip would zero
+    # the gradient for saturated gaussians and freeze their SH bands
+    return jnp.maximum(base + view_dep, 0.0)
 
 
 def init_gaussians(config: SplatfactoConfig, points: np.ndarray, colors: np.ndarray) -> Dict[str, jax.Array]:
@@ -142,16 +146,7 @@ def _logit(p):
 
 
 def quat_to_rotmat(q: jax.Array) -> jax.Array:
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-8)
-    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    return jnp.stack(
-        [
-            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
-            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
-            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
-        ],
-        axis=-2,
-    )
+    return quaternion_to_matrix(q)
 
 
 def project_gaussians(params, alive, w2c: jax.Array, fx, fy, cx, cy, width, height):
@@ -261,7 +256,6 @@ def rasterize(params, alive, w2c, fx, fy, cx, cy, height: int, width: int, top_k
         n_overlap = jnp.sum(overlap, axis=1)  # [T]
     else:
         n_chunks = -(-G // ch)
-        pad = n_chunks * ch - G
         starts = jnp.arange(n_chunks) * ch
 
         def body(carry, i0_nom):

@@ -23,8 +23,10 @@ def _build() -> Optional[ctypes.CDLL]:
     src = _HERE / "batch_sampler.cc"
     if not _SO_PATH.exists() or _SO_PATH.stat().st_mtime < src.stat().st_mtime:
         try:
+            # no -march=native: the gathers are memory-bound (no vector win)
+            # and a copied workspace must not dlopen an ISA-mismatched binary
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
                  "-o", str(_SO_PATH), str(src), "-lpthread"],
                 check=True,
                 capture_output=True,
@@ -35,10 +37,6 @@ def _build() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(str(_SO_PATH))
     except OSError:
         return None
-    lib.sample_patches.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
-    ]
     lib.sample_patches_u8.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
@@ -55,29 +53,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _LIB is None:
         _LIB = _build() or False
     return _LIB or None
-
-
-def sample_patches(images: np.ndarray, frame_idx: np.ndarray, top_left: np.ndarray, patch: int) -> np.ndarray:
-    """Threaded uint8->float patch gather: images [N, H, W, 3] uint8,
-    frame_idx [B] int32, top_left [B, 2] int32 -> [B, patch, patch, 3] f32."""
-    lib = get_lib()
-    B = len(frame_idx)
-    if B == 0:
-        return np.zeros((0, patch, patch, 3), np.float32)
-    if lib is None:
-        out = np.stack(
-            [images[f, r : r + patch, c : c + patch] for f, (r, c) in zip(frame_idx, top_left)]
-        )
-        return out.astype(np.float32) / 255.0
-    images = np.ascontiguousarray(images)
-    frame_idx = np.ascontiguousarray(frame_idx.astype(np.int32))
-    top_left = np.ascontiguousarray(top_left.astype(np.int32))
-    out = np.empty((B, patch, patch, 3), np.float32)
-    lib.sample_patches(
-        images.ctypes.data, images.shape[0], images.shape[1], images.shape[2],
-        frame_idx.ctypes.data, top_left.ctypes.data, B, patch, out.ctypes.data,
-    )
-    return out
 
 
 def sample_patches_u8(images: np.ndarray, frame_idx: np.ndarray, top_left: np.ndarray, patch: int) -> np.ndarray:

@@ -19,37 +19,6 @@
 extern "C" {
 
 // Gather B patches of size P x P x 3 from a uint8 image stack [N, H, W, 3]
-// and write normalized float32 [B, P, P, 3].
-void sample_patches(const uint8_t* images, int64_t n_images, int64_t H, int64_t W,
-                    const int32_t* frame_idx, const int32_t* top_left,  // [B], [B, 2]
-                    int64_t B, int64_t P, float* out) {
-  int n_threads = std::min<int64_t>(B, std::thread::hardware_concurrency());
-  if (n_threads < 1) n_threads = 1;
-  auto worker = [&](int64_t b0, int64_t b1) {
-    const float inv = 1.0f / 255.0f;
-    for (int64_t b = b0; b < b1; ++b) {
-      const int64_t f = frame_idx[b];
-      const int64_t r0 = top_left[2 * b];
-      const int64_t c0 = top_left[2 * b + 1];
-      for (int64_t r = 0; r < P; ++r) {
-        const uint8_t* src = images + (((f * H) + r0 + r) * W + c0) * 3;
-        float* dst = out + ((b * P + r) * P) * 3;
-        for (int64_t k = 0; k < P * 3; ++k) dst[k] = src[k] * inv;
-      }
-    }
-  };
-  std::vector<std::thread> threads;
-  int64_t chunk = (B + n_threads - 1) / n_threads;
-  for (int t = 0; t < n_threads; ++t) {
-    int64_t b0 = t * chunk;
-    int64_t b1 = std::min<int64_t>(B, b0 + chunk);
-    if (b0 >= b1) break;
-    threads.emplace_back(worker, b0, b1);
-  }
-  for (auto& t : threads) t.join();
-}
-
-// Gather B patches of size P x P x 3 from a uint8 image stack [N, H, W, 3]
 // as raw uint8 [B, P, P, 3] — normalization happens on-device, and uint8
 // ships 4x less host->device traffic than float32.
 void sample_patches_u8(const uint8_t* images, int64_t n_images, int64_t H, int64_t W,

@@ -185,7 +185,7 @@ fused_composite_sky.defvjp(_fcs_fwd, _fcs_bwd)
 def _composite_kernel(alpha_ref, feats_ref, steps_ref, weights_ref, features_ref, depth_ref, accum_ref):
     alpha = alpha_ref[:]  # [B, S]
     # exclusive cumulative product of (1 - alpha) along samples
-    one_minus = 1.0 - alpha + 1e-10
+    one_minus = 1.0 - alpha + _EPS
     trans_inc = _cumprod_lanes(one_minus)
     trans_exc = jnp.concatenate([jnp.ones_like(trans_inc[:, :1]), trans_inc[:, :-1]], axis=-1)
     w = alpha * trans_exc  # [B, S]

@@ -91,9 +91,11 @@ def sync_hosts(name: str = "sync") -> None:
     any backend without extra deps."""
     if jax.process_count() == 1:
         return
-    # One global all-reduce: returns only after every process contributed.
+    # One global all-reduce, synchronized by FETCHING the value: on the axon
+    # relay backend block_until_ready() returns before execution finishes
+    # (CLAUDE.md) — only a value fetch is a true barrier on every backend.
     x = jax.numpy.ones((jax.local_device_count(),))
-    jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x).block_until_ready()
+    jax.device_get(jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x))
 
 
 def local_batch_slice(global_batch_size: int) -> slice:

@@ -33,13 +33,17 @@ def apply_float_colormap(image: np.ndarray, colormap: str = "viridis") -> np.nda
     (reference apply_float_colormap:103)."""
     import matplotlib
 
-    if colormap == "default":
+    if colormap in ("default", "pca"):
+        # "pca" only applies to >3-channel features (apply_colormap routes
+        # those before reaching here); for scalars fall back to turbo
         colormap = "turbo"
     image = np.nan_to_num(np.asarray(image, np.float64), nan=0.0)
     if colormap == "gray":
         return np.repeat(image, 3, axis=-1)
     idx = np.clip((image * 255).astype(np.int64), 0, 255)
-    table = np.asarray(matplotlib.colormaps[colormap].colors)
+    # resample via cmap(...) so LinearSegmentedColormaps (jet, Greys, ...)
+    # work too, not only ListedColormaps with a .colors table
+    table = np.asarray(matplotlib.colormaps[colormap](np.linspace(0.0, 1.0, 256)))[:, :3]
     return table[idx[..., 0]]
 
 

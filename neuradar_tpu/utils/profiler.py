@@ -27,7 +27,11 @@ def enable(mode: str = "basic") -> None:
 
 
 def time_function(fn=None, *, name: Optional[str] = None):
-    """Decorator / context manager keeping a running average wall time."""
+    """Decorator / context manager keeping a running average wall time.
+
+    Forms: ``@time_function``, ``@time_function(name=...)`` (the returned
+    _TimeBlock is callable as a decorator), ``with time_function(name=...):``.
+    """
     if fn is None:
         return _TimeBlock(name or "block")
 
@@ -48,6 +52,10 @@ def time_function(fn=None, *, name: Optional[str] = None):
 class _TimeBlock(contextlib.AbstractContextManager):
     def __init__(self, name: str):
         self.name = name
+
+    def __call__(self, fn):
+        # @time_function(name=...) decorator-factory form
+        return time_function(fn, name=self.name)
 
     def __enter__(self):
         self.t0 = time.perf_counter()

@@ -51,6 +51,16 @@ def test_depth_colormap_accumulation_fade():
     np.testing.assert_allclose(out[3], [1, 1, 1])
 
 
+def test_non_listed_and_pca_scalar_colormaps():
+    """LinearSegmentedColormaps (no .colors table) resample, and 'pca' on a
+    scalar image falls back to turbo instead of crashing."""
+    img = np.linspace(0, 1, 8, dtype=np.float32).reshape(8, 1)
+    out = apply_colormap(img, ColormapOptions(colormap="jet"))
+    assert out.shape == (8, 3) and not np.allclose(out[0], out[-1])
+    pca = apply_colormap(img, ColormapOptions(colormap="pca"))
+    np.testing.assert_allclose(pca, apply_colormap(img, ColormapOptions(colormap="turbo")))
+
+
 def test_unroutable_raises():
     with pytest.raises(NotImplementedError):
         apply_colormap(np.zeros((4, 2), np.float32))

@@ -1,6 +1,7 @@
 """Engine unit tests: schedulers, optimizer grouping, CLI overrides, writer."""
 
 import dataclasses
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -81,6 +82,7 @@ class _Inner:
 class _Outer:
     inner: _Inner = dataclasses.field(default_factory=_Inner)
     flag: bool = False
+    tri: typing.Optional[bool] = None
 
 
 def test_cli_overrides():
@@ -88,6 +90,18 @@ def test_cli_overrides():
     parse_overrides(cfg, ["--inner.lr", "0.5", "--inner.steps=42", "--flag", "true", "--inner.shape", "3 4 5"])
     assert cfg.inner.lr == 0.5 and cfg.inner.steps == 42 and cfg.flag is True
     assert cfg.inner.shape == (3, 4, 5)
+
+
+def test_cli_optional_bool_none_sentinel():
+    """Optional[bool] tri-state: 'none' restores auto (None), not False —
+    the use_pallas_* flags depend on it (None = auto-on for real TPU)."""
+    cfg = _Outer()
+    parse_overrides(cfg, ["--tri", "false"])
+    assert cfg.tri is False
+    parse_overrides(cfg, ["--tri", "true"])
+    assert cfg.tri is True
+    parse_overrides(cfg, ["--tri", "none"])
+    assert cfg.tri is None
 
 
 def test_cli_unknown_field_raises():
@@ -129,8 +143,15 @@ def test_profiler_basic_and_config():
         assert f(1) == 2
         with profiler.time_function(name="blk"):
             pass
+
+        @profiler.time_function(name="named_fn")
+        def g(x):
+            return x * 2
+
+        assert g(2) == 4
         assert any("f" in k for k in profiler._TIMES)
         assert "blk" in profiler._TIMES
+        assert "named_fn" in profiler._TIMES
     finally:
         profiler._ENABLED = False
         profiler._TIMES.clear()

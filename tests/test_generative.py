@@ -120,6 +120,10 @@ def test_positional_embeddings_discrete_and_interpolated():
     assert abs(float(pe_i(90, 45)[0]) - 3.0) < 1e-5
     # v=0 collapses to top regardless of h
     assert abs(float(pe_i(0, 123)[0]) - 1.0) < 1e-5
+    # h == 0 (and 360) is pure front, NOT the reference's 4*side - 3*front
+    # extrapolation (its open-interval piecewise blend misses exact 0)
+    assert abs(float(pe_i(90, 0)[0]) - 4.0) < 1e-5
+    assert abs(float(pe_i(90, 360)[0]) - 4.0) < 1e-5
 
     pe_off = PositionalEmbeddings(base, top, side, back, front, mode="off")
     assert float(pe_off(45, 45)[0]) == 0.0

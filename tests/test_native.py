@@ -5,16 +5,6 @@ import numpy as np
 from neuradar_tpu import native
 
 
-def test_sample_patches_matches_numpy():
-    rng = np.random.RandomState(0)
-    imgs = (rng.rand(4, 32, 48, 3) * 255).astype(np.uint8)
-    fi = np.array([0, 3, 1], np.int32)
-    tl = np.array([[2, 4], [10, 12], [0, 0]], np.int32)
-    out = native.sample_patches(imgs, fi, tl, 8)
-    ref = np.stack([imgs[f, r : r + 8, c : c + 8] for f, (r, c) in zip(fi, tl)]).astype(np.float32) / 255.0
-    np.testing.assert_allclose(out, ref)
-
-
 def test_sample_patches_u8_matches_numpy():
     rng = np.random.RandomState(2)
     imgs = (rng.rand(4, 32, 48, 3) * 255).astype(np.uint8)

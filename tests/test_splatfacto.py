@@ -147,6 +147,16 @@ def test_sh_view_dependent_colors():
     grads = jax.grad(lambda p: sf.splat_loss(cfg, p, state, camera, gt)[0])(params)
     assert float(jnp.abs(grads["sh_rest"]).sum()) > 0
 
+    # saturated colors (>1) keep gradients: the clamp is min-only (reference
+    # gsplat clamp(min=0)); an upper clip would freeze rgb_logits/sh_rest
+    p_sat = {**params, "rgb_logits": jnp.full_like(params["rgb_logits"], 8.0),
+             "sh_rest": params["sh_rest"].at[:, 0].set(1.5)}
+    colors = sf.gaussian_colors(p_sat, jnp.zeros(3), cfg.sh_degree)
+    assert float(colors.max()) > 1.0 and float(colors.min()) >= 0.0
+    g_sat = jax.grad(lambda p: sf.splat_loss(cfg, p, state, camera, gt)[0])(p_sat)
+    assert float(jnp.abs(g_sat["rgb_logits"]).sum()) > 0
+    assert float(jnp.abs(g_sat["sh_rest"]).sum()) > 0
+
     # degree-0 config has no sh_rest and still renders
     cfg0 = sf.SplatfactoConfig(max_gaussians=64, tile_top_k=32, sh_degree=0)
     p0, s0 = sf.init_gaussians(cfg0, np.zeros((4, 3), np.float32) + [0, 0, -8],
