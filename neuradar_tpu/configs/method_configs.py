@@ -326,6 +326,17 @@ method_configs["nerfacto"] = _nerfacto
 method_configs["nerfacto-big"] = _nerfacto_big
 method_configs["nerfacto-huge"] = _nerfacto_huge
 method_configs["lidar-nerfacto"] = _lidar_nerfacto
+
+
+def _nerfacto_lidar():
+    # the reference registers this method as 'nerfacto-lidar'
+    # (method_configs.py) — accept both spellings
+    cfg = _lidar_nerfacto()
+    cfg.method_name = "nerfacto-lidar"
+    return cfg
+
+
+method_configs["nerfacto-lidar"] = _nerfacto_lidar
 method_configs["nerfacto-data"] = _nerfacto_data
 
 method_descriptions = {

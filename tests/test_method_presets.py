@@ -11,6 +11,21 @@ def test_every_registered_method_builds():
         assert cfg.method_name == name, name
 
 
+def test_reference_method_names_all_resolve():
+    """Every public method name the reference registers (its
+    method_configs.py) resolves here too — a reference user can reuse their
+    exact train command."""
+    reference_names = [
+        "nerfacto", "nerfacto-big", "nerfacto-huge", "nerfacto-lidar",
+        "neurad", "neurad-paper", "neurad-2x-paper", "neurad-scaleopt",
+        "neuradar", "neurader", "neurader-scaleopt",
+        "neuradest", "neuradest-scaleopt", "splatfacto", "splatfacto-big",
+    ]
+    for name in reference_names:
+        cfg = get_method(name)
+        assert cfg.method_name == name
+
+
 def test_neurader_scaling_semantics():
     """2.5x schedule, halved lrs, doubled static grids, +1 hashmap bit
     (reference 'bigger better longer stronger', method_configs.py:446-456)."""
