@@ -70,6 +70,7 @@ class FusedSelfAttention(nn.Module):
     out_features: int = 48
     dropout_rate: float = 0.0
     interpret: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, inputs_q: jax.Array, inputs_k: jax.Array, inputs_v: jax.Array,
@@ -81,7 +82,7 @@ class FusedSelfAttention(nn.Module):
             f"qkv_features {self.qkv_features} not divisible by num_heads {H}"
         )  # mirrors flax MHA; keeps parameter trees interchangeable
         Dh = self.qkv_features // H
-        proj = lambda name: nn.DenseGeneral(features=(H, Dh), name=name)
+        proj = lambda name: nn.DenseGeneral(features=(H, Dh), dtype=self.dtype, name=name)
         q = proj("query")(inputs_q)  # [B, S, H, Dh]
         k = proj("key")(inputs_k)
         v = proj("value")(inputs_v)
@@ -95,7 +96,8 @@ class FusedSelfAttention(nn.Module):
             seed = 0
         out = fused_self_attention(fold(q), fold(k), fold(v), seed, rate, None, self.interpret)
         out = jnp.swapaxes(out.reshape(B, H, S, Dh), 1, 2)  # [B, S, H, Dh]
-        return nn.DenseGeneral(features=self.out_features, axis=(-2, -1), name="out")(out)
+        return nn.DenseGeneral(features=self.out_features, axis=(-2, -1), dtype=self.dtype,
+                               name="out")(out)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -108,16 +110,23 @@ class TransformerEncoderLayer(nn.Module):
     attn_impl: str = "flax"
     """'flax' (XLA MultiHeadDotProductAttention), 'pallas' (fused VMEM
     kernel, ops/attention.py), or 'pallas_interpret' (CPU testing)."""
+    dtype: Optional[jnp.dtype] = None
+    """Compute dtype (params stay f32). Without it flax's dtype promotion
+    silently upcasts bf16 activations to f32 against the f32 params —
+    doubling the attention HBM traffic the fused kernel exists to cut."""
 
     @nn.compact
     def __call__(self, src: jax.Array, pos: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.LayerNorm(name="norm1")(src)
+        if self.dtype is not None:
+            src = src.astype(self.dtype)
+            pos = pos.astype(self.dtype)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
         qk = x + pos
         if self.attn_impl.startswith("pallas"):
             attn = FusedSelfAttention(
                 num_heads=self.nhead, qkv_features=self.d_model, out_features=self.d_model,
                 dropout_rate=self.dropout, interpret=self.attn_impl == "pallas_interpret",
-                name="self_attn",
+                dtype=self.dtype, name="self_attn",
             )(inputs_q=qk, inputs_k=qk, inputs_v=x, deterministic=not train)
         else:
             attn = nn.MultiHeadDotProductAttention(
@@ -126,14 +135,15 @@ class TransformerEncoderLayer(nn.Module):
                 out_features=self.d_model,
                 dropout_rate=self.dropout,
                 deterministic=not train,
+                dtype=self.dtype,
                 name="self_attn",
             )(inputs_q=qk, inputs_k=qk, inputs_v=x)
         src = src + nn.Dropout(self.dropout, deterministic=not train, name="drop1")(attn)
 
-        x = nn.LayerNorm(name="norm2")(src)
-        h = nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(x))
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        h = nn.relu(nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x))
         h = nn.Dropout(self.dropout, deterministic=not train, name="drop_ff")(h)
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
         src = src + nn.Dropout(self.dropout, deterministic=not train, name="drop2")(h)
         return src
 
@@ -147,15 +157,16 @@ class RadarTransformer(nn.Module):
     dim_feedforward: int = 64
     dropout: float = 0.1
     attn_impl: str = "flax"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, src: jax.Array, pos: jax.Array, train: bool = False) -> jax.Array:
         for i in range(self.num_layers):
             src = TransformerEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-                attn_impl=self.attn_impl, name=f"layer_{i}"
+                attn_impl=self.attn_impl, dtype=self.dtype, name=f"layer_{i}"
             )(src, pos, train)
-        return nn.LayerNorm(name="final_norm")(src)
+        return nn.LayerNorm(dtype=self.dtype, name="final_norm")(src)
 
 
 class RadarDecoder(nn.Module):
@@ -175,6 +186,8 @@ class RadarDecoder(nn.Module):
     offset_scale: float = 1.5
     attn_impl: str = "flax"
     """Self-attention implementation (see TransformerEncoderLayer)."""
+    dtype: Optional[jnp.dtype] = None
+    """Transformer compute dtype (the heads and outputs stay f32)."""
 
     @nn.compact
     def __call__(
@@ -190,7 +203,8 @@ class RadarDecoder(nn.Module):
         """
         pos = sine_position_embedding(geometry_xyz, self.d_model)
         decoded = RadarTransformer(d_model=self.d_model, attn_impl=self.attn_impl,
-                                   name="transformer")(features, pos, train)
+                                   dtype=self.dtype, name="transformer")(features, pos, train)
+        decoded = decoded.astype(jnp.float32)  # small heads in f32
 
         offset = self.offset_scale * MLP(out_dim=3, num_layers=3, layer_width=16, out_activation=jnp.tanh,
                                          name="offset_head")(decoded)
@@ -216,27 +230,31 @@ class TransformerDecoderLayer(nn.Module):
     nhead: int = 1
     dim_feedforward: int = 64
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos, mem_pos, train: bool = False):
-        x = nn.LayerNorm(name="norm1")(tgt)
+        if self.dtype is not None:
+            tgt, memory = tgt.astype(self.dtype), memory.astype(self.dtype)
+            query_pos, mem_pos = query_pos.astype(self.dtype), mem_pos.astype(self.dtype)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
         qk = x + query_pos
         sa = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, qkv_features=self.d_model, dropout_rate=self.dropout,
-            deterministic=not train, name="self_attn",
+            deterministic=not train, dtype=self.dtype, name="self_attn",
         )(inputs_q=qk, inputs_k=qk, inputs_v=x)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train, name="drop1")(sa)
 
-        x = nn.LayerNorm(name="norm2")(tgt)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
         ca = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, qkv_features=self.d_model, dropout_rate=self.dropout,
-            deterministic=not train, name="cross_attn",
+            deterministic=not train, dtype=self.dtype, name="cross_attn",
         )(inputs_q=x + query_pos, inputs_k=memory + mem_pos, inputs_v=memory)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train, name="drop2")(ca)
 
-        x = nn.LayerNorm(name="norm3")(tgt)
-        h = nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(x))
-        h = nn.Dense(self.d_model, name="linear2")(h)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        h = nn.relu(nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x))
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(h)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train, name="drop3")(h)
         return tgt
 
@@ -265,6 +283,8 @@ class SetRadarDecoder(nn.Module):
     """Deep supervision: also return every intermediate decoder layer's
     predictions through the SHARED norm + heads (cf. the reference's vendored
     DETR aux_loss, detr/models/detr.py:40,63-66)."""
+    dtype: Optional[jnp.dtype] = None
+    """Transformer compute dtype (the heads and outputs stay f32)."""
 
     @nn.compact
     def __call__(self, features: jax.Array, geometry_xyz: jax.Array, train: bool = False):
@@ -274,7 +294,7 @@ class SetRadarDecoder(nn.Module):
         mem_pos = sine_position_embedding(geometry_xyz, self.d_model)
         memory = RadarTransformer(d_model=self.d_model, nhead=self.nhead,
                                   dim_feedforward=self.dim_feedforward, dropout=self.dropout,
-                                  attn_impl=self.attn_impl,
+                                  attn_impl=self.attn_impl, dtype=self.dtype,
                                   name="encoder")(features, mem_pos, train)
 
         query_embed = self.param(
@@ -285,7 +305,8 @@ class SetRadarDecoder(nn.Module):
         intermediates = []
         for i in range(self.num_decoder_layers):
             tgt = TransformerDecoderLayer(
-                self.d_model, self.nhead, self.dim_feedforward, self.dropout, name=f"layer_{i}"
+                self.d_model, self.nhead, self.dim_feedforward, self.dropout,
+                dtype=self.dtype, name=f"layer_{i}"
             )(tgt, memory, query_pos, mem_pos, train)
             intermediates.append(tgt)
 
@@ -300,7 +321,7 @@ class SetRadarDecoder(nn.Module):
                          name="radar_angle_head")
 
         def predict(t):
-            t = final_norm(t)
+            t = final_norm(t).astype(jnp.float32)  # small heads in f32
             xyz = self.position_scale * point_head(t)
             out = jnp.concatenate([ep_head(t), xyz, unc_head(t)], axis=-1).astype(jnp.float32)
             return out, angle_head(t)

@@ -264,6 +264,7 @@ class NeuRadarModel(nn.Module):
                 position_scale=self.scene.static_scale,
                 attn_impl=attn_impl,
                 aux_loss=cfg.radar_set_aux_loss,
+                dtype=cdt,
             )
         else:
             # remat: the backward pass recomputes each group's attention
@@ -272,7 +273,7 @@ class NeuRadarModel(nn.Module):
             decoder_cls = (
                 nn.remat(RadarDecoder, static_argnums=(3,)) if cfg.radar_decode_chunks > 1 else RadarDecoder
             )
-            self.radar_decoder = decoder_cls(d_model=n_features, attn_impl=attn_impl)
+            self.radar_decoder = decoder_cls(d_model=n_features, attn_impl=attn_impl, dtype=cdt)
         self.vgg_loss = VGGPerceptualLossPix2Pix()
 
     # -- forward ------------------------------------------------------------

@@ -35,6 +35,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 Q_BLOCK = 256
 _NEG = -1e30
+# Soft budget for the [BQ, S] f32 score-shaped VMEM intermediates of ONE
+# kernel invocation. The hardware scoped-vmem limit is 16 MB and is SHARED
+# with async copies the scheduler overlaps with the kernel: a full-scale
+# train step co-schedules enough prefetch traffic that a backward block set
+# measured at 17.4 MB compiled standalone but OOM'd in-program (2026-08-18).
+_VMEM_SOFT_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_bq(s_pad: int, n_score_bufs: int) -> int:
+    """Largest power-of-two query block whose n_score_bufs [bq, s_pad] f32
+    intermediates stay under the soft budget (floor 64 = 8 f32 sublane tiles)."""
+    bq = min(Q_BLOCK, s_pad)
+    while bq > 64 and n_score_bufs * bq * s_pad * 4 > _VMEM_SOFT_BUDGET:
+        bq //= 2
+    return bq
 
 
 def _dot(a, b):  # [M, K] @ [K, N] on the MXU, f32 accumulate
@@ -145,7 +160,7 @@ def _specs(bq, s_pad, d):
 def _fwd_call(q, k, v, seed, scale, rate, interpret):
     B, S, D = q.shape
     s_pad = -(-S // 128) * 128
-    bq = min(Q_BLOCK, s_pad)
+    bq = _pick_bq(s_pad, 2 + (1 if rate > 0.0 else 0))
     nq = pl.cdiv(S, bq)
     qp = _pad(q, nq * bq)
     kp, vp = _pad(k, s_pad), _pad(v, s_pad)
@@ -164,7 +179,9 @@ def _fwd_call(q, k, v, seed, scale, rate, interpret):
 def _bwd_call(q, k, v, do, seed, scale, rate, interpret):
     B, S, D = q.shape
     s_pad = -(-S // 128) * 128
-    bq = min(Q_BLOCK, s_pad)
+    # the backward holds ~4 score-shaped f32 buffers live (p, dp, g-sum
+    # chain, ds) + the dropout mask when training
+    bq = _pick_bq(s_pad, 4 + (1 if rate > 0.0 else 0))
     nq = pl.cdiv(S, bq)
     qp, dop = _pad(q, nq * bq), _pad(do, nq * bq)
     kp, vp = _pad(k, s_pad), _pad(v, s_pad)
