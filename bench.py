@@ -42,6 +42,21 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
     else:
         jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    # backend-init heartbeat: a fully wedged relay hangs jax.devices()
+    # itself (>420 s measured, no return). Touching this file tells the
+    # ladder parent that init succeeded, so it can kill init-hung workers
+    # after NEURADAR_BENCH_INIT_TIMEOUT instead of a full attempt timeout.
+    t_init = time.perf_counter()
+    n_dev = len(jax.devices())
+    log(f"backend init: {n_dev} device(s) in {time.perf_counter() - t_init:.1f}s")
+    hb = os.environ.get("NEURADAR_BENCH_HEARTBEAT")
+    if hb:
+        try:
+            open(hb, "w").close()
+        except OSError as e:
+            log(f"heartbeat write failed ({e}); parent may misread init as hung")
+
     import jax.numpy as jnp
     import optax
 
@@ -268,23 +283,54 @@ def main_with_retries() -> None:
             break
         attempt_timeout = min(max_attempt_timeout, remaining - 120.0)
         timed_out = False
+        hung_init = False
+        # backend-init watch: the worker touches hb_path the moment
+        # jax.devices() returns. A fully wedged relay never gets there
+        # (>420 s measured, no return) — kill such workers after
+        # init_timeout instead of burning a full attempt_timeout (a wedged
+        # window used to cost 2 x 2400 s before the outage sentinel).
+        hb_path = f"/tmp/bench_hb_{os.getpid()}_{attempt}"
+        try:
+            os.unlink(hb_path)
+        except OSError:
+            pass
+        init_timeout = min(attempt_timeout,
+                           float(os.environ.get("NEURADAR_BENCH_INIT_TIMEOUT", "600")))
         try:
             child = subprocess.Popen(
                 [sys.executable, __file__, "--worker", *extra],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=dict(os.environ, NEURADAR_BENCH_HEARTBEAT=hb_path),
             )
-            stdout, stderr = child.communicate(timeout=attempt_timeout)
+            t_child = time.monotonic()
+            while (child.poll() is None and not os.path.exists(hb_path)
+                   and time.monotonic() - t_child < init_timeout):
+                time.sleep(2.0)
+            if child.poll() is None and not os.path.exists(hb_path):
+                timed_out = hung_init = True
+                child.kill()
+                stdout, werr = child.communicate()
+                stdout = stdout or ""
+                stderr = (f"no backend-init heartbeat after {init_timeout:.0f}s — "
+                          "relay wedged at jax.devices()\n" + (werr or ""))
+            else:
+                stdout, stderr = child.communicate(
+                    timeout=max(5.0, attempt_timeout - (time.monotonic() - t_child)))
         except subprocess.TimeoutExpired:  # wedged relay: count as a failed attempt
             timed_out = True
             child.kill()
             stdout, werr = child.communicate()
             stdout = stdout or ""
             stderr = f"attempt timed out after {attempt_timeout:.0f}s\n" + (werr or "")
-        # a worker that logged nothing hung at BACKEND INIT (a fully wedged
-        # relay hangs jax.devices() itself, >420 s measured 2026-08-17):
-        # two in a row means the relay is unreachable, not merely degraded —
-        # stop burning the budget and emit the outage sentinel below
-        if timed_out and "[bench" not in stderr:
+        try:
+            os.unlink(hb_path)
+        except OSError:
+            pass
+        # a worker that hung at BACKEND INIT (no heartbeat, or a timeout
+        # with no log output at all): two in a row means the relay is
+        # unreachable, not merely degraded — stop burning the budget and
+        # emit the outage sentinel below
+        if timed_out and (hung_init or "[bench" not in stderr):
             dead_timeouts += 1
             if dead_timeouts >= 2:
                 log("two attempts hung before backend init — relay unreachable, stopping")

@@ -103,10 +103,13 @@ def test_ladder_total_outage_emits_parseable_sentinel(tmp_path):
         json.dumps({"ts": 0, "metric": "train_rays_per_sec", "value": 278883.0}) + "\n"
     )
     env = _env(tmp_path, "hang")
-    # interpreter startup alone costs ~3 s on the 1-core host (sitecustomize
-    # imports jax); a 3 s attempt timeout raced it and killed the worker
-    # before it logged its fake-state attempt counter
-    env["NEURADAR_BENCH_ATTEMPT_TIMEOUT"] = "12"
+    # the init-hung worker must be killed by the backend-init heartbeat
+    # watch (INIT_TIMEOUT), well before the attempt timeout. The init
+    # timeout must still cover ~3 s of interpreter startup on the 1-core
+    # host (sitecustomize imports jax) so the fake worker can log its
+    # fake-state attempt counter before hanging.
+    env["NEURADAR_BENCH_INIT_TIMEOUT"] = "12"
+    env["NEURADAR_BENCH_ATTEMPT_TIMEOUT"] = "90"
     r = subprocess.run(
         [sys.executable, BENCH], env=env, cwd=tmp_path,
         capture_output=True, text=True, timeout=120,
