@@ -199,38 +199,45 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
                                 **result}) + "\n")
 
 
-WALLTIME_BUDGET_S = 70 * 60  # hard cap: finish (with a reading or not) well under the driver budget
+WALLTIME_BUDGET_S = 25 * 60  # hard cap: the driver window is ~1800 s (r01 AND
+# r02 both SIGTERMed at ~1798 s) — finish, with a reading or a sentinel, well
+# inside it
 
 
 def main_with_retries() -> None:
     """Run the measurement in child processes; the axon TPU relay
     occasionally faults ('TPU device error' / worker crash) and a fresh
-    process is the only reliable recovery. Escalating ladder: two attempts
-    at the reference batch, then a 3/8 batch, then a quarter batch as a last
-    resort (a real, conservative rays/s).
+    process is the only reliable recovery.
+
+    BANK-FIRST ladder: the cheapest all-modality rung (micro, the shape known
+    to survive every relay episode) runs FIRST so a real number is on stdout
+    within minutes, then the ladder escalates to the reference full-scale
+    batch (the headline) with whatever budget remains, keeping best-so-far
+    semantics. Only a healthy FULL-SCALE reading stops the ladder early — a
+    healthy micro reading must still escalate.
 
     Robustness contract (the driver may SIGTERM/SIGKILL us at any point):
     * after EVERY successful attempt the best-so-far JSON line is printed to
       stdout immediately — a killed run still leaves a parseable last line;
-    * SIGTERM/SIGINT re-print the best reading and exit 0;
+    * SIGTERM/SIGINT re-print the best reading and exit 0; if NO attempt has
+      succeeded yet they print the outage sentinel (with the committed
+      history-best note) and still exit 0 — never a silent null artifact;
     * total walltime is capped at WALLTIME_BUDGET_S.
     """
     import signal
     import subprocess
 
+    # (worker args, per-rung attempt-timeout cap or None=max, is_headline).
+    # Degraded-relay bisects (2026-08-16/17): episodes crash the worker above
+    # a PROGRAM-SIZE threshold that varies by episode, and the K=4 batch scan
+    # counts ~K-fold — hence micro/--scan-steps 1 as the banked opener and
+    # K=1 fallbacks after the K=4 headline.
     ladder = [
-        ["--chunks", "8", "--scale", "full"],
-        # degraded-relay bisects (2026-08-16/17): episodes crash the worker
-        # above a PROGRAM-SIZE threshold that varies by episode. Measured
-        # 2026-08-17: eighth with the K=4 batch scan crashes but eighth with
-        # scan_steps=1 completes — the K-stacked scan is part of the size —
-        # so the fallback rungs drop to K=1 first, then descend batch scale
-        # to bank SOME honest reading before retrying the headline config.
-        ["--chunks", "8", "--scale", "full", "--scan-steps", "1"],
-        ["--chunks", "8", "--scale", "three8", "--scan-steps", "1"],
-        ["--chunks", "8", "--scale", "eighth", "--scan-steps", "1"],
-        ["--chunks", "8", "--scale", "micro", "--scan-steps", "1"],
-        ["--chunks", "8", "--scale", "full"],
+        (["--chunks", "8", "--scale", "micro", "--scan-steps", "1"], 480.0, False),
+        (["--chunks", "8", "--scale", "full"], None, True),
+        (["--chunks", "8", "--scale", "full", "--scan-steps", "1"], None, True),
+        (["--chunks", "8", "--scale", "eighth", "--scan-steps", "1"], 480.0, False),
+        (["--chunks", "8", "--scale", "three8", "--scan-steps", "1"], 480.0, False),
     ]
     # below this the relay is provably degraded (healthy runs measured
     # 199k-279k rays/s; a degraded-relay episode measured ~750): keep trying
@@ -238,12 +245,13 @@ def main_with_retries() -> None:
     degraded_thresh = 10_000.0
     # sleeps between attempts are env-tunable so the CI ladder test
     # (tests/test_bench_ladder.py) can drive the real subprocess path fast
-    fail_sleep = float(os.environ.get("NEURADAR_BENCH_FAIL_SLEEP", "30"))
-    degraded_sleep = float(os.environ.get("NEURADAR_BENCH_DEGRADED_SLEEP", "120"))
-    max_attempt_timeout = float(os.environ.get("NEURADAR_BENCH_ATTEMPT_TIMEOUT", "2400"))
+    fail_sleep = float(os.environ.get("NEURADAR_BENCH_FAIL_SLEEP", "15"))
+    degraded_sleep = float(os.environ.get("NEURADAR_BENCH_DEGRADED_SLEEP", "45"))
+    max_attempt_timeout = float(os.environ.get("NEURADAR_BENCH_ATTEMPT_TIMEOUT", "900"))
     history_path = "BENCH_HISTORY.jsonl"
     best = None
     child = None
+    hb_live = None  # in-flight heartbeat file, unlinked on signal exit
     dead_timeouts = 0  # consecutive timeouts with no worker progress at all
 
     def history_best() -> float:
@@ -262,26 +270,49 @@ def main_with_retries() -> None:
             pass
         return hb
 
+    def outage_sentinel() -> dict:
+        """Parseable honest zero with a pointer at the committed record —
+        what the driver sees when NO attempt produced a reading."""
+        hist_best = history_best()
+        return {
+            "metric": "train_rays_per_sec", "value": 0.0, "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "note": (("TPU relay unreachable (attempts hung before backend init)"
+                      if dead_timeouts >= 2 else
+                      "TPU relay outage: every attempt crashed or timed out without a reading")
+                     + "; this 0.0 is an outage marker, not a measurement. Best recorded "
+                     f"measurement for this code path: {hist_best:.0f} rays/s "
+                     f"(vs_baseline {hist_best / BASELINE_RAYS_PER_SEC:.2f}, committed BENCH_HISTORY.jsonl)"),
+        }
+
     def emit_best():
-        if best is not None:
-            print(json.dumps(best), flush=True)
+        # ALWAYS leaves a parseable JSON line: best-so-far if any attempt
+        # succeeded, the outage sentinel otherwise (VERDICT r2: a SIGTERM
+        # before the first success must never exit silently)
+        print(json.dumps(best if best is not None else outage_sentinel()), flush=True)
 
     def on_term(signum, frame):
-        log(f"signal {signum}: flushing best-so-far and exiting")
+        log(f"signal {signum}: flushing best-so-far (or outage sentinel) and exiting")
         if child is not None and child.poll() is None:
             child.kill()
+        if hb_live is not None:
+            try:
+                os.unlink(hb_live)
+            except OSError:
+                pass
         emit_best()
-        raise SystemExit(0 if best is not None else 1)
+        raise SystemExit(0)
 
     signal.signal(signal.SIGTERM, on_term)
     signal.signal(signal.SIGINT, on_term)
 
-    for attempt, extra in enumerate(ladder):
+    for attempt, (extra, rung_cap, is_headline) in enumerate(ladder):
         remaining = WALLTIME_BUDGET_S - (time.perf_counter() - T0)
-        if remaining < 420:
+        if remaining < 300:
             log("walltime budget nearly exhausted; stopping the ladder")
             break
-        attempt_timeout = min(max_attempt_timeout, remaining - 120.0)
+        attempt_timeout = min(rung_cap or max_attempt_timeout, max_attempt_timeout,
+                              remaining - 120.0)
         timed_out = False
         hung_init = False
         # backend-init watch: the worker touches hb_path the moment
@@ -289,13 +320,13 @@ def main_with_retries() -> None:
         # (>420 s measured, no return) — kill such workers after
         # init_timeout instead of burning a full attempt_timeout (a wedged
         # window used to cost 2 x 2400 s before the outage sentinel).
-        hb_path = f"/tmp/bench_hb_{os.getpid()}_{attempt}"
+        hb_path = hb_live = f"/tmp/bench_hb_{os.getpid()}_{attempt}"
         try:
             os.unlink(hb_path)
         except OSError:
             pass
         init_timeout = min(attempt_timeout,
-                           float(os.environ.get("NEURADAR_BENCH_INIT_TIMEOUT", "600")))
+                           float(os.environ.get("NEURADAR_BENCH_INIT_TIMEOUT", "300")))
         try:
             child = subprocess.Popen(
                 [sys.executable, __file__, "--worker", *extra],
@@ -321,16 +352,20 @@ def main_with_retries() -> None:
             child.kill()
             stdout, werr = child.communicate()
             stdout = stdout or ""
-            stderr = f"attempt timed out after {attempt_timeout:.0f}s\n" + (werr or "")
+            stderr = (f"attempt killed {time.monotonic() - t_child:.0f}s after spawn "
+                      f"(attempt budget {attempt_timeout:.0f}s)\n" + (werr or ""))
         try:
             os.unlink(hb_path)
         except OSError:
             pass
-        # a worker that hung at BACKEND INIT (no heartbeat, or a timeout
-        # with no log output at all): two in a row means the relay is
-        # unreachable, not merely degraded — stop burning the budget and
-        # emit the outage sentinel below
-        if timed_out and (hung_init or "[bench" not in stderr):
+        hb_live = None
+        # a worker that hung at BACKEND INIT with no log output at all: two
+        # in a row means the relay is unreachable, not merely degraded —
+        # stop burning the budget and emit the outage sentinel below.
+        # "[bench" in stderr means backend init demonstrably returned (the
+        # first worker log line), so a lost heartbeat file (failed write)
+        # alone must not count toward an unreachable verdict.
+        if timed_out and "[bench" not in stderr:
             dead_timeouts += 1
             if dead_timeouts >= 2:
                 log("two attempts hung before backend init — relay unreachable, stopping")
@@ -354,28 +389,20 @@ def main_with_retries() -> None:
             pass
         if best is None or result["value"] > best["value"]:
             best = result
-            emit_best()  # best-so-far on stdout NOW — survives a later kill
-        if result["value"] >= degraded_thresh:
-            break
-        print(f"[bench] attempt {attempt + 1} measured {result['value']} rays/s — relay degraded, retrying",
-              file=sys.stderr, flush=True)
-        time.sleep(degraded_sleep)
+            print(json.dumps(best), flush=True)  # best-so-far on stdout NOW — survives a later kill
+        if is_headline and result["value"] >= degraded_thresh:
+            break  # healthy reading at the reference batch: done
+        if result["value"] < degraded_thresh:
+            print(f"[bench] attempt {attempt + 1} measured {result['value']} rays/s — relay degraded",
+                  file=sys.stderr, flush=True)
+            time.sleep(degraded_sleep)
+        # a healthy NON-headline reading (bank-first rung): escalate
+        # immediately, no sleep — the next rung is the full-scale headline
     if best is None:
         # total outage (e.g. the relay hangs backend init for the whole
         # window): emit a PARSEABLE honest zero instead of dying with no
         # JSON — the note points at the committed measurement record
-        hist_best = history_best()
-        sentinel = {
-            "metric": "train_rays_per_sec", "value": 0.0, "unit": "rays/s",
-            "vs_baseline": 0.0,
-            "note": (("TPU relay unreachable (attempts hung before backend init)"
-                      if dead_timeouts >= 2 else
-                      "TPU relay outage: every attempt crashed or timed out without a reading")
-                     + "; this 0.0 is an outage marker, not a measurement. Best recorded "
-                     f"measurement for this code path: {hist_best:.0f} rays/s "
-                     f"(vs_baseline {hist_best / BASELINE_RAYS_PER_SEC:.2f}, committed BENCH_HISTORY.jsonl)"),
-        }
-        print(json.dumps(sentinel), flush=True)
+        print(json.dumps(outage_sentinel()), flush=True)
         return
     if best["value"] < degraded_thresh:
         # annotate with the best measurement actually on record — never a

@@ -95,6 +95,52 @@ def test_ladder_sigterm_flushes_best_so_far(tmp_path):
     assert lines and lines[-1]["value"] == 600.0
 
 
+def test_ladder_sigterm_before_any_success_emits_sentinel(tmp_path):
+    """r02's exact failure sequence: the driver SIGTERMs the ladder while
+    attempt 1 is still running (no success yet). The handler must print the
+    parseable outage sentinel (with the committed history-best note), exit 0,
+    and leave no stale heartbeat file — never a silent null artifact."""
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        json.dumps({"ts": 0, "metric": "train_rays_per_sec", "value": 198800.0}) + "\n"
+    )
+    env = _env(tmp_path, "hang")
+    env["NEURADAR_BENCH_INIT_TIMEOUT"] = "300"  # parent sits in the init watch
+    proc = subprocess.Popen(
+        [sys.executable, BENCH],
+        env=env, cwd=tmp_path, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    state = tmp_path / "fake_state"
+    deadline = time.time() + 60
+    while time.time() < deadline and not state.exists():
+        time.sleep(0.2)  # wait until attempt 1's worker is demonstrably live
+    assert state.exists(), "attempt 1 never spawned"
+    proc.send_signal(signal.SIGTERM)
+    stdout, _ = proc.communicate(timeout=30)
+    assert proc.returncode == 0
+    lines = _json_lines(stdout)
+    assert len(lines) == 1 and lines[0]["value"] == 0.0
+    assert "outage" in lines[0]["note"] and "198800" in lines[0]["note"]
+    import glob
+
+    assert not glob.glob(f"/tmp/bench_hb_{proc.pid}_*"), "stale heartbeat file left behind"
+
+
+def test_ladder_bank_first_escalates_past_healthy_micro(tmp_path):
+    """A healthy reading on the bank-first (non-headline) rung must NOT stop
+    the ladder: the full-scale headline rung still runs, and a healthy
+    headline reading stops it."""
+    r = subprocess.run(
+        [sys.executable, BENCH],
+        env=_env(tmp_path, "150000,250000"),
+        cwd=tmp_path, capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    values = [rec["value"] for rec in _json_lines(r.stdout)]
+    # micro banks 150k immediately, full escalates to 250k, final emit
+    assert values == [150000.0, 250000.0, 250000.0]
+    assert int(open(tmp_path / "fake_state").read()) == 2
+
+
 def test_ladder_total_outage_emits_parseable_sentinel(tmp_path):
     """A relay that hangs backend init (no worker output at all) must yield a
     parseable zero-marker with the history pointer — never a null artifact —
