@@ -422,6 +422,7 @@ class ADNeuRadarPipeline:
         rounds = sampling_rounds or (self.config.radar_sampling_rounds if loss_type == "nll" else 1)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         chamfers, emds, gospas, locs, misses, falses = ([] for _ in range(6))
+        n_empty_pred = 0
         scan_ids = [int(s) for s in self.datamanager.eval_radar_indices()]
         # dispatch all scans, then fetch (one pipeline drain instead of a
         # host<->device sync per scan)
@@ -439,15 +440,18 @@ class ADNeuRadarPipeline:
                     chamfers.append(radar_utils.chamfer_distance_np(pred, gt))
                     emds.append(radar_utils.emd_distance_np(pred, gt))
                 elif len(gt):
-                    d = float(np.linalg.norm(gt, axis=-1).mean())
-                    chamfers.append(d)
-                    emds.append(d)
+                    # zero predicted points with GT present: chamfer/EMD are
+                    # undefined for an empty set — count the scan-round
+                    # separately instead of fabricating a magnitude (the miss
+                    # still shows up in GOSPA's missed-target term below)
+                    n_empty_pred += 1
                 g, _, loc, miss, false = calculate_gospa(gt, pred)
                 gospas.append(g)
                 locs.append(loc)
                 misses.append(miss)
                 falses.append(false)
         return {
+            "n_empty_pred_radar": n_empty_pred,
             "chamfer_distance_radar_mean": float(np.mean(chamfers)) if chamfers else 0.0,
             "chamfer_distance_radar_median": float(np.median(chamfers)) if chamfers else 0.0,
             "chamfer_distance_radar_std": float(np.std(chamfers)) if chamfers else 0.0,
@@ -590,16 +594,40 @@ def _fetch_deferred(rend: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return out
 
 
-def _ssim_np(a: np.ndarray, b: np.ndarray, c1=0.01**2, c2=0.03**2, win=7) -> float:
-    """Simple windowed SSIM (uniform window), data range 1.0."""
-    from scipy.ndimage import uniform_filter
+def _gaussian_kernel1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def _ssim_np(a: np.ndarray, b: np.ndarray, c1=0.01**2, c2=0.03**2, win=11, sigma=1.5) -> float:
+    """Gaussian-window SSIM matching torchmetrics semantics, data range 1.0.
+
+    The reference's SSIM metric is torchmetrics'
+    `structural_similarity_index_measure` (reference models/neuradar.py:318,735):
+    11x11 gaussian window (sigma=1.5), k1=0.01/k2=0.03, population (filter-
+    normalized) moments, and the scalar is the SSIM map averaged over VALID
+    windows only (torchmetrics reflect-pads, convolves, then crops the pad
+    back off — equivalent to a valid convolution on the unpadded image).
+    """
+    from scipy.ndimage import correlate1d
+
+    h, w = a.shape[:2]
+    win = min(win, h - (h + 1) % 2, w - (w + 1) % 2)  # largest odd size that fits
+    k = _gaussian_kernel1d(win, sigma)
+    p = (win - 1) // 2
+
+    def filt(img):
+        out = correlate1d(img, k, axis=0, mode="constant")
+        out = correlate1d(out, k, axis=1, mode="constant")
+        return out[p : h - p, p : w - p]  # valid region: windows never touch the border
 
     a = a.astype(np.float64)
     b = b.astype(np.float64)
-    mu_a = uniform_filter(a, size=(win, win, 1))
-    mu_b = uniform_filter(b, size=(win, win, 1))
-    var_a = uniform_filter(a * a, size=(win, win, 1)) - mu_a**2
-    var_b = uniform_filter(b * b, size=(win, win, 1)) - mu_b**2
-    cov = uniform_filter(a * b, size=(win, win, 1)) - mu_a * mu_b
+    mu_a = filt(a)
+    mu_b = filt(b)
+    var_a = filt(a * a) - mu_a**2
+    var_b = filt(b * b) - mu_b**2
+    cov = filt(a * b) - mu_a * mu_b
     ssim = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / ((mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2))
     return float(ssim.mean())
