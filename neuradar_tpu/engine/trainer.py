@@ -149,6 +149,22 @@ class Trainer:
         # the donated train step deletes the params/opt-state buffers a
         # concurrent viewer render may still be reading.
         self.train_lock = threading.Lock()
+        # live training controls driven from the viewer (cf. the reference
+        # viewer's pause/stop training buttons, viewer/viewer.py:58 +
+        # control_panel) — polled at the top of each dispatch window.
+        self._paused = False
+        self._stop_requested = False
+
+    def control(self, action: str) -> Dict[str, Any]:
+        """Viewer /control endpoint: pause/resume/stop/status."""
+        if action == "pause":
+            self._paused = True
+        elif action == "resume":
+            self._paused = False
+        elif action == "stop":
+            self._stop_requested = True
+            self._paused = False
+        return {"paused": self._paused, "stop_requested": self._stop_requested, "step": self._step}
 
     @property
     def _run_dir(self) -> Path:
@@ -187,8 +203,10 @@ class Trainer:
             duration = round(scene_duration(self.pipeline), 2)
             self._viewer = ViewerServer(
                 render_fn=viewer_render,
-                stats_fn=lambda: {"step": self._step, "scene_duration": duration},
+                stats_fn=lambda: {"step": self._step, "scene_duration": duration,
+                                  "paused": self._paused},
                 port=cfg.viewer_port,
+                control_fn=self.control,
             )
             self._viewer.start()
 
@@ -343,6 +361,15 @@ class Trainer:
         steps_since_log = 0
         local_i = 0
         while local_i < n_iters:
+            if self._paused or self._stop_requested:
+                if self._stop_requested:
+                    break
+                t_pause = time.perf_counter()
+                while self._paused and not self._stop_requested:
+                    time.sleep(0.05)  # train_lock stays free: viewer renders keep serving
+                t_last_log += time.perf_counter() - t_pause  # paused time out of rays/s window
+                if self._stop_requested:
+                    break
             step = self._step
             # if n_iters isn't a K-multiple, run the short window FIRST so
             # both executables compile up front (not at iteration ~n_iters)

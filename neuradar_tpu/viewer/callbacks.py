@@ -52,10 +52,16 @@ def make_viewer_render_fn(
                 index=int(actor.get("index", -1)),
                 remove=bool(actor.get("remove", False)),
             )
-        # in-motion requests render at half resolution (the client upscales
-        # and settles to full res when motion stops) — the reference
-        # render_state_machine's low-res-move behavior
-        hw = (48, 78) if preview else (96, 156)
+        # progressive resolution (reference render_state_machine.py): the
+        # viewer's state machine passes True for low_move (0.5), a float
+        # scale for intermediate states (low_static 0.75), False for high
+        if preview is True:
+            scale = 0.5
+        elif isinstance(preview, bool) or not preview:
+            scale = 1.0
+        else:
+            scale = float(preview)
+        hw = (max(8, round(96 * scale)), max(8, round(156 * scale)))
         with device_ctx():
             rgb = pipeline.render_pose(get_variables(), c2w, actor_edits=edits, hw=hw,
                                        time_s=float(time_s))

@@ -54,7 +54,11 @@ show <label><input id="olidar" type="checkbox" style="width:auto" onchange="rend
 <label><input id="ofrusta" type="checkbox" style="width:auto" onchange="render()"/>frusta</label><br/>
 <button onclick="keyframe()">add keyframe</button>
 <a href="/camera_path" download="camera_path.json" style="color:#8cf">download path</a>
-<span id="kf"></span></div>
+<span id="kf"></span><br/>
+train <button onclick="control('pause')">&#9646;&#9646;</button>
+<button onclick="control('resume')">&#9654;</button>
+<button onclick="control('stop')" title="finish training (saves final checkpoint)">&#9632;</button>
+<span id="trainstate"></span></div>
 <canvas id="view" width="624" height="384"></canvas>
 <script>
 let az = 0, el = 0.15, dist = 12, cx = 0, cy = 0, cz = 1.5;
@@ -85,21 +89,32 @@ async function render(preview) {
   // drag queued behind a full-res render must stay on the fast path)
   if (pending) { dirty = true; dirtyPreview = preview; return; }
   pending = true;
+  let pendingSharper = false;
   try {
     const body = pose();
-    if (preview) body.preview = true;  // low-res while the camera moves
+    if (preview === true) body.preview = true;       // low-res while moving
+    else if (preview === 'settle') body.settle = true;  // sharpen poll
     const r = await fetch('/render', {method: 'POST', body: JSON.stringify(body)});
+    pendingSharper = r.headers.get('X-Render-Pending') === '1';
     const blob = await r.blob();
     const img = await createImageBitmap(blob);
     ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
   } finally {
     pending = false;
-    if (dirty) { dirty = false; render(dirtyPreview); }
+    if (dirty) { dirty = false; render(dirtyPreview); return; }
   }
-  if (preview && !playing) {  // settle to a full-res frame once motion stops
+  // progressive settle (server render state machine): once motion stops,
+  // poll for sharper frames until the machine reaches `high`
+  if (!playing && (preview === true || (preview === 'settle' && pendingSharper))) {
     clearTimeout(settleTimer);
-    settleTimer = setTimeout(() => render(false), 300);
+    settleTimer = setTimeout(() => render('settle'), preview === true ? 300 : 30);
   }
+}
+async function control(action) {
+  const r = await fetch('/control', {method: 'POST', body: JSON.stringify({action: action})});
+  const j = await r.json();
+  document.getElementById('trainstate').textContent =
+    j.error ? j.error : (j.stop_requested ? 'stopping' : (j.paused ? 'paused' : 'training')) + ' @' + j.step;
 }
 function togglePlay() {  // animate scene time at preview resolution
   const btn = document.getElementById('play'), t = document.getElementById('atime');
@@ -178,11 +193,17 @@ class ViewerServer:
     stats_fn() -> dict.
     """
 
-    def __init__(self, render_fn: Callable, stats_fn: Optional[Callable] = None, port: int = 7007):
+    def __init__(self, render_fn: Callable, stats_fn: Optional[Callable] = None, port: int = 7007,
+                 control_fn: Optional[Callable] = None):
+        from neuradar_tpu.viewer.render_state_machine import RenderStateMachine
+
         self.render_fn = render_fn
         self.stats_fn = stats_fn or (lambda: {})
+        self.control_fn = control_fn  # live training controls: fn(action) -> state
+        # dict (trainer.control); None = frozen viewer, /control returns 501
         self.port = port
         self.keyframes: List[np.ndarray] = []
+        self.state_machine = RenderStateMachine()
         self._server: Optional[ThreadingHTTPServer] = None
         import inspect
 
@@ -240,25 +261,46 @@ class ViewerServer:
                     viewer.keyframes.append(c2w)
                     self._send(200, "application/json", json.dumps({"count": len(viewer.keyframes)}).encode())
                     return
+                if self.path.startswith("/control"):
+                    if viewer.control_fn is None:
+                        self._send(501, "application/json",
+                                   json.dumps({"error": "no trainer attached (frozen viewer)"}).encode())
+                        return
+                    state = viewer.control_fn(str(req.get("action", "status")))
+                    self._send(200, "application/json", json.dumps(state).encode())
+                    return
                 if not self.path.startswith("/render"):
                     self._send(404, "text/plain", b"not found")
                     return
                 try:
+                    # progressive re-render decision (render_state_machine.py):
+                    # fingerprint everything that affects the frame, classify
+                    # the request, render at the machine's resolution scale
+                    key = json.dumps({k: req.get(k) for k in
+                                      ("eye", "target", "time", "actor", "overlays")}, sort_keys=True)
+                    state, scale, pending = viewer.state_machine.action(
+                        key, bool(req.get("preview", False)), bool(req.get("settle", False)))
+                    # legacy callback contract: low_move -> True, high -> False,
+                    # intermediate states pass their float scale
+                    preview = True if state == "low_move" else (False if scale >= 1.0 else scale)
                     rgb = viewer._render(c2w, req.get("actor"), req.get("overlays"),
-                                         bool(req.get("preview", False)),
-                                         float(req.get("time", 0.0)))
+                                         preview, float(req.get("time", 0.0)))
                     import PIL.Image
 
                     buf = io.BytesIO()
                     PIL.Image.fromarray(rgb).save(buf, format="JPEG", quality=85)
-                    self._send(200, "image/jpeg", buf.getvalue())
+                    self._send(200, "image/jpeg", buf.getvalue(),
+                               extra={"X-Render-State": state,
+                                      "X-Render-Pending": "1" if pending else "0"})
                 except Exception as e:  # noqa: BLE001
                     self._send(500, "text/plain", str(e).encode())
 
-            def _send(self, code, ctype, body):
+            def _send(self, code, ctype, body, extra=None):
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (extra or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 

@@ -332,3 +332,111 @@ def test_viewer_server_time_passthrough():
         assert seen == [(True, 3.5)]
     finally:
         v.stop()
+
+
+def test_render_state_machine_transitions():
+    """Progressive re-render decider (cf. reference
+    viewer/render_state_machine.py:1-451): interaction demotes to low_move,
+    settle polls promote low_move -> low_static -> high, a plain request is
+    served directly at full resolution."""
+    from neuradar_tpu.viewer.render_state_machine import RenderStateMachine
+
+    m = RenderStateMachine()
+    # drag: every move event stays at low_move, half resolution, pending
+    assert m.action("poseA", moving=True, settle=False) == ("low_move", 0.5, True)
+    assert m.action("poseB", moving=True, settle=False) == ("low_move", 0.5, True)
+    # motion stops: settle polls sharpen through low_static to high
+    assert m.action("poseB", moving=False, settle=True) == ("low_static", 0.75, True)
+    assert m.action("poseB", moving=False, settle=True) == ("high", 1.0, False)
+    # extra settle polls at high stay settled
+    assert m.action("poseB", moving=False, settle=True) == ("high", 1.0, False)
+    # a settle poll whose fingerprint CHANGED is interaction -> low_move
+    assert m.action("poseC", moving=False, settle=True) == ("low_move", 0.5, True)
+    # plain one-shot request (scripted client): full res, machine parks high
+    assert m.action("poseD", moving=False, settle=False) == ("high", 1.0, False)
+
+
+def test_viewer_progressive_settle_over_http():
+    """A drag streams low-res previews, then settle polls sharpen
+    low_static -> high; headers drive the client's polling loop."""
+    from neuradar_tpu.viewer.viewer import ViewerServer
+
+    seen = []
+
+    def render_fn(c2w, actor=None, overlays=None, preview=False, time_s=0.0):
+        seen.append(preview)
+        return np.full((12, 16, 3), 90, np.uint8)
+
+    port = _free_port()
+    v = ViewerServer(render_fn=render_fn, port=port)
+    v.start()
+    try:
+        def post(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/render", data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=10) as r:
+                assert r.read()[:2] == b"\xff\xd8"
+                return r.headers["X-Render-State"], r.headers["X-Render-Pending"]
+
+        pose = {"eye": [0, 0, 2], "target": [5, 0, 1]}
+        assert post({**pose, "preview": True}) == ("low_move", "1")
+        assert post({**pose, "settle": True}) == ("low_static", "1")
+        assert post({**pose, "settle": True}) == ("high", "0")
+        # render callback saw: True (low_move), 0.75 scale, False (high)
+        assert seen == [True, 0.75, False]
+        # moving the camera under a settle poll demotes back to low_move
+        assert post({"eye": [1, 0, 2], "target": [5, 0, 1], "settle": True}) == ("low_move", "1")
+    finally:
+        v.stop()
+
+
+def test_viewer_control_endpoint():
+    """Live training controls (cf. reference viewer pause/stop buttons):
+    /control round-trips through control_fn; a frozen viewer returns 501."""
+    from neuradar_tpu.viewer.viewer import ViewerServer
+
+    actions = []
+
+    def control_fn(action):
+        actions.append(action)
+        return {"paused": action == "pause", "stop_requested": action == "stop", "step": 42}
+
+    def render_fn(c2w):
+        return np.zeros((4, 6, 3), np.uint8)
+
+    def post_control(port, action, expect_status=200):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/control", data=json.dumps({"action": action}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    import urllib.error
+
+    port = _free_port()
+    v = ViewerServer(render_fn=render_fn, control_fn=control_fn, port=port)
+    v.start()
+    try:
+        status, state = post_control(port, "pause")
+        assert status == 200 and state["paused"] is True and state["step"] == 42
+        status, state = post_control(port, "stop")
+        assert status == 200 and state["stop_requested"] is True
+        assert actions == ["pause", "stop"]
+    finally:
+        v.stop()
+
+    # frozen viewer (no trainer attached): 501
+    port = _free_port()
+    v = ViewerServer(render_fn=render_fn, port=port)
+    v.start()
+    try:
+        status, state = post_control(port, "pause")
+        assert status == 501 and "error" in state
+    finally:
+        v.stop()

@@ -281,3 +281,33 @@ def test_eval_lidar_metrics_mask_padding(trained):
         assert all(np.isfinite(v) for v in m2.values()), m2
     finally:
         pipe.outputs.lidar_points = pts_backup
+
+
+def test_viewer_training_controls(trained):
+    """Live pause/resume/stop (cf. reference viewer training controls):
+    `control` toggles flags the train loop polls each dispatch window."""
+    import threading
+    import time
+
+    trainer, _ = trained
+    step0 = trainer._step
+
+    # stop requested before the loop: train() returns without stepping
+    state = trainer.control("stop")
+    assert state["stop_requested"] is True
+    trainer.train(2)
+    assert trainer._step == step0
+
+    # pause blocks the loop (viewer keeps serving: train_lock is free),
+    # resume releases it and the requested step completes
+    trainer._stop_requested = False
+    trainer.pipeline.datamanager._queue = None  # prefetcher already stopped; sample synchronously
+    trainer.control("pause")
+    t = threading.Thread(target=trainer.train, args=(1,), daemon=True)
+    t.start()
+    time.sleep(0.4)
+    assert t.is_alive() and trainer._step == step0 and not trainer.train_lock.locked()
+    state = trainer.control("resume")
+    assert state["paused"] is False
+    t.join(timeout=120)
+    assert not t.is_alive() and trainer._step == step0 + 1
