@@ -264,13 +264,16 @@ class ADNeuRadarPipeline:
 
     def render_pose(
         self, variables, c2w: np.ndarray, hw: Tuple[int, int] = (96, 156), actor_edits=None,
-        time_s: float = 0.0,
+        time_s: float = 0.0, output: str = "rgb",
     ) -> np.ndarray:
-        """Render an arbitrary camera pose (viewer path): c2w [3, 4] -> rgb
+        """Render an arbitrary camera pose (viewer path): c2w [3, 4] ->
         uint8 [hw[0], hw[1], 3]. Uses the scene's first camera intrinsics
         scaled to the requested resolution. actor_edits shifts/removes
         dynamic actors (viewer actor controls); time_s places dynamic actors
-        at a scene timestamp (closed-loop renders)."""
+        at a scene timestamp (closed-loop renders). `output` selects the
+        rendered quantity (cf. the reference viewer control panel's output
+        selector): "rgb" (CNN-decoded), "depth" (colormapped, acc-faded) or
+        "accumulation"."""
         from neuradar_tpu.cameras.cameras import Cameras
 
         u = self.config.model.rgb_upsample_factor
@@ -297,6 +300,17 @@ class ADNeuRadarPipeline:
         bundle = merge_modality_bundles(bundle, None, None)
         layout = SegmentLayout(num_cam=h * w, patch_size=(h, w))
         o = self._eval_nff_features(variables, bundle, layout, actor_edits)
+        if output != "rgb":
+            from neuradar_tpu.utils.colormaps import apply_depth_colormap, apply_float_colormap
+
+            acc = np.asarray(o["accumulation"], np.float64).reshape(h, w, 1)
+            if output == "depth":
+                img = apply_depth_colormap(np.asarray(o["depth"]).reshape(h, w, 1), accumulation=acc)
+            elif output == "accumulation":
+                img = apply_float_colormap(np.clip(acc, 0, 1))
+            else:
+                raise ValueError(f"unknown render output {output!r}")
+            return (np.clip(img, 0, 1) * 255).astype(np.uint8)
         rgb = self._eval_decode_rgb(variables, o["features"], (h, w))
         return (np.clip(np.asarray(rgb[0]), 0, 1) * 255).astype(np.uint8)
 

@@ -42,7 +42,7 @@ def make_viewer_render_fn(
     def device_ctx():
         return lock if lock is not None else contextlib.nullcontext()
 
-    def render(c2w, actor=None, overlays=None, preview=False, time_s=0.0):
+    def render(c2w, actor=None, overlays=None, preview=False, time_s=0.0, output="rgb"):
         edits = None
         if actor:
             edits = ActorEdits(
@@ -64,7 +64,7 @@ def make_viewer_render_fn(
         hw = (max(8, round(96 * scale)), max(8, round(156 * scale)))
         with device_ctx():
             rgb = pipeline.render_pose(get_variables(), c2w, actor_edits=edits, hw=hw,
-                                       time_s=float(time_s))
+                                       time_s=float(time_s), output=str(output or "rgb"))
         if overlays:
             from neuradar_tpu.viewer.overlays import draw_scene_overlays
 

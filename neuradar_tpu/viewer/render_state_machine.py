@@ -26,6 +26,7 @@ drag streams cheap previews and then sharpens low_static -> high.
 
 from __future__ import annotations
 
+import math
 import threading
 from typing import Hashable, Tuple
 
@@ -38,20 +39,39 @@ TRANSITIONS = {
     ("high", "static"): "high",
 }
 
-# resolution scale per state. low_move/high are delivered to render
-# callbacks as the legacy booleans (True/False) so 4-arity callbacks keep
-# working; the intermediate state passes its float scale through the same
-# argument slot.
+# baseline resolution scale per state. low_move additionally ADAPTS downward
+# from 0.5 when measured render times miss the target fps (the reference
+# machine sizes previews from vis_rays_per_sec the same way,
+# render_state_machine.py:_calculate_image_res). low_move at the 0.5
+# baseline / high are delivered to render callbacks as the legacy booleans
+# (True/False) so 4-arity callbacks keep working; other scales pass their
+# float through the same argument slot.
 SCALES = {"low_move": 0.5, "low_static": 0.75, "high": 1.0}
 
 
 class RenderStateMachine:
     """Thread-safe (HTTP handler threads race) progressive-render decider."""
 
-    def __init__(self):
+    def __init__(self, target_fps: float = 10.0):
         self.state = "high"
+        self._target_s = 1.0 / target_fps
+        self._full_s_ema = None  # EMA of the estimated FULL-res render seconds
         self._last_key: Hashable = None
         self._lock = threading.Lock()
+
+    def observe(self, scale: float, seconds: float) -> None:
+        """Feed back one measured render duration at `scale` — cost scales
+        with pixel count, so seconds/scale^2 estimates the full-res cost."""
+        full = seconds / max(scale * scale, 1e-4)
+        with self._lock:
+            self._full_s_ema = full if self._full_s_ema is None else 0.7 * self._full_s_ema + 0.3 * full
+
+    def _move_scale(self) -> float:
+        """In-motion scale: hit target fps, never above the 0.5 baseline."""
+        if self._full_s_ema is None or self._full_s_ema <= 0:
+            return SCALES["low_move"]
+        s = math.sqrt(self._target_s / self._full_s_ema)
+        return min(SCALES["low_move"], max(0.15, s))
 
     def action(self, key: Hashable, moving: bool, settle: bool) -> Tuple[str, float, bool]:
         """Advance on one /render request.
@@ -79,4 +99,11 @@ class RenderStateMachine:
                 return self.state, 1.0, False
             self._last_key = key
             self.state = TRANSITIONS[(self.state, event)]
-            return self.state, SCALES[self.state], self.state != "high"
+            if self.state == "low_move":
+                scale = self._move_scale()
+            elif self.state == "low_static":
+                # midway between the current move scale and full res
+                scale = min(SCALES["low_static"], (self._move_scale() + 1.0) / 2.0)
+            else:
+                scale = 1.0
+            return self.state, scale, self.state != "high"

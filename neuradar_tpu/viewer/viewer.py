@@ -23,6 +23,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, List, Optional
 
@@ -51,7 +52,10 @@ time <input id="atime" type="range" min="0" max="12" value="0" step="0.1"
 show <label><input id="olidar" type="checkbox" style="width:auto" onchange="render()"/>lidar</label>
 <label><input id="oradar" type="checkbox" style="width:auto" onchange="render()"/>radar</label>
 <label><input id="oboxes" type="checkbox" style="width:auto" onchange="render()"/>boxes</label>
-<label><input id="ofrusta" type="checkbox" style="width:auto" onchange="render()"/>frusta</label><br/>
+<label><input id="ofrusta" type="checkbox" style="width:auto" onchange="render()"/>frusta</label>
+output <select id="osel" onchange="render()" style="width:auto">
+<option value="rgb">rgb</option><option value="depth">depth</option>
+<option value="accumulation">accumulation</option></select><br/>
 <button onclick="keyframe()">add keyframe</button>
 <a href="/camera_path" download="camera_path.json" style="color:#8cf">download path</a>
 <span id="kf"></span><br/>
@@ -80,6 +84,8 @@ function pose() {
   const of = document.getElementById('ofrusta').checked;
   if (ol || orr || ob || of) body.overlays = {lidar: ol, radar: orr, boxes: ob, frusta: of};
   body.time = +document.getElementById('atime').value;
+  const osel = document.getElementById('osel').value;
+  if (osel !== 'rgb') body.output = osel;
   return body;
 }
 let dirty = false, dirtyPreview = false, settleTimer = null, playing = null;
@@ -184,7 +190,8 @@ class ViewerServer:
 
     render_fn(c2w [3,4]) -> rgb uint8 [H, W, 3]; richer signatures
     (c2w, actor), (c2w, actor, overlays), (c2w, actor, overlays, preview),
-    (c2w, actor, overlays, preview, time_s) are detected by arity. time_s
+    (c2w, actor, overlays, preview, time_s) and
+    (..., time_s, output) are detected by arity. time_s
     scrubs dynamic actors along their trajectories (the HUD time slider —
     the reference AD viewer's scene-time control). `preview=True` marks in-motion requests — render
     at reduced resolution for responsiveness and the client settles to a
@@ -213,7 +220,9 @@ class ViewerServer:
             self._arity = 1
 
     def _render(self, c2w: np.ndarray, actor: Optional[dict], overlays: Optional[dict] = None,
-                preview: bool = False, time_s: float = 0.0):
+                preview: bool = False, time_s: float = 0.0, output: str = "rgb"):
+        if self._arity >= 6:
+            return self.render_fn(c2w, actor, overlays, preview, time_s, output)
         if self._arity >= 5:
             return self.render_fn(c2w, actor, overlays, preview, time_s)
         if self._arity >= 4:
@@ -277,14 +286,22 @@ class ViewerServer:
                     # fingerprint everything that affects the frame, classify
                     # the request, render at the machine's resolution scale
                     key = json.dumps({k: req.get(k) for k in
-                                      ("eye", "target", "time", "actor", "overlays")}, sort_keys=True)
+                                      ("eye", "target", "time", "actor", "overlays", "output")},
+                                     sort_keys=True)
                     state, scale, pending = viewer.state_machine.action(
                         key, bool(req.get("preview", False)), bool(req.get("settle", False)))
-                    # legacy callback contract: low_move -> True, high -> False,
-                    # intermediate states pass their float scale
-                    preview = True if state == "low_move" else (False if scale >= 1.0 else scale)
+                    # legacy callback contract: baseline low_move -> True,
+                    # high -> False; any other (incl. fps-adapted) scale
+                    # passes its float through the same slot
+                    preview = (True if (state == "low_move" and scale == 0.5)
+                               else (False if scale >= 1.0 else scale))
+                    t_render = time.perf_counter()
                     rgb = viewer._render(c2w, req.get("actor"), req.get("overlays"),
-                                         preview, float(req.get("time", 0.0)))
+                                         preview, float(req.get("time", 0.0)),
+                                         str(req.get("output", "rgb")))
+                    # feed the measured duration back so in-motion previews
+                    # adapt toward the machine's target fps
+                    viewer.state_machine.observe(scale, time.perf_counter() - t_render)
                     import PIL.Image
 
                     buf = io.BytesIO()

@@ -273,7 +273,7 @@ def test_standalone_viewer_build(tmp_path):
             camera_to_worlds = np.eye(3, 4, dtype=np.float32)[None]
 
         @staticmethod
-        def render_pose(variables, c2w, actor_edits=None, hw=(96, 156), time_s=0.0):
+        def render_pose(variables, c2w, actor_edits=None, hw=(96, 156), time_s=0.0, output="rgb"):
             return np.full((hw[0], hw[1], 3), 77, np.uint8)
 
         @staticmethod
@@ -440,3 +440,71 @@ def test_viewer_control_endpoint():
         assert status == 501 and "error" in state
     finally:
         v.stop()
+
+
+def test_viewer_output_selector_passthrough():
+    """The render output selector (rgb/depth/accumulation) reaches a 6-arity
+    render callback, and switching outputs under a settle poll is treated as
+    interaction (fingerprint change -> low_move)."""
+    from neuradar_tpu.viewer.viewer import ViewerServer
+
+    seen = []
+
+    def render_fn(c2w, actor=None, overlays=None, preview=False, time_s=0.0, output="rgb"):
+        seen.append(output)
+        return np.full((8, 12, 3), 70, np.uint8)
+
+    port = _free_port()
+    v = ViewerServer(render_fn=render_fn, port=port)
+    v.start()
+    try:
+        def post(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/render", data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=10) as r:
+                r.read()
+                return r.headers["X-Render-State"]
+
+        pose = {"eye": [0, 0, 2], "target": [5, 0, 1]}
+        assert post({**pose, "output": "depth"}) == "high"
+        assert seen == ["depth"]
+        # settle poll with a changed output is interaction, not a sharpen
+        assert post({**pose, "output": "accumulation", "settle": True}) == "low_move"
+        assert seen == ["depth", "accumulation"]
+        # omitted output defaults to rgb
+        assert post(pose) == "high"
+        assert seen[-1] == "rgb"
+    finally:
+        v.stop()
+
+
+def test_render_state_machine_adaptive_preview_scale():
+    """In-motion preview resolution adapts to measured render throughput
+    (cf. reference render_state_machine._calculate_image_res targeting
+    vis_rays_per_sec): slow renders shrink the move scale below the 0.5
+    baseline toward the target fps; fast renders stay at the baseline."""
+    from neuradar_tpu.viewer.render_state_machine import RenderStateMachine
+
+    m = RenderStateMachine(target_fps=10.0)  # budget 0.1 s/frame
+    # fast renders: full-res estimate ~0.02 s -> capped at the 0.5 baseline
+    for _ in range(5):
+        m.observe(1.0, 0.02)
+    state, scale, _ = m.action("p1", moving=True, settle=False)
+    assert state == "low_move" and scale == 0.5
+
+    # slow renders: 1.6 s at full res -> sqrt(0.1/1.6) = 0.25
+    m2 = RenderStateMachine(target_fps=10.0)
+    for _ in range(8):
+        m2.observe(1.0, 1.6)
+    state, scale, _ = m2.action("p1", moving=True, settle=False)
+    assert state == "low_move" and 0.2 < scale < 0.35
+    # low_static sits midway between the move scale and full res
+    state, scale2, _ = m2.action("p1", moving=False, settle=True)
+    assert state == "low_static" and scale < scale2 < 1.0
+    # never below the 0.15 floor even for pathologically slow renders
+    m3 = RenderStateMachine(target_fps=10.0)
+    m3.observe(1.0, 500.0)
+    _, scale3, _ = m3.action("p1", moving=True, settle=False)
+    assert scale3 == 0.15

@@ -202,6 +202,25 @@ def test_render_spiral_pose(trained):
     assert np.asarray(img).ndim == 3 and np.isfinite(np.asarray(img)).all()
 
 
+def test_render_pose_output_types(trained):
+    """Viewer output selector (cf. reference viewer control panel): depth and
+    accumulation render as colormapped uint8 images; depth is NOT constant
+    (the scene has geometry) and an unknown output raises."""
+    import pytest
+
+    trainer, _ = trained
+    pipe = trainer.pipeline
+    c2w = np.asarray(pipe.outputs.camera_to_worlds[0], np.float32)
+    v = trainer.eval_variables()
+    depth = pipe.render_pose(v, c2w, output="depth")
+    acc = pipe.render_pose(v, c2w, output="accumulation")
+    for img in (depth, acc):
+        assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[-1] == 3
+    assert depth.std() > 0, "depth colormap is constant"
+    with pytest.raises(ValueError):
+        pipe.render_pose(v, c2w, output="normals")
+
+
 def test_export_camera_poses(trained, tmp_path):
     """exporter 'cameras': train/eval pose json split (reference
     ExportCameraPoses, scripts/exporter.py:452-476)."""
