@@ -227,6 +227,27 @@ def _hash_encode_bwd(scalings, table_size, num_levels, features_per_level, d, de
 hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
 
 
+def cast_hash_tables(params, dtype) -> dict:
+    """Cast every ``hash_table`` leaf of a param tree to ``dtype``.
+
+    Calling this ONCE on the param tree before ``model.apply`` hoists the
+    f32->compute_dtype table cast out of the ``nff_chunks`` remat scan: the
+    in-module ``astype`` then sees an already-cast table and is a no-op.
+    Measured on the full train step (tools/hlo_table_traffic.py): the in-scan
+    cast executes once per chunk (8 x 0.81 GB HBM on the 537 MB static table)
+    and makes the scan accumulate the table cotangent in f32 (8 x ~1.6 GB
+    scatter+add) — hoisting removes the per-chunk casts and accumulates in
+    ``dtype`` instead, cutting ~40% of the step's ray-independent HBM
+    traffic (docs/PERFORMANCE.md "Full-step roofline")."""
+
+    def f(path, x):
+        if path and getattr(path[-1], "key", None) == "hash_table":
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
 class HashEncoding(nn.Module):
     """Multiresolution hash grid encoding (Instant-NGP).
 

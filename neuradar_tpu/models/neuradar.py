@@ -151,6 +151,14 @@ class NeuRadarModelConfig:
     nff_chunks bounds the field eval."""
     nff_remat: bool = True
     """Rematerialize the NFF core in backward (recompute-over-store)."""
+    hoist_table_cast: bool = True
+    """Cast hash tables to compute_dtype ONCE per step (in the pipeline loss
+    fn) instead of inside the nff_chunks scan body, where the cast re-executes
+    per chunk and forces f32 cotangent accumulation. Cuts ~40% of the step's
+    ray-independent HBM traffic (encodings.cast_hash_tables, measured via
+    tools/hlo_table_traffic.py). Table-gradient accumulation across chunks
+    then happens in compute_dtype (Instant-NGP trains tables fully in fp16;
+    parity covered by tests/test_table_cast_hoist.py)."""
     radar_decoder_type: str = "encoder"
     """'encoder' (per-ray heads grounded in NeRF geometry, the reference
     default) or 'set' (DETR-style learnable-query set prediction, the paper's

@@ -26,6 +26,7 @@ from neuradar_tpu.data.datamanager import (
     merge_modality_bundles,
 )
 from neuradar_tpu.data.dataparsers.base import DataparserOutputs
+from neuradar_tpu.field_components.encodings import cast_hash_tables
 from neuradar_tpu.model_components import radar_utils
 from neuradar_tpu.model_components.dynamic_actors import trajectories_from_dicts
 from neuradar_tpu.model_components.gospa import calculate_gospa
@@ -109,6 +110,21 @@ class ADNeuRadarPipeline:
         )
         return init_fn(rngs, bundle, tiny_batch, layout=tiny)
 
+    def _hoisted_table_dtype(self):
+        """compute_dtype when the once-per-step table cast is enabled
+        (models/neuradar.py hoist_table_cast), else None."""
+        m = self.config.model
+        if m.hoist_table_cast and m.compute_dtype != "float32":
+            return jnp.dtype(m.compute_dtype)
+        return None
+
+    def _cast_variables(self, variables):
+        """Hoisted table cast for eval-path variables (inside jit)."""
+        cast_dtype = self._hoisted_table_dtype()
+        if cast_dtype is None:
+            return variables
+        return {**variables, "params": cast_hash_tables(variables["params"], cast_dtype)}
+
     # -- train step ---------------------------------------------------------------
 
     def make_train_loss_fn(self):
@@ -118,8 +134,13 @@ class ADNeuRadarPipeline:
         layout = self.layout
         tables = self.datamanager.tables
         u = self.config.model.rgb_upsample_factor
+        cast_dtype = self._hoisted_table_dtype()
 
         def loss_fn(params, batch_stats, batch, rng):
+            if cast_dtype is not None:
+                # one cast per step, outside the nff_chunks scan — the
+                # in-module astype becomes a no-op (encodings.cast_hash_tables)
+                params = cast_hash_tables(params, cast_dtype)
             bundle = build_train_bundle(tables, batch, layout, u)
             rngs = {name: jax.random.fold_in(rng, i) for i, name in enumerate(RNG_STREAMS)}
             (total, (loss_dict, metrics, _outputs)), mutated = model.apply(
@@ -146,6 +167,7 @@ class ADNeuRadarPipeline:
 
         @jax.jit
         def eval_loss(variables, batch):
+            variables = self._cast_variables(variables)
             bundle = build_train_bundle(tables, batch, layout, u)
             total, (loss_dict, metrics, _outputs) = model.apply(
                 variables, bundle, batch, layout, train=False, method=NeuRadarModel.loss_and_metrics
@@ -164,7 +186,8 @@ class ADNeuRadarPipeline:
         @functools.partial(jax.jit, static_argnames=("layout",))
         def run(variables, bundle, layout, actor_edits=None):
             outputs = model.apply(
-                variables, bundle, layout, False, actor_edits, method=NeuRadarModel.get_outputs,
+                self._cast_variables(variables), bundle, layout, False, actor_edits,
+                method=NeuRadarModel.get_outputs,
             )
             return outputs
 
@@ -177,7 +200,7 @@ class ADNeuRadarPipeline:
 
         @functools.partial(jax.jit, static_argnames=("layout",))
         def run(variables, bundle, layout, actor_edits=None):
-            out = model.apply(variables, bundle, layout, False, actor_edits,
+            out = model.apply(self._cast_variables(variables), bundle, layout, False, actor_edits,
                               method=NeuRadarModel.get_nff_outputs)
             return {"features": out["features"], "depth": out["depth"], "accumulation": out["accumulation"]}
 

@@ -1,0 +1,121 @@
+"""Full-train-step roofline: speed-of-light device time for the EXACT
+reference-scale program (VERDICT r2 item 3 / weak #4).
+
+The healthy measured step is ~400 ms (112,128 rays at 279k rays/s) while the
+summed per-component device timings are ~30-50 ms — this tool quantifies the
+gap's physical floor without needing a healthy relay window: compile the
+exact full-scale train step (fwd+bwd+adam, K=1) on the local CPU backend and
+read XLA's cost analysis. FLOP counts are backend-independent (same HLO
+math); bytes-accessed is layout-dependent so it is reported as indicative.
+
+Speed-of-light on one v5e chip:
+  t_sol = max(flops / peak_flops, bytes / hbm_bw)
+with peak 197 TFLOP/s bf16 / 98.5 f32, HBM 819 GB/s (public v5e specs).
+
+Prints a JSON summary; docs/PERFORMANCE.md carries the interpretation.
+
+Run: python tools/roofline_fullstep.py [--scale full|micro] [--chunks 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache_cpu")
+
+V5E_BF16_FLOPS = 197e12
+V5E_F32_FLOPS = 98.5e12
+V5E_HBM_BPS = 819e9
+
+
+def main(scale: str, chunks: int) -> dict:
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from neuradar_tpu.data.datamanager import ADDataManagerConfig
+    from neuradar_tpu.data.dataparsers.synthetic import SyntheticDataParser, SyntheticDataParserConfig
+    from neuradar_tpu.engine.optimizers import build_optimizer, default_optimizer_groups
+    from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipeline, ADNeuRadarPipelineConfig
+
+    # exact bench.py full-scale configuration (reference batch composition)
+    parser_cfg = SyntheticDataParserConfig(num_frames=24, image_height=96, image_width=156,
+                                           lidar_points_per_scan=32768)
+    outputs = SyntheticDataParser(parser_cfg).get_dataparser_outputs()
+    if scale == "micro":
+        dm = ADDataManagerConfig.micro()
+    else:
+        dm = ADDataManagerConfig(num_rgb_patches=40, patch_size=32, num_lidar_rays=16384,
+                                 num_radar_scans=16, max_radar_gt=256)
+    pipe_cfg = ADNeuRadarPipelineConfig(datamanager=dm)
+    pipe_cfg.model.loss.vgg_mult = 0.0
+    pipe_cfg.model.nff_chunks = chunks
+    pipe_cfg.model.compute_dtype = "bfloat16"
+    pipeline = ADNeuRadarPipeline(pipe_cfg, outputs)
+    rays = pipeline.layout.total
+
+    variables = pipeline.init_variables(0)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = build_optimizer(params, default_optimizer_groups(20001))
+    opt_state = tx.init(params)
+    loss_fn = pipeline.make_train_loss_fn()
+
+    def train_step(params, opt_state, batch_stats, batch, rng):
+        (total, (_, _, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, batch, rng
+        )
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state, new_bs, total
+
+    batch = jax.tree.map(jnp.asarray, pipeline.datamanager.sample_train_batch())
+    print(f"[roofline] compiling full train step ({rays} rays, chunks={chunks}) on CPU...",
+          file=sys.stderr, flush=True)
+    compiled = jax.jit(train_step).lower(params, opt_state, batch_stats, batch,
+                                         jax.random.PRNGKey(0)).compile()
+    ca_list = compiled.cost_analysis()
+    ca = ca_list[0] if isinstance(ca_list, (list, tuple)) else ca_list
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+
+    # param/optimizer traffic floor: the step must at minimum read params +
+    # 2 adam moments and write them back (donated, in-place)
+    param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    state_bytes = param_bytes * 3
+    out = {
+        "scale": scale,
+        "rays_per_step": rays,
+        "flops_per_step": flops,
+        "bytes_accessed_cpu_layout": bytes_acc,
+        "param_bytes": param_bytes,
+        "t_sol_ms_bf16_compute": round(flops / V5E_BF16_FLOPS * 1e3, 2),
+        "t_sol_ms_f32_compute": round(flops / V5E_F32_FLOPS * 1e3, 2),
+        "t_sol_ms_hbm_cpu_layout": round(bytes_acc / V5E_HBM_BPS * 1e3, 2),
+        "t_sol_ms_state_rw": round(2 * state_bytes / V5E_HBM_BPS * 1e3, 2),
+        "note": ("flops exact (backend-independent HLO math); bytes from the CPU "
+                 "layout/fusion so HBM-side time is indicative only"),
+    }
+    # memory-bound vs compute-bound at speed of light
+    out["sol_step_ms"] = max(out["t_sol_ms_bf16_compute"],
+                             out["t_sol_ms_hbm_cpu_layout"], out["t_sol_ms_state_rw"])
+    out["sol_rays_per_sec"] = round(rays / (out["sol_step_ms"] / 1e3))
+    print(json.dumps(out), flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=("full", "micro"), default="full")
+    ap.add_argument("--chunks", type=int, default=8)
+    a = ap.parse_args()
+    main(a.scale, a.chunks)
