@@ -31,7 +31,8 @@ def log(msg):
 T0 = time.perf_counter()
 
 
-def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks: int = 0):
+def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks: int = 0,
+         remat_policy: str = "save_grid", hoist: bool = True):
     import jax
 
     if os.environ.get("NEURADAR_BENCH_CPU"):
@@ -103,6 +104,8 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
         # materializes scores, so remat grouping is optional — A/B knob)
         pipe_cfg.model.radar_decode_chunks = radar_chunks
     pipe_cfg.model.compute_dtype = "bfloat16"
+    pipe_cfg.model.nff_remat_policy = remat_policy  # healthy-window A/B knob
+    pipe_cfg.model.hoist_table_cast = hoist
     pipeline = ADNeuRadarPipeline(pipe_cfg, outputs)
     layout = pipeline.layout
     rays_per_batch = layout.total
@@ -446,6 +449,8 @@ if __name__ == "__main__":
         scale = a[a.index("--scale") + 1] if "--scale" in a else "full"
         scan_steps = int(a[a.index("--scan-steps") + 1]) if "--scan-steps" in a else 4
         radar_chunks = int(a[a.index("--radar-chunks") + 1]) if "--radar-chunks" in a else 0
-        main(chunks=chunks, scale=scale, scan_steps=scan_steps, radar_chunks=radar_chunks)
+        remat_policy = a[a.index("--remat-policy") + 1] if "--remat-policy" in a else "save_grid"
+        main(chunks=chunks, scale=scale, scan_steps=scan_steps, radar_chunks=radar_chunks,
+             remat_policy=remat_policy, hoist="--no-hoist" not in a)
     else:
         main_with_retries()

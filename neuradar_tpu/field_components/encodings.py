@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 # Same primes as Instant-NGP / tcnn; reference encodings.py:418 uses the first
 # three, tcnn uses the fourth for 4D inputs (actor-index grids).
@@ -323,6 +324,10 @@ class HashEncoding(nn.Module):
             d,
             self.dense_sides,
         )
+        # checkpoint tag: inert unless the surrounding remat uses a
+        # save_only_these_names policy (models/neuradar.py nff_remat_policy
+        # "save_grid" keeps gather outputs instead of re-gathering in bwd)
+        out = checkpoint_name(out, "hashgrid_out")
         return out.reshape(*batch_shape, self.get_out_dim()).astype(pos_dtype)
 
 

@@ -151,6 +151,15 @@ class NeuRadarModelConfig:
     nff_chunks bounds the field eval."""
     nff_remat: bool = True
     """Rematerialize the NFF core in backward (recompute-over-store)."""
+    nff_remat_policy: str = "save_grid"
+    """'save_grid' (default) = save the hashgrid gather outputs (tagged
+    'hashgrid_out', encodings.py) and recompute only the cheap elementwise
+    rest — skips one full re-gather + hash-index pass per chunk in backward
+    for ~0.6 GB of saved activations at the reference batch (the wide
+    gathers are the bandwidth-dominant ray-proportional cost; TPU cost
+    model -18.6% bytes, docs/PERFORMANCE.md roofline). 'all' = recompute
+    the whole chunk forward (minimum memory fallback). Numerics-identical
+    either way (tests/test_nff_chunking.py)."""
     hoist_table_cast: bool = True
     """Cast hash tables to compute_dtype ONCE per step (in the pipeline loss
     fn) instead of inside the nff_chunks scan body, where the cast re-executes
@@ -428,7 +437,9 @@ class NeuRadarModel(nn.Module):
             return carry, mdl._nff_core(rb, cand, train)
 
         if cfg.nff_remat:
-            body = nn.remat(body, prevent_cse=False)
+            policy = (jax.checkpoint_policies.save_only_these_names("hashgrid_out")
+                      if cfg.nff_remat_policy == "save_grid" else None)
+            body = nn.remat(body, prevent_cse=False, policy=policy)
         scan = nn.scan(
             body,
             variable_broadcast=["params", "batch_stats"],

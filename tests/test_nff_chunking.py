@@ -95,3 +95,35 @@ def test_radar_decode_chunked_matches_unchunked(setup):
     leaf = grads["radar_decoder"] if "radar_decoder" in grads else grads
     total_abs = sum(float(np.abs(np.asarray(x)).sum()) for x in _jax.tree.leaves(leaf))
     assert np.isfinite(total_abs) and total_abs > 0
+
+
+def test_save_grid_remat_policy_matches_all(setup):
+    """nff_remat_policy='save_grid' (save hashgrid gather outputs, recompute
+    the rest — models/neuradar.py) is a pure scheduling change: loss and
+    gradients must match the default full-recompute policy."""
+    model, variables, layout, bundle, batch, cfg, scene = setup
+    params = variables["params"]
+    other = {k: v for k, v in variables.items() if k != "params"}
+
+    def make_loss(policy):
+        cfg2 = dataclasses.replace(cfg, nff_chunks=4, nff_remat=True, nff_remat_policy=policy)
+        m = NeuRadarModel(config=cfg2, scene=scene, trajectories=make_trajectories())
+
+        def loss_fn(p):
+            (total, _), _ = m.apply(
+                {"params": p, **other}, bundle, batch, layout, train=True,
+                method=NeuRadarModel.loss_and_metrics, rngs=RNGS, mutable=["batch_stats"],
+            )
+            return total
+
+        return loss_fn
+
+    l_all, g_all = jax.jit(jax.value_and_grad(make_loss("all")))(params)
+    l_sg, g_sg = jax.jit(jax.value_and_grad(make_loss("save_grid")))(params)
+    np.testing.assert_allclose(float(l_sg), float(l_all), rtol=1e-6)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(g_all), jax.tree_util.tree_leaves_with_path(g_sg)
+    ):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_allclose(np.asarray(vb), np.asarray(va), rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(ka))

@@ -15,6 +15,7 @@ with peak 197 TFLOP/s bf16 / 98.5 f32, HBM 819 GB/s (public v5e specs).
 Prints a JSON summary; docs/PERFORMANCE.md carries the interpretation.
 
 Run: python tools/roofline_fullstep.py [--scale full|micro] [--chunks 8]
+     [--remat-policy all|save_grid] [--no-hoist]
 """
 
 from __future__ import annotations
@@ -38,7 +39,7 @@ V5E_F32_FLOPS = 98.5e12
 V5E_HBM_BPS = 819e9
 
 
-def main(scale: str, chunks: int) -> dict:
+def main(scale: str, chunks: int, remat_policy: str = "save_grid", hoist: bool = True) -> dict:
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -61,6 +62,8 @@ def main(scale: str, chunks: int) -> dict:
     pipe_cfg.model.loss.vgg_mult = 0.0
     pipe_cfg.model.nff_chunks = chunks
     pipe_cfg.model.compute_dtype = "bfloat16"
+    pipe_cfg.model.nff_remat_policy = remat_policy
+    pipe_cfg.model.hoist_table_cast = hoist
     pipeline = ADNeuRadarPipeline(pipe_cfg, outputs)
     rays = pipeline.layout.total
 
@@ -93,7 +96,7 @@ def main(scale: str, chunks: int) -> dict:
     param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
     state_bytes = param_bytes * 3
     out = {
-        "scale": scale,
+        "scale": scale, "chunks": chunks, "remat_policy": remat_policy, "hoist": hoist,
         "rays_per_step": rays,
         "flops_per_step": flops,
         "bytes_accessed_cpu_layout": bytes_acc,
@@ -117,5 +120,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", choices=("full", "micro"), default="full")
     ap.add_argument("--chunks", type=int, default=8)
+    ap.add_argument("--remat-policy", choices=("all", "save_grid"), default="save_grid")
+    ap.add_argument("--no-hoist", action="store_true")
     a = ap.parse_args()
-    main(a.scale, a.chunks)
+    main(a.scale, a.chunks, a.remat_policy, not a.no_hoist)

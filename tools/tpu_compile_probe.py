@@ -29,7 +29,7 @@ from collections import Counter
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(scale: str, chunks: int, hoist: bool, dump: str = "") -> None:
+def main(scale: str, chunks: int, hoist: bool, dump: str = "", remat_policy: str = "save_grid") -> None:
     t0 = time.perf_counter()
     import jax
 
@@ -56,6 +56,7 @@ def main(scale: str, chunks: int, hoist: bool, dump: str = "") -> None:
     pipe_cfg.model.nff_chunks = chunks
     pipe_cfg.model.compute_dtype = "bfloat16"
     pipe_cfg.model.hoist_table_cast = hoist
+    pipe_cfg.model.nff_remat_policy = remat_policy
     pipeline = ADNeuRadarPipeline(pipe_cfg, outputs)
 
     # abstract init: no device execution at all (eval_shape), so the probe
@@ -97,7 +98,7 @@ def main(scale: str, chunks: int, hoist: bool, dump: str = "") -> None:
     ca = ca_list[0] if isinstance(ca_list, (list, tuple)) else ca_list
     out = {
         "backend": jax.devices()[0].platform,
-        "scale": scale, "chunks": chunks, "hoist": hoist,
+        "scale": scale, "chunks": chunks, "hoist": hoist, "remat_policy": remat_policy,
         "table_elems": table_elems,
         "full_table_ops": dict(sorted(tally.items())),
         "flops": float(ca.get("flops", 0.0)),
@@ -113,5 +114,6 @@ if __name__ == "__main__":
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--no-hoist", action="store_true")
     ap.add_argument("--dump", default="", help="write optimized HLO text to this path")
+    ap.add_argument("--remat-policy", choices=("all", "save_grid"), default="save_grid")
     a = ap.parse_args()
-    main(a.scale, a.chunks, not a.no_hoist, a.dump)
+    main(a.scale, a.chunks, not a.no_hoist, a.dump, a.remat_policy)
