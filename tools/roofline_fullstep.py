@@ -14,8 +14,17 @@ with peak 197 TFLOP/s bf16 / 98.5 f32, HBM 819 GB/s (public v5e specs).
 
 Prints a JSON summary; docs/PERFORMANCE.md carries the interpretation.
 
+COUNTING CAVEAT: XLA's cost_analysis counts a rolled `while` loop body ONCE
+regardless of trip count. The nff chunk scan stays rolled at full scale (it
+unrolls at micro), so raw full-scale numbers fit `total = outside + body/n`.
+`--fit` compiles at two chunk counts, solves that linear system, and prints
+the corrected per-step totals (outside + full scan work). The JSON always
+reports `while_loops` so a nonzero count flags the caveat. Gathers/scatters
+are charged as dense operand read+write either way — bytes are an upper
+bound on physical HBM traffic wherever they dominate.
+
 Run: python tools/roofline_fullstep.py [--scale full|micro] [--chunks 8]
-     [--remat-policy all|save_grid] [--no-hoist]
+     [--remat-policy all|save_grid] [--no-hoist] [--fit]
 """
 
 from __future__ import annotations
@@ -86,6 +95,7 @@ def main(scale: str, chunks: int, remat_policy: str = "save_grid", hoist: bool =
           file=sys.stderr, flush=True)
     compiled = jax.jit(train_step).lower(params, opt_state, batch_stats, batch,
                                          jax.random.PRNGKey(0)).compile()
+    while_loops = compiled.as_text().count(" while(")
     ca_list = compiled.cost_analysis()
     ca = ca_list[0] if isinstance(ca_list, (list, tuple)) else ca_list
     flops = float(ca.get("flops", 0.0))
@@ -97,6 +107,7 @@ def main(scale: str, chunks: int, remat_policy: str = "save_grid", hoist: bool =
     state_bytes = param_bytes * 3
     out = {
         "scale": scale, "chunks": chunks, "remat_policy": remat_policy, "hoist": hoist,
+        "while_loops": while_loops,
         "rays_per_step": rays,
         "flops_per_step": flops,
         "bytes_accessed_cpu_layout": bytes_acc,
@@ -116,11 +127,43 @@ def main(scale: str, chunks: int, remat_policy: str = "save_grid", hoist: bool =
     return out
 
 
+def fit(scale: str, remat_policy: str, hoist: bool, n1: int = 8, n2: int = 32) -> None:
+    """Solve total = outside + scan_body/n from two chunk counts (the
+    rolled-while counting caveat, module docstring) and print corrected
+    per-step totals."""
+    a = main(scale, n1, remat_policy, hoist)
+    b = main(scale, n2, remat_policy, hoist)
+
+    def solve(ka, kb):
+        body = (a[ka] - b[kb]) / (1.0 / n1 - 1.0 / n2)
+        outside = a[ka] - body / n1
+        return outside, body
+
+    out_b, body_b = solve("bytes_accessed_cpu_layout", "bytes_accessed_cpu_layout")
+    out_f, body_f = solve("flops_per_step", "flops_per_step")
+    corrected = {
+        "fit": True, "scale": scale, "n1": n1, "n2": n2,
+        "bytes_outside_scan": round(out_b), "bytes_scan_total": round(body_b),
+        "bytes_corrected": round(out_b + body_b),
+        "flops_outside_scan": round(out_f), "flops_scan_total": round(body_f),
+        "flops_corrected": round(out_f + body_f),
+        "t_sol_ms_hbm_corrected": round((out_b + body_b) / V5E_HBM_BPS * 1e3, 2),
+        "t_sol_ms_bf16_corrected": round((out_f + body_f) / V5E_BF16_FLOPS * 1e3, 2),
+    }
+    print(json.dumps(corrected), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", choices=("full", "micro"), default="full")
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--remat-policy", choices=("all", "save_grid"), default="save_grid")
     ap.add_argument("--no-hoist", action="store_true")
+    ap.add_argument("--fit", action="store_true",
+                    help="compile at chunks 8 and 32, solve the rolled-loop "
+                         "counting caveat, print corrected totals")
     a = ap.parse_args()
-    main(a.scale, a.chunks, a.remat_policy, not a.no_hoist)
+    if a.fit:
+        fit(a.scale, a.remat_policy, not a.no_hoist)
+    else:
+        main(a.scale, a.chunks, a.remat_policy, not a.no_hoist)
