@@ -111,12 +111,21 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
     rays_per_batch = layout.total
 
     log(f"layout: {rays_per_batch} rays/batch on {jax.devices()[0].platform}")
-    variables = pipeline.init_variables(0)
-    log("init done")
+    compile_only = bool(os.environ.get("NEURADAR_BENCH_COMPILE_ONLY"))
+    if compile_only:
+        # pre-warm the (persistent + relay-side) compile cache for THIS exact
+        # program without executing anything on the device — degraded relay
+        # episodes crash big executions but serve compiles, so warming during
+        # an episode lets the next healthy window spend its minutes timing
+        # instead of the 5-12 min compile (docs/PERFORMANCE.md playbook)
+        variables = jax.eval_shape(lambda: pipeline.init_variables(0))
+    else:
+        variables = pipeline.init_variables(0)
+    log("init done" + (" (abstract)" if compile_only else ""))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = build_optimizer(params, default_optimizer_groups(20001))
-    opt_state = tx.init(params)
+    opt_state = jax.eval_shape(tx.init, params) if compile_only else tx.init(params)
     loss_fn = pipeline.make_train_loss_fn()
 
     # donate params/opt_state/batch_stats: the optimizer update is in-place
@@ -144,6 +153,20 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
     def stack_batches(k):
         bs = [pipeline.datamanager.next_train() for _ in range(k)]
         return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *bs)
+
+    if compile_only:
+        batches = jax.eval_shape(lambda: jax.tree.map(
+            lambda *xs: jnp.asarray(np.stack(xs)),
+            *[pipeline.datamanager.sample_train_batch() for _ in range(scan_steps)]))
+        log(f"compile-only: lowering+compiling (scale={scale}, K={scan_steps})...")
+        t0 = time.perf_counter()
+        train_steps.lower(params, opt_state, batch_stats, batches,
+                          jax.ShapeDtypeStruct((2,), jnp.uint32), k=scan_steps).compile()
+        dt = time.perf_counter() - t0
+        log(f"compile-only done in {dt:.0f}s (cache warm for this program)")
+        print(json.dumps({"metric": "compile_s", "value": round(dt, 1), "unit": "s",
+                          "vs_baseline": 0.0, "note": "compile-only cache warm, no execution"}))
+        return
 
     pipeline.datamanager.start_prefetch()
     rng = jax.random.PRNGKey(0)
