@@ -114,7 +114,7 @@ class NerfactoTrainer:
         layout, u = self.layout, 1
         model, tx = self.model, self.tx
 
-        def loss_fn(params, batch, rng, train=True):
+        def loss_fn(params, batch, rng, train=True, step=None):
             bundle = build_train_bundle(tables, batch, layout, u)
             gt: Dict[str, jax.Array] = {}
             if not lidar_mode:
@@ -126,16 +126,20 @@ class NerfactoTrainer:
                 gt["lidar_distance"] = batch["lidar_distance"]
                 gt["lidar_intensity"] = batch["lidar_intensity"]
                 gt["did_return"] = batch["did_return"]
+            # proposal-weight annealing ramps in-graph from the (traced)
+            # step counter; eval (step=None) uses the converged exponent
+            # (cf. reference models/nerfacto.py:266-272)
+            anneal = model.anneal_for_step(step) if (train and step is not None) else None
             total, aux = model.apply(
                 {"params": params}, bundle, gt, train=train,
-                method=model.loss_and_metrics,
+                method=model.loss_and_metrics, anneal=anneal,
                 rngs={"sampling": rng} if train else {},
             )
             return total, aux
 
-        def train_step(params, opt_state, batch, rng):
+        def train_step(params, opt_state, batch, rng, step):
             (total, (loss_dict, metrics, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, rng
+                params, batch, rng, step=step
             )
             updates, opt_state = tx.update(grads, opt_state)
             params = optax.apply_updates(params, updates)
@@ -161,7 +165,8 @@ class NerfactoTrainer:
                 batch = jax.tree.map(jnp.asarray, self.dm.next_train())
                 key, sub = jax.random.split(key)
                 params, self.opt_state, total, loss_dict, metrics = self._train_step(
-                    params, self.opt_state, batch, sub
+                    params, self.opt_state, batch, sub,
+                    np.int32(step),  # array arg: dynamic in-graph anneal, no recompile
                 )
                 if step % c.steps_per_log == 0 or step == end - 1:
                     # ONE batched fetch (each value fetch is a ~37 ms relay sync)

@@ -156,7 +156,7 @@ def proposal_network_sampler(
     rng: Optional[jax.Array] = None,
     single_jitter: bool = True,
     initial_sampler: Optional[Callable] = None,
-    anneal: float = 1.0,
+    anneal: Optional[jax.Array] = None,
 ) -> Tuple[RaySamples, List[jax.Array], List[RaySamples]]:
     """Proposal-network sampling chain (cf. ProposalNetworkSampler,
     ray_samplers.py:569-666, with update_sched == always-update as configured
@@ -166,6 +166,11 @@ def proposal_network_sampler(
         density_fns: one callable per proposal round mapping RaySamples ->
             densities [R, S, 1].
         rng: PRNG key; None disables stratification (eval mode).
+        anneal: proposal-weight exponent (float or traced scalar; None skips
+            the power). anneal=0 resamples uniformly, 1 is the plain PDF —
+            cf. reference use_proposal_weight_anneal (models/nerfacto.py:
+            266-272), where it ramps 0->1 over the first
+            proposal_weights_anneal_max_num_iters steps.
 
     Returns:
         final RaySamples, list of proposal weights, list of proposal samples.
@@ -184,7 +189,7 @@ def proposal_network_sampler(
         if i_level == 0:
             ray_samples = initial_sampler(ray_bundle, num_samples, rng=keys[0], single_jitter=single_jitter)
         else:
-            annealed = weights**anneal if anneal != 1.0 else weights
+            annealed = weights if anneal is None else weights**anneal
             ray_samples = pdf_sampler(
                 ray_bundle, ray_samples, annealed, num_samples, rng=keys[i_level], single_jitter=single_jitter
             )

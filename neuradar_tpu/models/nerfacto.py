@@ -50,6 +50,12 @@ class NerfactoModelConfig:
     interlevel_loss_mult: float = 1.0
     distortion_loss_mult: float = 0.002
     use_single_jitter: bool = True
+    use_proposal_weight_anneal: bool = True
+    """Anneal proposal weights from uniform (exponent 0) to the plain PDF
+    (exponent 1) over the first anneal_max_num_iters steps
+    (cf. reference models/nerfacto.py:107-116, 266-272)."""
+    proposal_weights_anneal_slope: float = 10.0
+    proposal_weights_anneal_max_num_iters: int = 1000
     eval_num_rays_per_chunk: int = 1 << 14
     """Full-image eval renders run in chunks of this many rays (cf. reference
     nerfacto method config eval_num_rays_per_chunk, method_configs.py)."""
@@ -84,7 +90,19 @@ class NerfactoModel(nn.Module):
             HashMLPDensityField(static_scale=self.static_scale, max_res=256, num_levels=5, name="proposal_1"),
         ]
 
-    def __call__(self, ray_bundle: RayBundle, train: bool = False) -> Dict[str, Any]:
+    def anneal_for_step(self, step) -> Optional[jax.Array]:
+        """Proposal-weight exponent at `step` (traced scalar ok): the
+        reference's bias(x, b) = b*x/((b-1)*x + 1) ramp over train_frac
+        (models/nerfacto.py:266-272). None when annealing is disabled."""
+        cfg = self.config
+        if not cfg.use_proposal_weight_anneal:
+            return None
+        n = cfg.proposal_weights_anneal_max_num_iters
+        x = jnp.clip(jnp.asarray(step, jnp.float32) / n, 0.0, 1.0)
+        b = cfg.proposal_weights_anneal_slope
+        return b * x / ((b - 1) * x + 1)
+
+    def __call__(self, ray_bundle: RayBundle, train: bool = False, anneal=None) -> Dict[str, Any]:
         cfg = self.config
         nears = jnp.full_like(ray_bundle.pixel_area, cfg.near_plane)
         fars = jnp.full_like(ray_bundle.pixel_area, cfg.far_plane)
@@ -100,6 +118,7 @@ class NerfactoModel(nn.Module):
             rng=rng,
             single_jitter=cfg.use_single_jitter,
             initial_sampler=lin_disp_piecewise_sampler,
+            anneal=anneal,
         )
         cam_idx = ray_bundle.camera_indices[..., 0] if ray_bundle.camera_indices is not None else None
         field_out = self.field(ray_samples, cam_idx)
@@ -138,9 +157,10 @@ class NerfactoModel(nn.Module):
         samples = RaySamples(frustums=frustums, deltas=jnp.full((n, 1, 1), eps))
         return self.field(samples)["rgb"][:, 0]
 
-    def loss_and_metrics(self, ray_bundle: RayBundle, batch: Dict[str, jax.Array], train: bool = True):
+    def loss_and_metrics(self, ray_bundle: RayBundle, batch: Dict[str, jax.Array], train: bool = True,
+                         anneal=None):
         cfg = self.config
-        outputs = self(ray_bundle, train=train)
+        outputs = self(ray_bundle, train=train, anneal=anneal)
         loss_dict: Dict[str, jax.Array] = {}
         metrics: Dict[str, jax.Array] = {}
         if "rgb" in batch:

@@ -79,3 +79,40 @@ def test_query_rgb_at_points():
     assert rgb.shape == (16, 3)
     assert np.isfinite(np.asarray(rgb)).all()
     assert (np.asarray(rgb) >= 0).all() and (np.asarray(rgb) <= 1).all()
+
+
+def test_proposal_weight_anneal_ramp():
+    """anneal_for_step follows the reference bias(x, b) ramp
+    (models/nerfacto.py:266-272): 0 at step 0, ~1 at max_num_iters, and a
+    traced step works inside jit without retriggering compilation."""
+    model = NerfactoModel(config=small_cfg(), static_scale=10.0)
+    n = model.config.proposal_weights_anneal_max_num_iters
+    assert float(model.anneal_for_step(0)) == 0.0
+    assert abs(float(model.anneal_for_step(n)) - 1.0) < 1e-6
+    mid = float(model.anneal_for_step(n // 2))
+    assert 0.5 < mid < 1.0  # slope 10 front-loads the ramp
+    # traced: same jitted fn across steps (dynamic array arg)
+    f = jax.jit(model.anneal_for_step)
+    vals = [float(f(np.int32(s))) for s in (0, n // 4, n, 10 * n)]
+    assert vals[0] == 0.0 and abs(vals[2] - 1.0) < 1e-6 and abs(vals[3] - 1.0) < 1e-6
+    assert vals == sorted(vals)
+
+
+def test_loss_and_metrics_with_traced_anneal():
+    """The annealed sampler path runs under jit with a traced exponent."""
+    model = NerfactoModel(config=small_cfg(), static_scale=10.0)
+    bundle = make_bundle(32)
+    batch = {"rgb": jnp.zeros((32, 3))}
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}
+    variables = jax.jit(functools.partial(model.init, train=True))(rngs, bundle)
+
+    @jax.jit
+    def loss_at(step):
+        total, _ = model.apply(variables, bundle, batch, train=True,
+                               anneal=model.anneal_for_step(step),
+                               method=NerfactoModel.loss_and_metrics,
+                               rngs={"sampling": jax.random.PRNGKey(2)})
+        return total
+
+    l0, l1 = float(loss_at(np.int32(0))), float(loss_at(np.int32(10_000)))
+    assert np.isfinite(l0) and np.isfinite(l1)
