@@ -39,6 +39,45 @@ def distortion_loss(weights_list: Sequence[jax.Array], ray_samples_list: Sequenc
     return jnp.mean(lossfun_distortion(c, w))
 
 
+def _outer_measure(t0: jax.Array, t1: jax.Array, y1: jax.Array) -> jax.Array:
+    """Outer measure of histogram (t1 edges [R, S1+1], y1 [R, S1]) over the
+    bins of t0 [R, S0+1]: for each t0 bin, the total y1 mass of every t1 bin
+    overlapping it (cf. multinerf stepfun.outer / reference losses.py:104).
+    """
+    cy1 = jnp.concatenate([jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1)
+    sr = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(t1, t0)  # [R, S0+1]
+    last = t1.shape[-1] - 1
+    idx_lo = jnp.clip(sr - 1, 0, last)  # largest i with t1[i] <= v (0 if none)
+    idx_hi = jnp.clip(sr, 0, last)  # smallest i with t1[i] > v (last if none)
+    cy1_lo = jnp.take_along_axis(cy1, idx_lo, axis=-1)
+    cy1_hi = jnp.take_along_axis(cy1, idx_hi, axis=-1)
+    return cy1_hi[..., 1:] - cy1_lo[..., :-1]
+
+
+def lossfun_outer(t: jax.Array, w: jax.Array, t_env: jax.Array, w_env: jax.Array) -> jax.Array:
+    """Per-bin penalty for histogram (t, w) escaping the envelope histogram
+    (t_env, w_env) (cf. reference losses.py:93-104)."""
+    w_outer = _outer_measure(t, t_env, w_env)
+    return jnp.clip(w - w_outer, 0.0, None) ** 2 / (w + EPS)
+
+
+def interlevel_loss(
+    weights_list: Sequence[jax.Array], ray_samples_list: Sequence[RaySamples]
+) -> jax.Array:
+    """MipNeRF-360 proposal loss used by the reference NERFACTO
+    (losses.py:115-133; NeuRAD/NeuRadar instead use the ZipNeRF
+    anti-aliased variant below): each proposal histogram must upper-bound
+    the detached final histogram."""
+    c = jax.lax.stop_gradient(ray_samples_to_sdist(ray_samples_list[-1]))
+    w = jax.lax.stop_gradient(weights_list[-1][..., 0])
+    loss = 0.0
+    for ray_samples, weights in zip(ray_samples_list[:-1], weights_list[:-1]):
+        cp = ray_samples_to_sdist(ray_samples)
+        wp = weights[..., 0]
+        loss += jnp.mean(lossfun_outer(c, w, cp, wp))
+    return loss
+
+
 def _blur_stepfun(x: jax.Array, y: jax.Array, r: float) -> Tuple[jax.Array, jax.Array]:
     """Box-blur a step function (cf. losses.py:645)."""
     xr, xr_idx = jax.lax.sort_key_val(

@@ -20,8 +20,8 @@ from neuradar_tpu.fields.nerfacto_field import HashMLPDensityField, NerfactoFiel
 from neuradar_tpu.model_components.losses import (
     binary_cross_entropy_with_logits,
     distortion_loss,
+    interlevel_loss,
     masked_mean,
-    zipnerf_interlevel_loss,
 )
 from neuradar_tpu.model_components.renderers import (
     render_accumulation,
@@ -182,7 +182,9 @@ class NerfactoModel(nn.Module):
             )
         if train:
             wl, rsl = outputs["weights_list"], outputs["ray_samples_list"]
-            loss_dict["interlevel_loss"] = cfg.interlevel_loss_mult * zipnerf_interlevel_loss(wl, rsl)
+            # mip-NeRF 360 proposal loss — the reference nerfacto's variant
+            # (losses.py:115; NeuRAD keeps the ZipNeRF anti-aliased one)
+            loss_dict["interlevel_loss"] = cfg.interlevel_loss_mult * interlevel_loss(wl, rsl)
             loss_dict["distortion_loss"] = cfg.distortion_loss_mult * distortion_loss(wl, rsl)
         total = sum(loss_dict.values(), jnp.asarray(0.0))
         return total, (loss_dict, metrics, outputs)
