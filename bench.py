@@ -61,52 +61,16 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
     import jax.numpy as jnp
     import optax
 
-    from neuradar_tpu.data.datamanager import ADDataManagerConfig
-    from neuradar_tpu.data.dataparsers.synthetic import SyntheticDataParser, SyntheticDataParserConfig
+    from neuradar_tpu.configs.bench_program import bench_pipeline
     from neuradar_tpu.engine.optimizers import build_optimizer, default_optimizer_groups
-    from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipeline, ADNeuRadarPipelineConfig
 
-    # Reference-scale scene proxy and the reference's default batch
-    parser_cfg = SyntheticDataParserConfig(num_frames=24, image_height=96, image_width=156,
-                                           lidar_points_per_scan=32768)
-    outputs = SyntheticDataParser(parser_cfg).get_dataparser_outputs()
-    if scale == "quarter":
-        # last-resort fallback when the TPU worker cannot survive the
-        # full-scale program: a real (conservative) rays/s at 1/4 batch
-        dm = ADDataManagerConfig(num_rgb_patches=10, patch_size=32, num_lidar_rays=4096,
-                                 num_radar_scans=4, max_radar_gt=256)
-    elif scale == "eighth":
-        # degraded-relay probe: small enough that even a relay episode that
-        # crashes every >=quarter program completes it — an honest (very
-        # conservative) reading beats a null artifact
-        dm = ADDataManagerConfig(num_rgb_patches=5, patch_size=32, num_lidar_rays=2048,
-                                 num_radar_scans=2, max_radar_gt=256)
-    elif scale == "micro":
-        # last rung: the smallest batch that still exercises all three
-        # modalities on the PRODUCTION model (~6.5k rays). The 2026-08-17
-        # episode crashed every production train step >= eighth (14k rays)
-        # while the tiny-MODEL step ran (tools/bisect_relay_crash.py) — this
-        # rung also bisects model-class vs batch-scale as the trigger.
-        dm = ADDataManagerConfig.micro()
-    elif scale == "half":
-        dm = ADDataManagerConfig(num_rgb_patches=20, patch_size=32, num_lidar_rays=8192,
-                                 num_radar_scans=8, max_radar_gt=256)
-    elif scale == "three8":
-        dm = ADDataManagerConfig(num_rgb_patches=15, patch_size=32, num_lidar_rays=6144,
-                                 num_radar_scans=6, max_radar_gt=256)
-    else:
-        dm = ADDataManagerConfig(num_rgb_patches=40, patch_size=32, num_lidar_rays=16384,
-                                 num_radar_scans=16, max_radar_gt=256)
-    pipe_cfg = ADNeuRadarPipelineConfig(datamanager=dm)
-    pipe_cfg.model.loss.vgg_mult = 0.0  # no pretrained VGG in this image
-    pipe_cfg.model.nff_chunks = chunks  # bound padded HBM footprint (see models/neuradar.py)
-    if radar_chunks:  # 1 = unchunked radar decode (fused attention never
-        # materializes scores, so remat grouping is optional — A/B knob)
-        pipe_cfg.model.radar_decode_chunks = radar_chunks
-    pipe_cfg.model.compute_dtype = "bfloat16"
-    pipe_cfg.model.nff_remat_policy = remat_policy  # healthy-window A/B knob
-    pipe_cfg.model.hoist_table_cast = hoist
-    pipeline = ADNeuRadarPipeline(pipe_cfg, outputs)
+    # Reference-scale scene proxy + reference batch composition; micro/eighth
+    # /quarter/three8/half are degraded-relay rungs (the 2026-08-17 episode
+    # crashed every production train step >= eighth while micro survived —
+    # tools/bisect_relay_crash.py). ONE definition shared with the cost-model
+    # tools so they always analyze the exact measured program.
+    pipeline = bench_pipeline(scale=scale, chunks=chunks, remat_policy=remat_policy,
+                              hoist=hoist, radar_chunks=radar_chunks)
     layout = pipeline.layout
     rays_per_batch = layout.total
 
@@ -155,9 +119,10 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
         return jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *bs)
 
     if compile_only:
-        batches = jax.eval_shape(lambda: jax.tree.map(
-            lambda *xs: jnp.asarray(np.stack(xs)),
-            *[pipeline.datamanager.sample_train_batch() for _ in range(scan_steps)]))
+        # same stacking code as the timed path (next_train falls back to
+        # sample_train_batch before prefetch starts) — the warmed cache entry
+        # is provably the program the real bench dispatches
+        batches = jax.eval_shape(lambda: stack_batches(scan_steps))
         log(f"compile-only: lowering+compiling (scale={scale}, K={scan_steps})...")
         t0 = time.perf_counter()
         train_steps.lower(params, opt_state, batch_stats, batches,
@@ -221,7 +186,9 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
             f.write(json.dumps({"ts": time.time(),
                                 "args": ["--chunks", str(chunks), "--scale", scale,
                                          "--scan-steps", str(scan_steps)]
-                                + (["--radar-chunks", str(radar_chunks)] if radar_chunks else []),
+                                + (["--radar-chunks", str(radar_chunks)] if radar_chunks else [])
+                                + (["--remat-policy", remat_policy] if remat_policy != "save_grid" else [])
+                                + ([] if hoist else ["--no-hoist"]),
                                 **result}) + "\n")
 
 
@@ -357,7 +324,11 @@ def main_with_retries() -> None:
             child = subprocess.Popen(
                 [sys.executable, __file__, "--worker", *extra],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-                env=dict(os.environ, NEURADAR_BENCH_HEARTBEAT=hb_path),
+                # compile-only is a direct-worker tool (cache pre-warm); a
+                # ladder must always MEASURE — never let workers inherit it
+                # and bank compile_s as the benchmark reading
+                env={k: v for k, v in dict(os.environ, NEURADAR_BENCH_HEARTBEAT=hb_path).items()
+                     if k != "NEURADAR_BENCH_COMPILE_ONLY"},
             )
             t_child = time.monotonic()
             while (child.poll() is None and not os.path.exists(hb_path)

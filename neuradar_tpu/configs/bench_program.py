@@ -1,0 +1,74 @@
+"""The ONE definition of the benchmark/measurement program configuration.
+
+bench.py (the driver-run benchmark) and the cost-model tools
+(tools/roofline_fullstep.py, tools/hlo_table_traffic.py,
+tools/tpu_compile_probe.py) must all compile the SAME program — the tools'
+validity rests on analyzing exactly what bench measures. Build the pipeline
+here so a change to the batch composition or model knobs cannot silently
+desynchronize them.
+
+Reference batch composition (BASELINE.md "Reference operating points"):
+40x32^2 camera patches, 16,384 lidar rays, 16 radar scans.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+def bench_scene_outputs():
+    """Reference-scale synthetic scene proxy shared by every scale."""
+    from neuradar_tpu.data.dataparsers.synthetic import SyntheticDataParser, SyntheticDataParserConfig
+
+    cfg = SyntheticDataParserConfig(num_frames=24, image_height=96, image_width=156,
+                                    lidar_points_per_scan=32768)
+    return SyntheticDataParser(cfg).get_dataparser_outputs()
+
+
+def bench_datamanager_config(scale: str):
+    """Batch composition for a ladder rung (bench.py docstring for the
+    degraded-relay rationale behind the sub-scales)."""
+    from neuradar_tpu.data.datamanager import ADDataManagerConfig
+
+    if scale == "full":
+        return ADDataManagerConfig(num_rgb_patches=40, patch_size=32, num_lidar_rays=16384,
+                                   num_radar_scans=16, max_radar_gt=256)
+    if scale == "half":
+        return ADDataManagerConfig(num_rgb_patches=20, patch_size=32, num_lidar_rays=8192,
+                                   num_radar_scans=8, max_radar_gt=256)
+    if scale == "three8":
+        return ADDataManagerConfig(num_rgb_patches=15, patch_size=32, num_lidar_rays=6144,
+                                   num_radar_scans=6, max_radar_gt=256)
+    if scale == "quarter":
+        return ADDataManagerConfig(num_rgb_patches=10, patch_size=32, num_lidar_rays=4096,
+                                   num_radar_scans=4, max_radar_gt=256)
+    if scale == "eighth":
+        return ADDataManagerConfig(num_rgb_patches=5, patch_size=32, num_lidar_rays=2048,
+                                   num_radar_scans=2, max_radar_gt=256)
+    if scale == "micro":
+        return ADDataManagerConfig.micro()
+    raise ValueError(f"unknown bench scale {scale!r}")
+
+
+def bench_pipeline(scale: str = "full", chunks: int = 8,
+                   remat_policy: Optional[str] = None, hoist: Optional[bool] = None,
+                   radar_chunks: int = 0):
+    """The exact benchmark pipeline: reference batch + production model
+    knobs (bf16, nff chunking; no pretrained VGG in this image).
+
+    remat_policy/hoist: None keeps the production default
+    (models/neuradar.py); pass explicitly only for A/B ablations.
+    """
+    from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipeline, ADNeuRadarPipelineConfig
+
+    pipe_cfg = ADNeuRadarPipelineConfig(datamanager=bench_datamanager_config(scale))
+    pipe_cfg.model.loss.vgg_mult = 0.0
+    pipe_cfg.model.nff_chunks = chunks
+    pipe_cfg.model.compute_dtype = "bfloat16"
+    if radar_chunks:
+        pipe_cfg.model.radar_decode_chunks = radar_chunks
+    if remat_policy is not None:
+        pipe_cfg.model.nff_remat_policy = remat_policy
+    if hoist is not None:
+        pipe_cfg.model.hoist_table_cast = hoist
+    return ADNeuRadarPipeline(pipe_cfg, bench_scene_outputs())

@@ -129,31 +129,12 @@ def zipnerf_interlevel_loss(
 
     Supervises each proposal histogram against the (blurred) final NeRF
     histogram; mean-reduced, so pair with the reference's 0.001 multiplier.
-    """
-    c = jax.lax.stop_gradient(ray_samples_to_sdist(ray_samples_list[-1]))
-    w = jax.lax.stop_gradient(weights_list[-1][..., 0])
-    accum_w = jnp.sum(w, axis=-1, keepdims=True)
-    w = jnp.concatenate([w[..., :-1], w[..., -1:] + (1 - accum_w)], axis=-1)
-
-    w_norm = w / (c[..., 1:] - c[..., :-1])
-    loss = 0.0
-    for i, (ray_samples, weights) in enumerate(zip(ray_samples_list[:-1], weights_list[:-1])):
-        cp = ray_samples_to_sdist(ray_samples)
-        wp = weights[..., 0]
-        c_, w_ = _blur_stepfun(c, w_norm, _pulse_width(i))
-
-        # piecewise linear pdf -> piecewise quadratic cdf
-        area = 0.5 * (w_[..., 1:] + w_[..., :-1]) * (c_[..., 1:] - c_[..., :-1])
-        cdf = jnp.concatenate([jnp.zeros_like(area[..., :1]), jnp.cumsum(area, axis=-1)], axis=-1)
-
-        c_ = jnp.concatenate([jnp.zeros_like(c_[..., :1]), c_, jnp.ones_like(c_[..., :1])], axis=-1)
-        w_ = jnp.concatenate([jnp.zeros_like(w_[..., :1]), w_, jnp.zeros_like(w_[..., :1])], axis=-1)
-        cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf, jnp.ones_like(cdf[..., :1])], axis=-1)
-
-        cdf_interp = _sorted_interp_quad(cp, c_, w_, cdf)
-        w_s = jnp.diff(cdf_interp, axis=-1)
-        loss += jnp.mean(jnp.sum(jnp.clip(w_s - wp, 0.0, None) ** 2 / (wp + 1e-5), axis=-1))
-    return loss
+    RaySamples adapter over :func:`zipnerf_interlevel_loss_sdist` (the
+    chunk-friendly form the NeuRadar model uses directly)."""
+    return zipnerf_interlevel_loss_sdist(
+        [ray_samples_to_sdist(rs) for rs in ray_samples_list],
+        [w[..., 0] for w in weights_list],
+    )
 
 
 def distortion_loss_sdist(sdist: jax.Array, weights: jax.Array) -> jax.Array:

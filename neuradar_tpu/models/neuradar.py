@@ -437,6 +437,11 @@ class NeuRadarModel(nn.Module):
             return carry, mdl._nff_core(rb, cand, train)
 
         if cfg.nff_remat:
+            if cfg.nff_remat_policy not in ("save_grid", "all"):
+                # a typo must not silently run full recompute while its
+                # reading is banked/compared as a save_grid number
+                raise ValueError(f"unknown nff_remat_policy {cfg.nff_remat_policy!r} "
+                                 "(expected 'save_grid' or 'all')")
             policy = (jax.checkpoint_policies.save_only_these_names("hashgrid_out")
                       if cfg.nff_remat_policy == "save_grid" else None)
             body = nn.remat(body, prevent_cse=False, policy=policy)

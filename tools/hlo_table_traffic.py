@@ -54,24 +54,11 @@ def compiled_train_step(scale: str, chunks: int):
     import jax.numpy as jnp
     import optax
 
-    from neuradar_tpu.data.datamanager import ADDataManagerConfig
-    from neuradar_tpu.data.dataparsers.synthetic import SyntheticDataParser, SyntheticDataParserConfig
+    from neuradar_tpu.configs.bench_program import bench_pipeline
     from neuradar_tpu.engine.optimizers import build_optimizer, default_optimizer_groups
-    from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipeline, ADNeuRadarPipelineConfig
 
-    parser_cfg = SyntheticDataParserConfig(num_frames=24, image_height=96, image_width=156,
-                                           lidar_points_per_scan=32768)
-    outputs = SyntheticDataParser(parser_cfg).get_dataparser_outputs()
-    if scale == "micro":
-        dm = ADDataManagerConfig.micro()
-    else:
-        dm = ADDataManagerConfig(num_rgb_patches=40, patch_size=32, num_lidar_rays=16384,
-                                 num_radar_scans=16, max_radar_gt=256)
-    pipe_cfg = ADNeuRadarPipelineConfig(datamanager=dm)
-    pipe_cfg.model.loss.vgg_mult = 0.0
-    pipe_cfg.model.nff_chunks = chunks
-    pipe_cfg.model.compute_dtype = "bfloat16"
-    pipeline = ADNeuRadarPipeline(pipe_cfg, outputs)
+    # exact bench.py configuration — shared single definition
+    pipeline = bench_pipeline(scale=scale, chunks=chunks)
 
     variables = pipeline.init_variables(0)
     params = variables["params"]
@@ -117,7 +104,9 @@ def main(scale: str, chunks: int, min_mb: float) -> None:
     for name, lines in comps.items():
         tally: dict[str, tuple[int, int]] = defaultdict(lambda: (0, 0))
         for line in lines:
-            m = re.match(r"\s*(?:ROOT )?%?[\w\.\-]+ = (\S+) (\w+)\(", line)
+            # result type may be a tuple "(f32[...], bf16[...])" (multi-output
+            # fusions, variadic scatter) — match greedily up to " opcode("
+            m = re.match(r"\s*(?:ROOT )?%?[\w\.\-]+ = (\(.*?\)|\S+) (\w+)\(", line)
             if not m:
                 continue
             result_shape, opcode = m.groups()

@@ -41,27 +41,15 @@ def main(scale: str, chunks: int, hoist: bool, dump: str = "", remat_policy: str
     import jax.numpy as jnp
     import optax
 
-    from neuradar_tpu.data.datamanager import ADDataManagerConfig
-    from neuradar_tpu.data.dataparsers.synthetic import SyntheticDataParser, SyntheticDataParserConfig
+    from neuradar_tpu.configs.bench_program import bench_pipeline
     from neuradar_tpu.engine.optimizers import build_optimizer, default_optimizer_groups
-    from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipeline, ADNeuRadarPipelineConfig
 
-    parser_cfg = SyntheticDataParserConfig(num_frames=24, image_height=96, image_width=156,
-                                           lidar_points_per_scan=32768)
-    outputs = SyntheticDataParser(parser_cfg).get_dataparser_outputs()
-    dm = ADDataManagerConfig.micro() if scale == "micro" else ADDataManagerConfig(
-        num_rgb_patches=40, patch_size=32, num_lidar_rays=16384, num_radar_scans=16, max_radar_gt=256)
-    pipe_cfg = ADNeuRadarPipelineConfig(datamanager=dm)
-    pipe_cfg.model.loss.vgg_mult = 0.0
-    pipe_cfg.model.nff_chunks = chunks
-    pipe_cfg.model.compute_dtype = "bfloat16"
-    pipe_cfg.model.hoist_table_cast = hoist
-    pipe_cfg.model.nff_remat_policy = remat_policy
-    pipeline = ADNeuRadarPipeline(pipe_cfg, outputs)
+    # exact bench.py configuration — shared single definition
+    pipeline = bench_pipeline(scale=scale, chunks=chunks, remat_policy=remat_policy, hoist=hoist)
 
     # abstract init: no device execution at all (eval_shape), so the probe
     # works even when the relay crashes real executions
-    s = pipe_cfg.model.field.grid.static
+    s = pipeline.config.model.field.grid.static
     table_elems = (2 ** s.log2_hashmap_size) * s.num_levels * s.hashgrid_dim
     variables = jax.eval_shape(lambda: pipeline.init_variables(0))
     params = variables["params"]
