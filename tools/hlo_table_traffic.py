@@ -84,11 +84,11 @@ def main(scale: str, chunks: int, min_mb: float) -> None:
     compiled = compiled_train_step(scale, chunks)
     hlo = compiled.as_text()
 
-    # split into computations; remember which are while-loop bodies/conds
+    # split into computations
     comps: dict[str, list[str]] = {}
     cur = None
     for line in hlo.splitlines():
-        m = re.match(r"(?:ENTRY )?%?([\w\.\-]+) \([^)]*\) -> ", line)
+        m = re.match(r"(?:ENTRY )?%?([\w\.\-]+) \(.*\) -> ", line)
         if m and line.rstrip().endswith("{"):
             cur = m.group(1)
             comps[cur] = []
@@ -97,10 +97,24 @@ def main(scale: str, chunks: int, min_mb: float) -> None:
         elif cur is not None:
             comps[cur].append(line)
 
-    loop_bodies = set(re.findall(r"body=%?([\w\.\-]+)", hlo))
+    # mark every computation reachable from a while body as LOOP-resident —
+    # its static instruction costs execute once per iteration, and XLA's
+    # cost_analysis counts them ONCE (the rolled-loop caveat,
+    # tools/roofline_fullstep.py docstring)
+    call_re = re.compile(r"(?:calls|to_apply|condition|body|branch_computations=\{)[=%]*%?([\w\.\-]+)")
+    calls = {name: set(call_re.findall("\n".join(lines))) for name, lines in comps.items()}
+    stack = [b for lines in comps.values() for line in lines
+             for b in re.findall(r"body=%?([\w\.\-]+)", line)]
+    loop_resident: set[str] = set()
+    while stack:
+        c = stack.pop()
+        if c in loop_resident:
+            continue
+        loop_resident.add(c)
+        stack.extend(calls.get(c, ()))
 
     min_bytes = min_mb * 1e6
-    print(f"computations: {len(comps)}  (while bodies: {len(loop_bodies & set(comps))})")
+    print(f"computations: {len(comps)}  (loop-resident: {len(loop_resident & set(comps))})")
     for name, lines in comps.items():
         tally: dict[str, tuple[int, int]] = defaultdict(lambda: (0, 0))
         for line in lines:
@@ -116,7 +130,7 @@ def main(scale: str, chunks: int, min_mb: float) -> None:
                 tally[opcode] = (n + 1, tot + b)
         if not tally:
             continue
-        kind = "LOOP-BODY" if name in loop_bodies else "once"
+        kind = "LOOP-RESIDENT (counted once, executes per iteration)" if name in loop_resident else "once"
         total = sum(t for _, t in tally.values())
         print(f"\n== {name} [{kind}] big-result bytes: {total / 1e9:.2f} GB")
         for opcode, (n, tot) in sorted(tally.items(), key=lambda kv: -kv[1][1]):
