@@ -19,6 +19,15 @@ from neuradar_tpu.cameras.rays import RayBundle
 from neuradar_tpu.utils.poses import exp_map_SE3, exp_map_SO3xR3
 
 
+def _safe_norm(x: jax.Array, axis: int = -1) -> jax.Array:
+    """L2 norm with torch's subgradient-0 at exactly zero. jnp.linalg.norm's
+    gradient at 0 is NaN (inf * 0 through sqrt'(0)), which poisons the very
+    first optimizer step of a pose adjustment initialized at zeros."""
+    sq = jnp.sum(x * x, axis=axis)
+    safe = jnp.where(sq > 0, sq, 1.0)
+    return jnp.where(sq > 0, jnp.sqrt(safe), 0.0)
+
+
 @dataclass
 class CameraOptimizerConfig:
     """cf. CameraOptimizerConfig (camera_optimizers.py:40)."""
@@ -76,8 +85,8 @@ class CameraOptimizer(nn.Module):
         if isinstance(self.config.trans_l2_penalty, tuple):
             trans_term = jnp.mean(jnp.abs(adj[:, :3]) * jnp.asarray(self.config.trans_l2_penalty))
         else:
-            trans_term = jnp.mean(jnp.linalg.norm(adj[:, :3], axis=-1)) * self.config.trans_l2_penalty
-        rot_term = jnp.mean(jnp.linalg.norm(adj[:, 3:], axis=-1)) * self.config.rot_l2_penalty
+            trans_term = jnp.mean(_safe_norm(adj[:, :3])) * self.config.trans_l2_penalty
+        rot_term = jnp.mean(_safe_norm(adj[:, 3:])) * self.config.rot_l2_penalty
         return trans_term + rot_term
 
     def metrics(self) -> Dict[str, jax.Array]:

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from neuradar_tpu.cameras.camera_optimizers import CameraOptimizer, CameraOptimizerConfig
 from neuradar_tpu.cameras.rays import RayBundle
 from neuradar_tpu.fields.nerfacto_field import HashMLPDensityField, NerfactoField
 from neuradar_tpu.model_components.losses import (
@@ -50,6 +51,11 @@ class NerfactoModelConfig:
     interlevel_loss_mult: float = 1.0
     distortion_loss_mult: float = 0.002
     use_single_jitter: bool = True
+    camera_optimizer: CameraOptimizerConfig = dataclass_field(
+        default_factory=lambda: CameraOptimizerConfig(mode="SO3xR3")
+    )
+    """Learnable per-frame pose refinement, applied to train rays
+    (cf. reference models/nerfacto.py:131 — nerfacto defaults to SO3xR3)."""
     use_proposal_weight_anneal: bool = True
     """Anneal proposal weights from uniform (exponent 0) to the plain PDF
     (exponent 1) over the first anneal_max_num_iters steps
@@ -89,6 +95,7 @@ class NerfactoModel(nn.Module):
             HashMLPDensityField(static_scale=self.static_scale, max_res=128, num_levels=5, name="proposal_0"),
             HashMLPDensityField(static_scale=self.static_scale, max_res=256, num_levels=5, name="proposal_1"),
         ]
+        self.camera_optimizer = CameraOptimizer(config=cfg.camera_optimizer, num_cameras=self.num_embeds)
 
     def anneal_for_step(self, step) -> Optional[jax.Array]:
         """Proposal-weight exponent at `step` (traced scalar ok): the
@@ -107,6 +114,9 @@ class NerfactoModel(nn.Module):
         nears = jnp.full_like(ray_bundle.pixel_area, cfg.near_plane)
         fars = jnp.full_like(ray_bundle.pixel_area, cfg.far_plane)
         ray_bundle = ray_bundle.replace(nears=nears, fars=fars)
+        if train and cfg.camera_optimizer.mode != "off":
+            # pose-refine train rays (cf. reference get_outputs camera_optimizer)
+            ray_bundle = self.camera_optimizer.apply_to_raybundle(ray_bundle)
 
         rng = self.make_rng("sampling") if train else None
         density_fns = [lambda rs, f=f: f(rs) for f in self.proposal_fields]
@@ -186,5 +196,7 @@ class NerfactoModel(nn.Module):
             # (losses.py:115; NeuRAD keeps the ZipNeRF anti-aliased one)
             loss_dict["interlevel_loss"] = cfg.interlevel_loss_mult * interlevel_loss(wl, rsl)
             loss_dict["distortion_loss"] = cfg.distortion_loss_mult * distortion_loss(wl, rsl)
+            if cfg.camera_optimizer.mode != "off":
+                loss_dict["camera_opt_regularizer"] = self.camera_optimizer.regularization_loss()
         total = sum(loss_dict.values(), jnp.asarray(0.0))
         return total, (loss_dict, metrics, outputs)

@@ -73,3 +73,24 @@ def test_scaled_optimizer_weights():
     reg = float(opt.apply({"params": {"pose_adjustment": adj}},
                           method=CameraOptimizer.regularization_loss))
     assert abs(reg - 0.01 * 1e-3 / 6) < 1e-9  # weighted |0.01| * penalty 1e-3, mean over 2x3 entries
+
+
+def test_regularization_grad_finite_at_zero_adjustment():
+    """jnp.linalg.norm's gradient at 0 is NaN — the safe norm must give the
+    torch subgradient (0) so the FIRST optimizer step after zero init stays
+    finite (regression: nerfacto + SO3xR3 went NaN at step 1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neuradar_tpu.cameras.camera_optimizers import CameraOptimizer, CameraOptimizerConfig
+
+    opt = CameraOptimizer(config=CameraOptimizerConfig(mode="SO3xR3"), num_cameras=3)
+    variables = opt.init(jax.random.PRNGKey(0), jnp.zeros((2,), jnp.int32))
+
+    def loss(params):
+        return opt.apply({"params": params}, method=CameraOptimizer.regularization_loss)
+
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
