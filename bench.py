@@ -57,6 +57,25 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
             open(hb, "w").close()
         except OSError as e:
             log(f"heartbeat write failed ({e}); parent may misread init as hung")
+        else:
+            import threading
+
+            def _beat():
+                # liveness signal for the ladder parent: a COLD persistent
+                # cache (a host reboot wipes /tmp) makes the first compile
+                # alone outlast any fixed rung budget, so the parent extends
+                # a live worker to its hard cap as long as this file's mtime
+                # keeps advancing. If the relay plugin wedges while holding
+                # the GIL, this thread stops beating and the parent kills us
+                # within ~NEURADAR_BENCH_HB_STALL instead.
+                while True:
+                    time.sleep(10)
+                    try:
+                        os.utime(hb, None)
+                    except OSError:
+                        return
+
+            threading.Thread(target=_beat, daemon=True, name="bench-heartbeat").start()
 
     import jax.numpy as jnp
     import optax
@@ -215,7 +234,12 @@ def main_with_retries() -> None:
     * SIGTERM/SIGINT re-print the best reading and exit 0; if NO attempt has
       succeeded yet they print the outage sentinel (with the committed
       history-best note) and still exit 0 — never a silent null artifact;
-    * total walltime is capped at WALLTIME_BUDGET_S.
+    * total walltime is capped at WALLTIME_BUDGET_S;
+    * a live worker (heartbeat mtime advancing) is never killed before its
+      hard cap — a host reboot wipes the /tmp persistent compile cache, and
+      the cold first compile alone can outlast any fixed rung budget
+      (observed 2026-08-19 on a healthy relay); a stale heartbeat kills in
+      ~NEURADAR_BENCH_HB_STALL seconds instead.
     """
     import signal
     import subprocess
@@ -304,10 +328,20 @@ def main_with_retries() -> None:
         if remaining < 300:
             log("walltime budget nearly exhausted; stopping the ladder")
             break
-        attempt_timeout = min(rung_cap or max_attempt_timeout, max_attempt_timeout,
-                              remaining - 120.0)
+        # a live worker (heartbeat advancing) may run to hard_cap — a cold
+        # persistent cache after a host reboot makes the first compile alone
+        # outlast any fixed rung budget (observed 2026-08-19: the micro rung
+        # died at its 480 s cap mid-compile on a HEALTHY relay). rung_cap now
+        # only picks the hard-cap tier: capped (bank-first/probe) rungs get
+        # 900 s, headline rungs the remaining budget.
+        hard_cap = min(
+            float(os.environ.get("NEURADAR_BENCH_ATTEMPT_HARD",
+                                 "900" if rung_cap is not None else "1380")),
+            remaining - 120.0)
+        if "NEURADAR_BENCH_ATTEMPT_TIMEOUT" in os.environ:  # explicit operator/CI override
+            hard_cap = min(hard_cap, max_attempt_timeout)
+        hb_stall = float(os.environ.get("NEURADAR_BENCH_HB_STALL", "90"))
         timed_out = False
-        hung_init = False
         # backend-init watch: the worker touches hb_path the moment
         # jax.devices() returns. A fully wedged relay never gets there
         # (>420 s measured, no return) — kill such workers after
@@ -318,7 +352,7 @@ def main_with_retries() -> None:
             os.unlink(hb_path)
         except OSError:
             pass
-        init_timeout = min(attempt_timeout,
+        init_timeout = min(hard_cap,
                            float(os.environ.get("NEURADAR_BENCH_INIT_TIMEOUT", "300")))
         try:
             child = subprocess.Popen(
@@ -335,22 +369,47 @@ def main_with_retries() -> None:
                    and time.monotonic() - t_child < init_timeout):
                 time.sleep(2.0)
             if child.poll() is None and not os.path.exists(hb_path):
-                timed_out = hung_init = True
+                timed_out = True
                 child.kill()
                 stdout, werr = child.communicate()
                 stdout = stdout or ""
                 stderr = (f"no backend-init heartbeat after {init_timeout:.0f}s — "
                           "relay wedged at jax.devices()\n" + (werr or ""))
             else:
-                stdout, stderr = child.communicate(
-                    timeout=max(5.0, attempt_timeout - (time.monotonic() - t_child)))
-        except subprocess.TimeoutExpired:  # wedged relay: count as a failed attempt
+                # init returned: the worker's daemon heartbeat thread now
+                # touches hb_path every ~10 s. Poll liveness instead of a
+                # blind communicate(timeout): a live, beating worker (e.g.
+                # sitting in a cold-cache compile) runs to hard_cap; a stale
+                # heartbeat (worker frozen / plugin wedged holding the GIL)
+                # kills in ~hb_stall.
+                kill_why = None
+                while child.poll() is None:
+                    elapsed = time.monotonic() - t_child
+                    if elapsed > hard_cap:
+                        kill_why = (f"attempt killed {elapsed:.0f}s after spawn "
+                                    f"(hard cap {hard_cap:.0f}s)")
+                    else:
+                        try:
+                            hb_age = time.time() - os.path.getmtime(hb_path)
+                        except OSError:  # hb vanished mid-attempt: no liveness signal to judge
+                            hb_age = 0.0
+                        if hb_age > hb_stall:
+                            kill_why = (f"heartbeat stalled for {hb_age:.0f}s (worker frozen) "
+                                        f"{elapsed:.0f}s after spawn")
+                    if kill_why:
+                        timed_out = True
+                        child.kill()
+                        break
+                    time.sleep(2.0)
+                stdout, werr = child.communicate()
+                stdout = stdout or ""
+                stderr = ((kill_why + "\n") if kill_why else "") + (werr or "")
+        except OSError as e:  # Popen/communicate failure: count as a failed attempt
             timed_out = True
-            child.kill()
-            stdout, werr = child.communicate()
-            stdout = stdout or ""
-            stderr = (f"attempt killed {time.monotonic() - t_child:.0f}s after spawn "
-                      f"(attempt budget {attempt_timeout:.0f}s)\n" + (werr or ""))
+            if child is not None and child.poll() is None:
+                child.kill()
+                child.communicate()
+            stdout, stderr = "", f"attempt infrastructure error: {e}"
         try:
             os.unlink(hb_path)
         except OSError:
@@ -431,6 +490,19 @@ if __name__ == "__main__":
                 f.write(str(n + 1))
             values = fake.split(",")
             v = values[min(n, len(values) - 1)].strip()
+            if v.startswith("beat:"):
+                # "beat:<seconds>:<outcome>": simulate a worker alive in a
+                # long cold-cache compile — create + touch the heartbeat file
+                # for <seconds>, then apply <outcome> (a rays/s value, or
+                # "hang" to simulate a frozen post-init worker whose
+                # heartbeat stops advancing)
+                _, secs, v = v.split(":")
+                hbp = os.environ.get("NEURADAR_BENCH_HEARTBEAT")
+                end = time.time() + float(secs)
+                while time.time() < end:
+                    if hbp:
+                        open(hbp, "w").close()
+                    time.sleep(0.3)
             if v == "crash":
                 raise SystemExit("fake worker: scripted crash")
             if v == "hang":  # simulates a backend-init hang (no output at all)

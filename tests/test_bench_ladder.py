@@ -141,6 +141,41 @@ def test_ladder_bank_first_escalates_past_healthy_micro(tmp_path):
     assert int(open(tmp_path / "fake_state").read()) == 2
 
 
+def test_ladder_live_compile_outlasts_legacy_rung_cap(tmp_path):
+    """2026-08-19 failure: a host reboot wiped /tmp, the cold first compile
+    outlasted the micro rung's fixed 480 s budget, and the ladder killed a
+    demonstrably LIVE worker on a healthy relay. A worker whose heartbeat
+    keeps advancing must be allowed to run to the hard cap — past any legacy
+    attempt timeout — and its eventual reading must bank + escalate."""
+    env = _env(tmp_path, "beat:8:150000,250000")
+    env["NEURADAR_BENCH_INIT_TIMEOUT"] = "12"  # hb appears ~instantly
+    env["NEURADAR_BENCH_HB_STALL"] = "5"  # beats every 0.3 s keep it fresh
+    env.pop("NEURADAR_BENCH_ATTEMPT_TIMEOUT", None)  # hard cap = rung default
+    r = subprocess.run(
+        [sys.executable, BENCH], env=env, cwd=tmp_path,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    values = [rec["value"] for rec in _json_lines(r.stdout)]
+    assert values == [150000.0, 250000.0, 250000.0]
+
+
+def test_ladder_kills_stalled_heartbeat_worker(tmp_path):
+    """A worker whose heartbeat STOPS advancing post-init (frozen process /
+    relay plugin wedged holding the GIL) is killed after ~HB_STALL and the
+    ladder moves on to the next rung instead of burning the hard cap."""
+    env = _env(tmp_path, "beat:1:hang,200000")
+    env["NEURADAR_BENCH_INIT_TIMEOUT"] = "12"
+    env["NEURADAR_BENCH_HB_STALL"] = "4"
+    r = subprocess.run(
+        [sys.executable, BENCH], env=env, cwd=tmp_path,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert _json_lines(r.stdout)[-1]["value"] == 200000.0
+    assert "stalled" in r.stderr
+
+
 def test_ladder_total_outage_emits_parseable_sentinel(tmp_path):
     """A relay that hangs backend init (no worker output at all) must yield a
     parseable zero-marker with the history pointer — never a null artifact —
