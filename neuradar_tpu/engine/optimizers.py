@@ -22,15 +22,24 @@ from neuradar_tpu.engine.schedulers import ExponentialDecaySchedulerConfig
 
 @dataclass
 class AdamOptimizerConfig:
-    """cf. AdamOptimizerConfig (engine/optimizers.py)."""
+    """cf. AdamOptimizerConfig (engine/optimizers.py).
+
+    mu_dtype: storage dtype for Adam's first moment (optax mu). The 537 MB
+    hash tables carry f32 mu+nu whose read+write is part of the dominant
+    ray-independent HBM bucket (docs/PERFORMANCE.md roofline); "bfloat16"
+    halves mu traffic. Default None (= param dtype, reference parity) —
+    flip per group via default_optimizer_groups(table_mu_dtype=...) or the
+    bench --table-mu-dtype A/B knob.
+    """
 
     lr: float = 1e-3
     eps: float = 1e-15
     weight_decay: float = 0.0
     max_norm: Optional[float] = None
+    mu_dtype: Optional[str] = None
 
     def build(self, schedule: Callable) -> optax.GradientTransformation:
-        tx = [optax.scale_by_adam(eps=self.eps)]
+        tx = [optax.scale_by_adam(eps=self.eps, mu_dtype=self.mu_dtype)]
         if self.weight_decay:
             tx.append(optax.add_decayed_weights(self.weight_decay))
         if self.max_norm is not None:
@@ -100,8 +109,15 @@ def label_params(params) -> Any:
     return traverse_util.unflatten_dict(labels)
 
 
-def default_optimizer_groups(max_steps: int = 20001) -> Dict[str, OptimizerGroupConfig]:
-    """The neuradar method's optimizer table (method_configs.py:384-409)."""
+def default_optimizer_groups(
+    max_steps: int = 20001, table_mu_dtype: Optional[str] = None
+) -> Dict[str, OptimizerGroupConfig]:
+    """The neuradar method's optimizer table (method_configs.py:384-409).
+
+    table_mu_dtype: optional Adam first-moment storage dtype for the
+    'hashgrids' group only (e.g. "bfloat16" to halve the table-mu HBM
+    traffic; None keeps f32 reference parity).
+    """
     exp = ExponentialDecaySchedulerConfig
     return {
         "trajectory_opt": OptimizerGroupConfig(
@@ -117,7 +133,7 @@ def default_optimizer_groups(max_steps: int = 20001) -> Dict[str, OptimizerGroup
             exp(lr_final=1e-3, max_steps=max_steps, warmup_steps=500),
         ),
         "hashgrids": OptimizerGroupConfig(
-            AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            AdamOptimizerConfig(lr=1e-2, eps=1e-15, mu_dtype=table_mu_dtype),
             exp(lr_final=1e-3, max_steps=max_steps, warmup_steps=500),
         ),
         "camera_opt": OptimizerGroupConfig(
