@@ -39,9 +39,9 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
         # developer/CI escape hatch: measure on the local CPU backend (env
         # alone is ignored here — sitecustomize pre-registers the TPU plugin)
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache_cpu")
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
     else:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     # backend-init heartbeat: a fully wedged relay hangs jax.devices()

@@ -40,7 +40,7 @@ def main() -> int:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache_cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     import jax.numpy as jnp

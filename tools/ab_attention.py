@@ -31,7 +31,7 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
     import jax.numpy as jnp
 
     from neuradar_tpu.model_components.radar_decoder import TransformerEncoderLayer

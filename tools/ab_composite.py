@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))) 
 def main(iters: int = 30):
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
     import jax.numpy as jnp
 
     from neuradar_tpu.cameras.rays import render_weights_from_alpha

@@ -37,7 +37,7 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from neuradar_tpu.data.datamanager import ADDataManagerConfig

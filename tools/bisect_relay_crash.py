@@ -45,7 +45,7 @@ def stage(n, name, fn):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
     import functools
 
     import jax.numpy as jnp

@@ -94,7 +94,7 @@ def scanner(step_fn):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
     import jax.numpy as jnp
 
     print(json.dumps({"platform": jax.devices()[0].platform, "inner": INNER}), flush=True)

@@ -41,7 +41,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
 
 V5E_BF16_FLOPS = 197e12
 V5E_F32_FLOPS = 98.5e12

@@ -33,7 +33,7 @@ def main(scale: str, chunks: int, hoist: bool, dump: str = "", remat_policy: str
     t0 = time.perf_counter()
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/neuradar_tpu_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     print(f"[probe +{time.perf_counter() - t0:.0f}s] backend: {jax.devices()[0].platform}"
           f" x{jax.device_count()}", file=sys.stderr, flush=True)
