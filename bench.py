@@ -3,7 +3,8 @@
 Accounting matches the reference (engine/trainer.py:333-340):
 world_size x rays_per_batch / iteration_time, with the reference's default
 batch composition (40960 camera rays as 40x32^2 patches supervising 96^2 rgb,
-16384 lidar rays, 16 radar scans x full ZOD FoV grid = 54784 radar rays;
+16384 lidar rays, 16 radar scans x full ZOD FoV grid (107x33 under
+torch.arange semantics) = 56496 radar rays;
 BASELINE.md "Reference operating points").
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -20,6 +21,7 @@ import sys
 import time
 
 import numpy as np
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 BASELINE_RAYS_PER_SEC = 100_000.0
 
@@ -32,16 +34,16 @@ T0 = time.perf_counter()
 
 
 def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks: int = 0,
-         remat_policy: str = "save_grid", hoist: bool = True):
+         remat_policy: str = "save_grid", hoist: bool = True, table_moments_dtype=None):
     import jax
 
     if os.environ.get("NEURADAR_BENCH_CPU"):
         # developer/CI escape hatch: measure on the local CPU backend (env
         # alone is ignored here — sitecustomize pre-registers the TPU plugin)
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
+        jax.config.update("jax_compilation_cache_dir", jax_cache_dir("cpu"))
     else:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
+        jax.config.update("jax_compilation_cache_dir", jax_cache_dir("tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     # backend-init heartbeat: a fully wedged relay hangs jax.devices()
@@ -107,7 +109,8 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
     log("init done" + (" (abstract)" if compile_only else ""))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = build_optimizer(params, default_optimizer_groups(20001))
+    tx = build_optimizer(params, default_optimizer_groups(
+        20001, table_moments_dtype=table_moments_dtype))
     opt_state = jax.eval_shape(tx.init, params) if compile_only else tx.init(params)
     loss_fn = pipeline.make_train_loss_fn()
 
@@ -197,6 +200,11 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
     }
+    from neuradar_tpu.configs.bench_program import roofline_fields
+
+    # self-interpretation vs the HBM roofline (cost-model bytes of this exact
+    # program; dense-counted upper bound — configs/bench_program.py)
+    result.update(roofline_fields(scale, rays_per_batch, rays_per_sec))
     print(json.dumps(result))
     if os.environ.get("NEURADAR_BENCH_APPEND_HISTORY"):
         # direct-worker sweeps (chunk/K tuning in a healthy relay window)
@@ -207,7 +215,9 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
                                          "--scan-steps", str(scan_steps)]
                                 + (["--radar-chunks", str(radar_chunks)] if radar_chunks else [])
                                 + (["--remat-policy", remat_policy] if remat_policy != "save_grid" else [])
-                                + ([] if hoist else ["--no-hoist"]),
+                                + ([] if hoist else ["--no-hoist"])
+                                + (["--table-moments-dtype", table_moments_dtype]
+                                   if table_moments_dtype else []),
                                 **result}) + "\n")
 
 
@@ -516,7 +526,8 @@ if __name__ == "__main__":
         scan_steps = int(a[a.index("--scan-steps") + 1]) if "--scan-steps" in a else 4
         radar_chunks = int(a[a.index("--radar-chunks") + 1]) if "--radar-chunks" in a else 0
         remat_policy = a[a.index("--remat-policy") + 1] if "--remat-policy" in a else "save_grid"
+        tmd = a[a.index("--table-moments-dtype") + 1] if "--table-moments-dtype" in a else None
         main(chunks=chunks, scale=scale, scan_steps=scan_steps, radar_chunks=radar_chunks,
-             remat_policy=remat_policy, hoist="--no-hoist" not in a)
+             remat_policy=remat_policy, hoist="--no-hoist" not in a, table_moments_dtype=tmd)
     else:
         main_with_retries()

@@ -5,9 +5,10 @@ rays do NOT come from measured points — each scan shoots a dense spherical
 grid (arange over [min, max] azimuth/elevation at the ray-divergence step),
 converted to cartesian in the radar frame and rotated to world. The grid is
 static per sensor type (ZOD front radar: az [-0.80, 0.80], el [-0.08, 0.40]
-@ 0.015 rad -> 107 x 32 = 3424 rays; VoD: az [-1, 1], el [-0.39, 0.49]
-@ 0.02 -> 100 x 44), which is exactly what a TPU wants: a fixed [n_scans,
-rays_per_scan] token layout.
+@ 0.015 rad -> 107 x 33 = 3531 rays under torch.arange semantics — see
+fov_grid; VoD: az [-1, 1], el [-0.39, 0.49] @ 0.02 -> 100 x 44 = 4400),
+which is exactly what a TPU wants: a fixed [n_scans, rays_per_scan] token
+layout.
 """
 
 from __future__ import annotations
@@ -44,10 +45,14 @@ def fov_grid(
     """Static (azimuth, elevation) grid for one radar FoV: [n_rays, 2].
 
     cf. radars.py:278-294 (torch.arange + meshgrid ij, flattened az-major).
+    Counts follow torch.arange EXACTLY: size = ceil((stop - start) / step)
+    computed in float64. For ZOD's elevation span this INCLUDES a 33rd row at
+    -0.08 + 32*0.015 = 0.3999999999999999 < 0.4 — the executed reference
+    generates 107 x 33 = 3531 rays/scan, not the 107 x 32 = 3424 a tolerant
+    rounding gives (found by tests/test_reference_parity.py).
     """
-    # robust count (float-error-proof arange): ceil((stop-start)/step - eps)
-    n_az = int(np.ceil((max_azimuth - min_azimuth) / azimuth_step - 1e-6))
-    n_el = int(np.ceil((max_elevation - min_elevation) / elevation_step - 1e-6))
+    n_az = int(np.ceil((np.float64(max_azimuth) - np.float64(min_azimuth)) / np.float64(azimuth_step)))
+    n_el = int(np.ceil((np.float64(max_elevation) - np.float64(min_elevation)) / np.float64(elevation_step)))
     azimuths = (min_azimuth + np.arange(n_az) * azimuth_step).astype(np.float32)
     elevations = (min_elevation + np.arange(n_el) * elevation_step).astype(np.float32)
     az, el = np.meshgrid(azimuths, elevations, indexing="ij")

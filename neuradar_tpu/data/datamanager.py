@@ -50,11 +50,13 @@ class ADDataManagerConfig:
 
     @classmethod
     def micro(cls) -> "ADDataManagerConfig":
-        """The smallest all-modality batch (~6.5k rays with the ZOD FoV
+        """The smallest all-modality batch (~6.6k rays with the ZOD FoV
         grid). bench.py and validate_learning share this exact shape: it is
         the program empirically known to survive relay episodes that crash
-        every larger production train step (docs/PERFORMANCE.md)."""
-        return cls(num_rgb_patches=2, patch_size=32, num_lidar_rays=1024,
+        every larger production train step (docs/PERFORMANCE.md). The 1029
+        lidar rays keep the total (2048 + 1029 + 3531 = 6608) divisible by
+        nff_chunks 8/16 with the parity-corrected 3531-ray radar scan."""
+        return cls(num_rgb_patches=2, patch_size=32, num_lidar_rays=1029,
                    num_radar_scans=1, max_radar_gt=128)
 
 

@@ -20,16 +20,63 @@ from flax import traverse_util
 from neuradar_tpu.engine.schedulers import ExponentialDecaySchedulerConfig
 
 
+def scale_by_adam_lowp_state(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-15, state_dtype=None
+) -> optax.GradientTransformation:
+    """Adam whose BOTH moment buffers are stored in ``state_dtype`` (e.g.
+    bf16) while every update computes in f32.
+
+    HBM rationale (docs/PERFORMANCE.md "Full-step roofline"): the flat hash
+    tables are ~600 MB f32, so their f32 mu+nu contribute ~2.4 GB of
+    ray-independent read+write per step. bf16 moments halve that. Numerics:
+    the EMA accumulates in f32 and rounds once per step; bf16's 8 mantissa
+    bits mean relative increments below ~2^-8/(1-beta) can be lost — fine
+    for the noisy table grads (validated by the learning check A/B), so this
+    stays opt-in (table_moments_dtype) rather than reference-parity default.
+    """
+    if state_dtype is None:
+        return optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+
+    def init(params):
+        cast = lambda t: jax.tree.map(lambda x: jax.numpy.zeros_like(x, dtype=state_dtype), t)
+        return optax.ScaleByAdamState(
+            count=jax.numpy.zeros([], jax.numpy.int32), mu=cast(params), nu=cast(params)
+        )
+
+    def update(updates, state, params=None):
+        del params
+        f32 = jax.numpy.float32
+        mu = jax.tree.map(lambda m, g: b1 * m.astype(f32) + (1 - b1) * g.astype(f32), state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v.astype(f32) + (1 - b2) * jax.numpy.square(g.astype(f32)),
+                          state.nu, updates)
+        count = state.count + 1
+        bc1 = 1 - b1**count.astype(f32)
+        bc2 = 1 - b2**count.astype(f32)
+        out = jax.tree.map(
+            lambda m, v: (m / bc1) / (jax.numpy.sqrt(v / bc2) + eps), mu, nu
+        )
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree.map(lambda m: m.astype(state_dtype), mu),
+            nu=jax.tree.map(lambda v: v.astype(state_dtype), nu),
+        )
+        return out, new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 @dataclass
 class AdamOptimizerConfig:
     """cf. AdamOptimizerConfig (engine/optimizers.py).
 
-    mu_dtype: storage dtype for Adam's first moment (optax mu). The 537 MB
+    mu_dtype: storage dtype for Adam's first moment (optax mu).
+    moments_dtype: storage dtype for BOTH moments via
+    scale_by_adam_lowp_state (takes precedence over mu_dtype). The ~600 MB
     hash tables carry f32 mu+nu whose read+write is part of the dominant
     ray-independent HBM bucket (docs/PERFORMANCE.md roofline); "bfloat16"
-    halves mu traffic. Default None (= param dtype, reference parity) —
-    flip per group via default_optimizer_groups(table_mu_dtype=...) or the
-    bench --table-mu-dtype A/B knob.
+    halves that traffic. Default None (= f32, reference parity) — flip per
+    group via default_optimizer_groups(table_moments_dtype=...) or the bench
+    --table-moments-dtype A/B knob.
     """
 
     lr: float = 1e-3
@@ -37,9 +84,13 @@ class AdamOptimizerConfig:
     weight_decay: float = 0.0
     max_norm: Optional[float] = None
     mu_dtype: Optional[str] = None
+    moments_dtype: Optional[str] = None
 
     def build(self, schedule: Callable) -> optax.GradientTransformation:
-        tx = [optax.scale_by_adam(eps=self.eps, mu_dtype=self.mu_dtype)]
+        if self.moments_dtype is not None:
+            tx = [scale_by_adam_lowp_state(eps=self.eps, state_dtype=self.moments_dtype)]
+        else:
+            tx = [optax.scale_by_adam(eps=self.eps, mu_dtype=self.mu_dtype)]
         if self.weight_decay:
             tx.append(optax.add_decayed_weights(self.weight_decay))
         if self.max_norm is not None:
@@ -110,13 +161,14 @@ def label_params(params) -> Any:
 
 
 def default_optimizer_groups(
-    max_steps: int = 20001, table_mu_dtype: Optional[str] = None
+    max_steps: int = 20001, table_mu_dtype: Optional[str] = None,
+    table_moments_dtype: Optional[str] = None,
 ) -> Dict[str, OptimizerGroupConfig]:
     """The neuradar method's optimizer table (method_configs.py:384-409).
 
-    table_mu_dtype: optional Adam first-moment storage dtype for the
-    'hashgrids' group only (e.g. "bfloat16" to halve the table-mu HBM
-    traffic; None keeps f32 reference parity).
+    table_mu_dtype / table_moments_dtype: optional Adam moment storage dtype
+    for the 'hashgrids' group only (e.g. "bfloat16" halves the table-moment
+    HBM traffic — scale_by_adam_lowp_state; None keeps f32 reference parity).
     """
     exp = ExponentialDecaySchedulerConfig
     return {
@@ -133,7 +185,8 @@ def default_optimizer_groups(
             exp(lr_final=1e-3, max_steps=max_steps, warmup_steps=500),
         ),
         "hashgrids": OptimizerGroupConfig(
-            AdamOptimizerConfig(lr=1e-2, eps=1e-15, mu_dtype=table_mu_dtype),
+            AdamOptimizerConfig(lr=1e-2, eps=1e-15, mu_dtype=table_mu_dtype,
+                                moments_dtype=table_moments_dtype),
             exp(lr_final=1e-3, max_steps=max_steps, warmup_steps=500),
         ),
         "camera_opt": OptimizerGroupConfig(

@@ -281,8 +281,18 @@ class HashEncoding(nn.Module):
         else:
             growth = 1.0
         self.growth_factor = growth
-        # Per-level resolutions, cf. encodings.py:350 (floor of geometric spacing)
-        self.scalings = tuple(np.floor(self.min_res * growth**levels).astype(np.float32).tolist())
+        # Per-level resolutions, cf. encodings.py:350 (floor of geometric
+        # spacing). The reference computes min_res * growth**levels in
+        # FLOAT32 (torch promotes the python-scalar growth factor to the
+        # default dtype) before flooring; float64 math floors e.g.
+        # 4 * exp(ln(16)) = 63.99999... to 63 where f32 rounds to exactly 64
+        # — executed-reference parity (tests/test_reference_parity.py)
+        # requires the f32 arithmetic.
+        self.scalings = tuple(
+            np.floor(
+                np.float32(self.min_res) * np.power(np.float32(growth), levels.astype(np.float32))
+            ).astype(np.float32).tolist()
+        )
         self.table_size = 2**self.log2_hashmap_size
         if self.dense_low_levels:
             # corner coords reach floor(scaling)+1, so the dense side length

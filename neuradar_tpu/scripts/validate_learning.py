@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 
 def main(argv=None) -> int:
@@ -33,11 +34,18 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--set-decoder", action="store_true",
                         help="use the DETR-style set radar decoder (radar_decoder_type='set')")
+    parser.add_argument("--eval-every", type=int, default=0,
+                        help="N > 0 banks an eval-metric TRAJECTORY: every N iters render one "
+                             "eval image (PSNR) + one radar scan (chamfer) and run an eval "
+                             "batch (depth/radar losses); the [step, value] curves land in "
+                             "--curve-output (VERDICT r3 item 5 — the quantitative link to "
+                             "the 'within 1% of reference metrics' north star)")
+    parser.add_argument("--curve-output", default="/tmp/learning_curve.json")
     args = parser.parse_args(argv)
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
+    jax.config.update("jax_compilation_cache_dir", jax_cache_dir("tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from neuradar_tpu.data.datamanager import ADDataManagerConfig
@@ -48,8 +56,10 @@ def main(argv=None) -> int:
     if args.scale == "micro":
         dm = ADDataManagerConfig.micro()  # the episode-surviving shape shared with bench.py
     elif args.scale == "small":
+        # same composition as the bench ladder's quarter rung (lidar count
+        # keeps the total divisible by nff_chunks=8 at the 3531-ray scan)
         dm = ADDataManagerConfig(
-            num_rgb_patches=10, patch_size=32, num_lidar_rays=4096, num_radar_scans=4, max_radar_gt=256
+            num_rgb_patches=10, patch_size=32, num_lidar_rays=4100, num_radar_scans=4, max_radar_gt=256
         )
     else:
         dm = ADDataManagerConfig(
@@ -65,8 +75,8 @@ def main(argv=None) -> int:
         pipeline=pipe,
         steps_per_dispatch=args.steps_per_dispatch,
         max_num_iterations=args.iters,
-        steps_per_eval_batch=0,
-        steps_per_eval_image=0,
+        steps_per_eval_batch=args.eval_every,
+        steps_per_eval_image=args.eval_every,
         steps_per_eval_all_images=0,
         steps_per_eval_all_radars=0,
         steps_per_save=0,
@@ -101,6 +111,23 @@ def main(argv=None) -> int:
         last = sum(v for _, v in vals[-max(n // 4, 1):]) / max(n // 4, 1)
         improved = (last - first) * direction > 0
         report[key] = {"first": round(first, 5), "last": round(last, 5), "improved": bool(improved)}
+    if args.eval_every:
+        # trajectory artifact: every train + eval scalar as [step, value]
+        # curves, with enough provenance to compare runs across scales
+        curve_keys = sorted({k for e in events for k in e if k not in ("step", "wall")})
+        curve = {k: series(k) for k in curve_keys}
+        curve_doc = {
+            "scale": args.scale, "iters": args.iters, "bf16": args.bf16,
+            "eval_every": args.eval_every,
+            "set_decoder": args.set_decoder,
+            "backend": jax.default_backend(),
+            "curves": {k: v for k, v in curve.items() if v},
+        }
+        with open(args.curve_output, "w") as f:
+            json.dump(curve_doc, f)
+        report["curve_output"] = args.curve_output
+        report["curve_keys"] = [k for k, v in curve.items() if v]
+
     print(json.dumps(report, indent=2))
     with open(args.output, "w") as f:
         json.dump(report, f, indent=2)

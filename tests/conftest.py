@@ -14,8 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: re-runs of the suite skip recompilation
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
+jax.config.update("jax_compilation_cache_dir", jax_cache_dir("cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 
 def main() -> int:
@@ -40,7 +41,7 @@ def main() -> int:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
+    jax.config.update("jax_compilation_cache_dir", jax_cache_dir("cpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     import jax.numpy as jnp

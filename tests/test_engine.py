@@ -182,3 +182,55 @@ def test_metric_tracker_negative_metric_plateau():
     assert not t.update(-29.5)  # within 5% tolerance of best
     assert t.update(-20.0)  # real degradation (psnr 30 -> 20)
     assert not t.should_stop
+
+
+def test_adam_lowp_state_matches_f32_when_disabled():
+    """state_dtype=None must be exactly optax.scale_by_adam."""
+    import optax
+
+    from neuradar_tpu.engine.optimizers import scale_by_adam_lowp_state
+
+    tx_ref = optax.scale_by_adam(eps=1e-15)
+    tx_lowp = scale_by_adam_lowp_state(eps=1e-15, state_dtype=None)
+    params = {"w": jnp.linspace(-1, 1, 32)}
+    s_ref, s_lowp = tx_ref.init(params), tx_lowp.init(params)
+    g = {"w": jnp.sin(jnp.arange(32, dtype=jnp.float32))}
+    for _ in range(3):
+        u_ref, s_ref = tx_ref.update(g, s_ref)
+        u_lowp, s_lowp = tx_lowp.update(g, s_lowp)
+    np.testing.assert_allclose(np.asarray(u_ref["w"]), np.asarray(u_lowp["w"]), rtol=1e-6)
+
+
+def test_adam_bf16_moments_track_f32():
+    """bf16 moment storage stays within a few % of the f32 update and the
+    state is actually stored in bf16 (the HBM point of the transform)."""
+    import optax
+
+    from neuradar_tpu.engine.optimizers import scale_by_adam_lowp_state
+
+    tx_ref = optax.scale_by_adam(eps=1e-15)
+    tx_bf16 = scale_by_adam_lowp_state(eps=1e-15, state_dtype=jnp.bfloat16)
+    params = {"w": jnp.zeros(64)}
+    s_ref, s_bf16 = tx_ref.init(params), tx_bf16.init(params)
+    assert s_bf16.mu["w"].dtype == jnp.bfloat16 and s_bf16.nu["w"].dtype == jnp.bfloat16
+    key = jax.random.PRNGKey(0)
+    for i in range(20):
+        key, k = jax.random.split(key)
+        g = {"w": jax.random.normal(k, (64,))}
+        u_ref, s_ref = tx_ref.update(g, s_ref)
+        u_bf16, s_bf16 = tx_bf16.update(g, s_bf16)
+    # updates are ~unit-scale (Adam normalizes); bf16 moments wobble a little
+    np.testing.assert_allclose(np.asarray(u_ref["w"]), np.asarray(u_bf16["w"]), atol=0.08)
+
+
+def test_table_moments_dtype_only_hits_hashgrids():
+    from neuradar_tpu.engine.optimizers import build_optimizer, default_optimizer_groups
+
+    params = {
+        "field": {"encoder": {"hash_table": jnp.zeros(128)}, "mlp": {"kernel": jnp.zeros((4, 4))}},
+    }
+    tx = build_optimizer(params, default_optimizer_groups(1000, table_moments_dtype="bfloat16"))
+    state = tx.init(params)
+    leaves_bf16 = [x for x in jax.tree.leaves(state) if hasattr(x, "dtype") and x.dtype == jnp.bfloat16]
+    # exactly mu+nu of the one hash_table leaf
+    assert len(leaves_bf16) == 2 and all(x.shape == (128,) for x in leaves_bf16)

@@ -92,8 +92,10 @@ def test_lidar_rays_from_points():
 
 def test_radar_fov_grid_zod_size():
     g = fov_grid(**ZOD_RADAR_FOV)
-    # cf. SURVEY.md: ~107 x 32 = 3424 rays per ZOD scan
-    assert g.shape == (107 * 32, 2)
+    # torch.arange semantics include the 33rd elevation row at 0.3999999...
+    # (executed-reference parity, tests/test_reference_parity.py): the real
+    # ZOD scan is 107 x 33 = 3531 rays, not the naive 107 x 32
+    assert g.shape == (107 * 33, 2)
 
 
 def test_radar_generate_rays():

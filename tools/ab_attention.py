@@ -1,7 +1,7 @@
 """A/B: fused Pallas radar self-attention vs flax MHA, on real TPU.
 
 Times forward+backward of the radar encoder layer at the production shape
-(16 scans x 3424 rays x d_model 48, and the remat-grouped 4-scan chunk the
+(16 scans x 3531 rays x d_model 48, and the remat-grouped 4-scan chunk the
 model actually runs). One JSON line per configuration. Timing fetches a
 scalar (honest sync on the relay — block_until_ready does not wait on this
 backend, CLAUDE.md). Run during a healthy window (docs/PERFORMANCE.md
@@ -18,6 +18,7 @@ import json
 import os
 import sys
 import time
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
 
@@ -31,7 +32,7 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
+    jax.config.update("jax_compilation_cache_dir", jax_cache_dir("tpu"))
     import jax.numpy as jnp
 
     from neuradar_tpu.model_components.radar_decoder import TransformerEncoderLayer
@@ -39,7 +40,7 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    shapes = [("full16", 16, 3424), ("group4", 4, 3424)]
+    shapes = [("full16", 16, 3531), ("group4", 4, 3531)]
     impls = [("flax", "flax"), ("pallas", "pallas" if on_tpu else "pallas_interpret")]
 
     for shape_name, B, S in shapes:

@@ -14,6 +14,7 @@ import json
 import os
 import sys
 import time
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
 
@@ -21,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))) 
 def main(iters: int = 30):
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
+    jax.config.update("jax_compilation_cache_dir", jax_cache_dir("tpu"))
     import jax.numpy as jnp
 
     from neuradar_tpu.cameras.rays import render_weights_from_alpha

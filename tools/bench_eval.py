@@ -17,6 +17,7 @@ import json
 import os
 import sys
 import time
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
 
@@ -37,7 +38,7 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
+    jax.config.update("jax_compilation_cache_dir", jax_cache_dir("tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from neuradar_tpu.data.datamanager import ADDataManagerConfig

@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import sys
 import traceback
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 sys.path.insert(0, ".")
 
@@ -45,7 +46,7 @@ def stage(n, name, fn):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
+    jax.config.update("jax_compilation_cache_dir", jax_cache_dir("tpu"))
     import functools
 
     import jax.numpy as jnp

@@ -20,8 +20,14 @@ run() {
 # 1. headline train bench (ladder appends history + prints best-so-far)
 run 4500 python bench.py
 
-# 2. K-sweep at full scale (amortization), then chunk sweep at the best K
+# 2. round-3 default A/Bs (VERDICT r3 item 1): put hardware numbers on
+#    hoist_table_cast and nff_remat_policy=save_grid (each arm needs one
+#    fresh compile; the defaults' cache is already warm from step 1)
 export NEURADAR_BENCH_APPEND_HISTORY=1
+run 2400 python bench.py --worker --chunks 8 --scale full --scan-steps 4 --no-hoist
+run 2400 python bench.py --worker --chunks 8 --scale full --scan-steps 4 --remat-policy all
+
+# 3. K-sweep at full scale (amortization), then chunk sweep at the best K
 for K in 1 8 16; do
   run 2000 python bench.py --worker --chunks 8 --scale full --scan-steps "$K"
 done

@@ -17,6 +17,7 @@ import json
 import os
 import sys
 import time
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
 
@@ -94,13 +95,13 @@ def scanner(step_fn):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
+    jax.config.update("jax_compilation_cache_dir", jax_cache_dir("tpu"))
     import jax.numpy as jnp
 
     print(json.dumps({"platform": jax.devices()[0].platform, "inner": INNER}), flush=True)
 
     # reference operating point (BASELINE.md): 112640 rays/step, bf16 compute
-    R_CAM, R_LIDAR, R_RADAR = 40 * 32 * 32, 16384, 16 * 3424
+    R_CAM, R_LIDAR, R_RADAR = 40 * 32 * 32, 16384, 16 * 3531
     R_TOTAL = R_CAM + R_LIDAR + R_RADAR
     S_PROP1, S_PROP2, S_MAIN = 128, 64, 33
     DT = jnp.bfloat16
@@ -179,7 +180,7 @@ def main():
     # ---- radar decoder attention ------------------------------------------
     from neuradar_tpu.model_components.radar_decoder import RadarDecoder
 
-    ns, nr, dm = 4, 3424, 32 + 16  # one remat group of 4 scans
+    ns, nr, dm = 4, 3531, 32 + 16  # one remat group of 4 scans
     rf = jax.random.normal(jax.random.PRNGKey(7), (ns, nr, dm), DT)
     geom = jax.random.normal(jax.random.PRNGKey(8), (ns, nr, 3))
     dec = RadarDecoder(d_model=dm)

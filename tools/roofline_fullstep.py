@@ -39,9 +39,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
+jax.config.update("jax_compilation_cache_dir", jax_cache_dir("cpu"))
 
 V5E_BF16_FLOPS = 197e12
 V5E_F32_FLOPS = 98.5e12
@@ -110,12 +111,19 @@ def main(scale: str, chunks: int, remat_policy: str = "save_grid", hoist: bool =
     return out
 
 
-def fit(scale: str, remat_policy: str, hoist: bool, n1: int = 8, n2: int = 32) -> None:
+def fit(scale: str, remat_policy: str, hoist: bool, n1: int = 8, n2: int = 16) -> None:
     """Solve total = outside + scan_body/n from two chunk counts (the
     rolled-while counting caveat, module docstring) and print corrected
-    per-step totals."""
+    per-step totals.
+
+    n2 must DIVIDE the batch total — a non-divisor silently falls back to 1
+    chunk (models/neuradar.py) and corrupts the fit. The parity-corrected
+    3531-ray radar scan makes the full batch 113,840 = 2^4*5*1423, so 16 is
+    the largest usable power of two (32 was valid for the old 112,128)."""
     a = main(scale, n1, remat_policy, hoist)
     b = main(scale, n2, remat_policy, hoist)
+    assert a["while_loops"] and b["while_loops"], \
+        "a fit arm compiled without the chunk scan (non-divisor chunk count?)"
 
     def solve(ka, kb):
         body = (a[ka] - b[kb]) / (1.0 / n1 - 1.0 / n2)

@@ -39,9 +39,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/cpu")
+jax.config.update("jax_compilation_cache_dir", jax_cache_dir("cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 V5E_HBM_GB = 16.0

@@ -25,6 +25,7 @@ import re
 import sys
 import time
 from collections import Counter
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,7 +34,7 @@ def main(scale: str, chunks: int, hoist: bool, dump: str = "", remat_policy: str
     t0 = time.perf_counter()
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/tpu")
+    jax.config.update("jax_compilation_cache_dir", jax_cache_dir("tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     print(f"[probe +{time.perf_counter() - t0:.0f}s] backend: {jax.devices()[0].platform}"
           f" x{jax.device_count()}", file=sys.stderr, flush=True)
