@@ -707,3 +707,98 @@ class TestPoseParity:
                      atol=1e-5, msg="pose multiply")
         assert_close(np.asarray(inverse(jnp.asarray(a))),
                      t2n(rposes.inverse(torch.from_numpy(a))), atol=1e-5, msg="pose inverse")
+
+
+# ---------------------------------------------------------------------------
+# Renderers
+# ---------------------------------------------------------------------------
+
+
+class TestRendererParity:
+    def _fixture(self, seed=40, n_rays=11, n_samples=19):
+        rng = np.random.default_rng(seed)
+        starts = np.sort(rng.uniform(0.5, 60.0, (n_rays, n_samples, 1)).astype(np.float32), axis=1)
+        ends = starts + rng.uniform(0.05, 2.0, (n_rays, n_samples, 1)).astype(np.float32)
+        w = rng.uniform(0, 0.12, (n_rays, n_samples, 1)).astype(np.float32)
+        feats = rng.standard_normal((n_rays, n_samples, 5)).astype(np.float32)
+        rgb = rng.uniform(0, 1, (n_rays, n_samples, 3)).astype(np.float32)
+        import types as _types
+
+        mk = lambda lib: _types.SimpleNamespace(
+            frustums=_types.SimpleNamespace(starts=lib(starts), ends=lib(ends)))
+        return starts, ends, w, feats, rgb, mk
+
+    def test_feature_and_accumulation(self):
+        rr = ref("nerfstudio.model_components.renderers")
+        _, _, w, feats, _, _ = self._fixture()
+        from neuradar_tpu.model_components.renderers import render_accumulation, render_features
+
+        ref_f = t2n(rr.FeatureRenderer()(torch.from_numpy(feats), torch.from_numpy(w)))
+        assert_close(np.asarray(render_features(jnp.asarray(feats), jnp.asarray(w))), ref_f,
+                     atol=1e-6, msg="feature renderer")
+        ref_a = t2n(rr.AccumulationRenderer.forward(torch.from_numpy(w)))
+        assert_close(np.asarray(render_accumulation(jnp.asarray(w))), ref_a, atol=1e-6,
+                     msg="accumulation renderer")
+
+    def test_depth_median_and_expected(self):
+        rr = ref("nerfstudio.model_components.renderers")
+        starts, ends, w, _, _, mk = self._fixture()
+        from neuradar_tpu.model_components.renderers import render_depth_expected, render_depth_median
+
+        ref_med = t2n(rr.DepthRenderer("median")(torch.from_numpy(w), mk(torch.from_numpy)))
+        my_med = np.asarray(render_depth_median(jnp.asarray(w), mk(jnp.asarray)))
+        assert_close(my_med, ref_med, atol=1e-6, msg="median depth")
+
+        ref_exp = t2n(rr.DepthRenderer("expected")(torch.from_numpy(w), mk(torch.from_numpy)))
+        my_exp = np.asarray(render_depth_expected(jnp.asarray(w), mk(jnp.asarray)))
+        assert_close(my_exp, ref_exp, atol=1e-5, rtol=1e-5, msg="expected depth")
+
+    def test_rgb_background_blend(self):
+        rr = ref("nerfstudio.model_components.renderers")
+        _, _, w, _, rgb, _ = self._fixture()
+        from neuradar_tpu.model_components.renderers import render_rgb_background
+
+        bg = np.asarray([0.2, 0.5, 0.9], np.float32)
+        ref_rgb = t2n(rr.RGBRenderer.combine_rgb(
+            torch.from_numpy(rgb), torch.from_numpy(w), background_color=torch.from_numpy(bg)))
+        my_rgb = np.asarray(render_rgb_background(jnp.asarray(rgb), jnp.asarray(w), jnp.asarray(bg)))
+        assert_close(my_rgb, ref_rgb, atol=1e-6, msg="rgb background blend")
+
+
+class TestTrajectoryInterpolationParity:
+    def test_interpolate_trajectories_6d(self):
+        """cf. utils/poses.py:90-150 (flatten=False) — the actor-pose path
+        NeuRAD's dynamic actors train through."""
+        rposes = ref("nerfstudio.utils.poses")
+        rng = np.random.default_rng(41)
+        n_times, n_actors, n_q = 7, 4, 13
+        poses = rng.standard_normal((n_times, n_actors, 9)).astype(np.float32)
+        pose_times = np.sort(rng.uniform(0, 10, n_times)).astype(np.float32)
+        query_times = rng.uniform(-1, 11, (n_q, 1)).astype(np.float32)  # incl. out-of-range
+        valid = rng.random((n_times, n_actors)) > 0.3
+
+        ref_out, ref_mask = rposes.interpolate_trajectories_6d(
+            torch.from_numpy(poses), torch.from_numpy(pose_times), torch.from_numpy(query_times),
+            pose_valid_mask=torch.from_numpy(valid), flatten=False,
+        )
+        from neuradar_tpu.utils.poses import interpolate_trajectories_6d
+
+        my_out, my_mask = interpolate_trajectories_6d(
+            jnp.asarray(poses), jnp.asarray(pose_times), jnp.asarray(query_times[:, 0]),
+            pose_valid_mask=jnp.asarray(valid),
+        )
+        assert_close(np.asarray(my_mask), t2n(ref_mask), msg="interp validity mask")
+        assert_close(np.asarray(my_out), t2n(ref_out), atol=1e-5, rtol=1e-4, msg="interp 9d poses")
+
+    def test_rotation_6d_roundtrip_matches_reference(self):
+        rcu = ref("nerfstudio.cameras.camera_utils")
+        rng = np.random.default_rng(42)
+        d6 = rng.standard_normal((17, 6)).astype(np.float32)
+        from neuradar_tpu.utils.poses import matrix_to_rotation_6d, rotation_6d_to_matrix
+
+        ref_m = t2n(rcu.rotation_6d_to_matrix(torch.from_numpy(d6)))
+        my_m = np.asarray(rotation_6d_to_matrix(jnp.asarray(d6)))
+        assert_close(my_m, ref_m, atol=1e-5, msg="rotation_6d_to_matrix")
+        ref_back = t2n(rcu.matrix_to_rotation_6d(torch.from_numpy(ref_m)))
+        my_back = np.asarray(matrix_to_rotation_6d(jnp.asarray(my_m)))
+        assert_close(my_back, ref_back, atol=1e-5, msg="matrix_to_rotation_6d")
