@@ -92,8 +92,11 @@ V5E_HBM_BPS = 819e9  # public v5e HBM bandwidth
 # SOL. Refresh via the tool whenever the model/batch changes; None disables
 # the roofline fields in bench output.
 MODELED_BYTES_PER_STEP = {
-    "full": None,
-    "micro": None,
+    # 2026-08-20, parity-corrected 113,840/6,608-ray programs, fit over
+    # chunks (8, 16): full = 95.1 GB outside the nff scan + 400.6 GB scan
+    # work; micro = 32.9 + 23.3 GB (/tmp artifacts banked in git log).
+    "full": 495_733_915_648,
+    "micro": 56_200_876_032,
 }
 
 
