@@ -35,19 +35,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 Q_BLOCK = 256
 _NEG = -1e30
-# Soft budget for the [BQ, S] f32 score-shaped VMEM intermediates of ONE
-# kernel invocation. The hardware scoped-vmem limit is 16 MB and is SHARED
-# with async copies the scheduler overlaps with the kernel: a full-scale
-# train step co-schedules enough prefetch traffic that a backward block set
-# measured at 17.4 MB compiled standalone but OOM'd in-program (2026-08-18).
-_VMEM_SOFT_BUDGET = 10 * 1024 * 1024
+# Soft budget for the TOTAL estimated VMEM of ONE kernel invocation (score
+# intermediates + the fixed K/V / accumulator blocks). The hardware
+# scoped-vmem limit is 16 MB and is SHARED with async copies the scheduler
+# overlaps with the kernel: a full-scale train step co-schedules enough
+# prefetch traffic that a backward block set measured at 17.4 MB compiled
+# standalone but OOM'd in-program (2026-08-18); and at the parity-corrected
+# 3531-ray scan (s_pad 3584) a score-only budget left the backward 476 KB
+# over the limit (2026-08-20 compile fault) — hence the fixed-overhead term.
+_VMEM_SOFT_BUDGET = 12 * 1024 * 1024
 
 
-def _pick_bq(s_pad: int, n_score_bufs: int) -> int:
+def _fixed_vmem_bytes(s_pad: int, d: int, kv_itemsize: int, n_f32_accum: int) -> int:
+    """Estimated VMEM held regardless of the query block size.
+
+    The last dim pads to 128 lanes (d=48 physically occupies 128), K/V input
+    blocks are double-buffered by the pipeline, and the dK/dV f32
+    accumulators are revisited (single-buffered) [s_pad, d] blocks."""
+    d_pad = -(-d // 128) * 128
+    kv_in = 2 * 2 * s_pad * d_pad * kv_itemsize  # K + V, double-buffered
+    accum = n_f32_accum * s_pad * d_pad * 4
+    return kv_in + accum
+
+
+def _pick_bq(s_pad: int, n_score_bufs: int, fixed_bytes: int = 0) -> int:
     """Largest power-of-two query block whose n_score_bufs [bq, s_pad] f32
-    intermediates stay under the soft budget (floor 64 = 8 f32 sublane tiles)."""
+    intermediates PLUS the fixed per-invocation blocks stay under the soft
+    budget (floor 64 = 8 f32 sublane tiles)."""
     bq = min(Q_BLOCK, s_pad)
-    while bq > 64 and n_score_bufs * bq * s_pad * 4 > _VMEM_SOFT_BUDGET:
+    while bq > 64 and fixed_bytes + n_score_bufs * bq * s_pad * 4 > _VMEM_SOFT_BUDGET:
         bq //= 2
     return bq
 
@@ -160,7 +176,8 @@ def _specs(bq, s_pad, d):
 def _fwd_call(q, k, v, seed, scale, rate, interpret):
     B, S, D = q.shape
     s_pad = -(-S // 128) * 128
-    bq = _pick_bq(s_pad, 2 + (1 if rate > 0.0 else 0))
+    bq = _pick_bq(s_pad, 2 + (1 if rate > 0.0 else 0),
+                  _fixed_vmem_bytes(s_pad, D, q.dtype.itemsize, n_f32_accum=0))
     nq = pl.cdiv(S, bq)
     qp = _pad(q, nq * bq)
     kp, vp = _pad(k, s_pad), _pad(v, s_pad)
@@ -180,8 +197,10 @@ def _bwd_call(q, k, v, do, seed, scale, rate, interpret):
     B, S, D = q.shape
     s_pad = -(-S // 128) * 128
     # the backward holds ~4 score-shaped f32 buffers live (p, dp, g-sum
-    # chain, ds) + the dropout mask when training
-    bq = _pick_bq(s_pad, 4 + (1 if rate > 0.0 else 0))
+    # chain, ds) + the dropout mask when training, plus the f32 dK/dV
+    # accumulator blocks
+    bq = _pick_bq(s_pad, 4 + (1 if rate > 0.0 else 0),
+                  _fixed_vmem_bytes(s_pad, D, q.dtype.itemsize, n_f32_accum=2))
     nq = pl.cdiv(S, bq)
     qp, dop = _pad(q, nq * bq), _pad(do, nq * bq)
     kp, vp = _pad(k, s_pad), _pad(v, s_pad)

@@ -41,11 +41,16 @@ def main(argv=None) -> int:
                              "--curve-output (VERDICT r3 item 5 — the quantitative link to "
                              "the 'within 1% of reference metrics' north star)")
     parser.add_argument("--curve-output", default="/tmp/learning_curve.json")
+    parser.add_argument("--cpu", action="store_true",
+                        help="run on the local CPU backend (reference-trajectory curves during "
+                             "relay outages; env JAX_PLATFORMS alone is ignored — sitecustomize)")
     args = parser.parse_args(argv)
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", jax_cache_dir("tpu"))
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", jax_cache_dir("cpu" if args.cpu else "tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from neuradar_tpu.data.datamanager import ADDataManagerConfig

@@ -200,3 +200,22 @@ def test_ladder_total_outage_emits_parseable_sentinel(tmp_path):
     assert len(lines) == 1 and lines[0]["value"] == 0.0
     assert "278883" in lines[0]["note"] and "outage" in lines[0]["note"]
     assert int(open(tmp_path / "fake_state").read()) == 2  # stopped after 2 hangs
+
+
+def test_roofline_fields_self_interpretation():
+    """bench JSON roofline fields (VERDICT r3 item 4): present for modeled
+    scales, absent otherwise, and arithmetically consistent."""
+    from neuradar_tpu.configs.bench_program import (
+        MODELED_BYTES_PER_STEP,
+        V5E_HBM_BPS,
+        roofline_fields,
+    )
+
+    out = roofline_fields("full", 113840, 198800.0)
+    assert set(out) == {"modeled_gb_per_step", "achieved_gbps_dense_counted", "pct_hbm_sol"}
+    steps_per_sec = 198800.0 / 113840
+    expect_gbps = MODELED_BYTES_PER_STEP["full"] * steps_per_sec / 1e9
+    assert abs(out["achieved_gbps_dense_counted"] - expect_gbps) < 0.1
+    assert abs(out["pct_hbm_sol"] - 100 * expect_gbps * 1e9 / V5E_HBM_BPS) < 0.1
+    assert roofline_fields("half", 56920, 1e5) == {}  # no modeled bytes
+    assert roofline_fields("full", 113840, 0.0) == {}  # outage sentinel
