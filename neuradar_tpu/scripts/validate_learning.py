@@ -28,9 +28,13 @@ def main(argv=None) -> int:
                         help="optimizer steps per device dispatch (amortizes the relay round trip)")
     parser.add_argument("--output", default="/tmp/learning_check.json")
     parser.add_argument(
-        "--scale", choices=("full", "small", "micro"), default="full",
+        "--scale", choices=("full", "small", "micro", "tiny"), default="full",
         help="small = quarter batch, micro = ~6.5k rays (the smallest all-modality "
-             "program; survives relay episodes that crash larger train steps)",
+             "program; survives relay episodes that crash larger train steps), "
+             "tiny = CPU-speed shapes (small hash tables + shrunk radar FoV): the "
+             "only scale whose 1k+ iteration reference-trajectory curves are "
+             "feasible on the 1-core host — micro measured ~40 s/iter on CPU "
+             "(the 537 MB-table Adam traffic dominates), tiny runs ~1 s/iter",
     )
     parser.add_argument("--set-decoder", action="store_true",
                         help="use the DETR-style set radar decoder (radar_decoder_type='set')")
@@ -58,7 +62,14 @@ def main(argv=None) -> int:
     from neuradar_tpu.engine.trainer import Trainer, TrainerConfig
     from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipelineConfig
 
-    if args.scale == "micro":
+    if args.scale == "tiny":
+        # 512 rays/iter (128 rgb + 256 lidar + 2 shrunk radar scans), small
+        # hash tables below — the only composition fast enough for long CPU
+        # reference curves; still exercises every modality + loss term
+        dm = ADDataManagerConfig(
+            num_rgb_patches=2, patch_size=8, num_lidar_rays=256, num_radar_scans=2, max_radar_gt=32
+        )
+    elif args.scale == "micro":
         dm = ADDataManagerConfig.micro()  # the episode-surviving shape shared with bench.py
     elif args.scale == "small":
         # same composition as the bench ladder's quarter rung (lidar count
@@ -74,6 +85,16 @@ def main(argv=None) -> int:
     pipe.model.loss.vgg_mult = 0.0
     pipe.model.compute_dtype = "bfloat16" if args.bf16 else "float32"
     pipe.model.nff_chunks = args.chunks
+    if args.scale == "tiny":
+        m = pipe.model
+        m.field.grid.static.log2_hashmap_size = 12
+        m.field.grid.actor.log2_hashmap_size = 10
+        for pf in (m.sampling.proposal_field_1, m.sampling.proposal_field_2):
+            pf.grid.static.log2_hashmap_size = 11
+            pf.grid.actor.log2_hashmap_size = 9
+        m.sampling.num_proposal_samples = (16, 8)
+        m.sampling.num_nerf_samples = 6
+        m.nff_chunks = 1
     if args.set_decoder:
         pipe.model.radar_decoder_type = "set"
     cfg = TrainerConfig(
@@ -93,9 +114,18 @@ def main(argv=None) -> int:
         experiment_name=time.strftime("learning_check_%Y%m%d_%H%M%S"),
         output_dir="/tmp/nrt_learning_check",
     )
-    outputs = SyntheticDataParser(
-        SyntheticDataParserConfig(num_frames=24, image_height=96, image_width=156, lidar_points_per_scan=32768)
-    ).get_dataparser_outputs()
+    if args.scale == "tiny":
+        outputs = SyntheticDataParser(
+            SyntheticDataParserConfig(num_frames=8, image_height=48, image_width=72, lidar_points_per_scan=512)
+        ).get_dataparser_outputs()
+        # shrink the radar FoV grid (16 x 4 rays/scan instead of 107 x 33)
+        # for CPU speed, matching tests/test_trainer_e2e.tiny_outputs
+        outputs.radar_fov = dict(min_azimuth=-0.8, max_azimuth=0.8, min_elevation=-0.08,
+                                 max_elevation=0.32, azimuth_step=0.1, elevation_step=0.1)
+    else:
+        outputs = SyntheticDataParser(
+            SyntheticDataParserConfig(num_frames=24, image_height=96, image_width=156, lidar_points_per_scan=32768)
+        ).get_dataparser_outputs()
     trainer = Trainer(cfg, dataparser_outputs=outputs)
     trainer.setup()
     trainer.train(args.iters)
