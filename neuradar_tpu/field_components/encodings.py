@@ -14,10 +14,18 @@ a [33.5M, 4] table would physically occupy 16 GB):
   * the table parameter is stored FLAT 1-D [levels * table_size * features],
   * all (corner, level, feature) lookups are ONE combined gather with a wide
     [N, 2^d * L * F] index/output (>= 48 lanes, so padding stays small),
-  * a custom VJP stores only the flat positions; the backward pass recomputes
-    indices/weights, scatter-adds the table gradient into the flat table, and
-    regathers once for the position gradient (same recompute-over-store
-    tradeoff tcnn makes in CUDA).
+  * a custom VJP stores the flat positions and the gathered corner features
+    (named ``hashgrid_corners``): the backward recomputes indices/weights
+    (cheap VPU math), scatter-adds the table gradient, and reads the corner
+    features for the position gradient from the residual. Under the
+    ``nff_chunks`` remat scan the save-vs-recompute choice belongs to the
+    checkpoint POLICY: ``save_grid`` recomputes the residual (ONE wide
+    regather — the recompute-over-store tradeoff tcnn makes in CUDA), while
+    ``save_corners`` stores it, removing the backward's random-access table
+    pass entirely at the cost of a sequential [N, 2^d*L*F] store+load. The
+    random gathers read 8-byte rows (F=4 bf16) against >=32-byte HBM
+    transactions, so their physical traffic is ~4x the counted bytes —
+    sequential residual traffic is not (docs/PERFORMANCE.md).
 """
 
 from __future__ import annotations
@@ -164,22 +172,30 @@ def _hash_encode_fwd(positions_flat, table_flat, scalings, table_size, num_level
     gathered, _idx, _eidx, w = _gather_corner_features(
         positions_flat, table_flat, scalings, table_size, num_levels, features_per_level, d, dense_sides
     )
+    # Residual for the backward's position gradient. Under remat the policy
+    # decides its fate: save_only_these_names(... 'hashgrid_corners') stores
+    # it (no backward table access); otherwise the backward recompute
+    # re-runs the one wide gather (same bytes as the 8 per-corner regathers
+    # it replaces, in a single op).
+    gathered = checkpoint_name(gathered, "hashgrid_corners")
     n_corners = 2**d
     w_exp = jnp.repeat(w, F, axis=-1) if F > 1 else w  # [N, 2^d*L*F]
     weighted = (gathered * w_exp).reshape(N, n_corners, L * F)
     out = weighted.sum(axis=1)  # [N, L*F]
-    return out, (positions_flat, table_flat)
+    return out, (positions_flat, table_flat, gathered)
 
 
 def _hash_encode_bwd(scalings, table_size, num_levels, features_per_level, d, dense_sides, residuals, g):
-    """Backward: recompute indices/weights, scatter-add table grad, regather
-    for the position grad (recompute-over-store, cf. module docstring)."""
-    positions_flat, table_flat = residuals
+    """Backward: recompute indices/weights, scatter-add table grad, read the
+    corner features for the position grad from the residual (whose
+    save-vs-regather fate the remat policy controls — module docstring)."""
+    positions_flat, table_flat, gathered = residuals
     N = positions_flat.shape[0] // d
     L, F = num_levels, features_per_level
     n_corners = 2**d
     p = positions_flat.reshape(N, d)
     scal = jnp.asarray(scalings, p.dtype)
+    corner_feats = gathered.reshape(N, n_corners, L, F)
 
     scaled = p[:, None, :] * scal[:, None]  # [N, L, d]
     floored = jnp.floor(scaled)
@@ -209,7 +225,7 @@ def _hash_encode_bwd(scalings, table_size, num_levels, features_per_level, d, de
         upd = (g_lf * w[..., None]).reshape(N, L * F)
         d_table = d_table.at[eidx.reshape(-1)].add(upd.reshape(-1))
         # position gradient: dL/do_i = sum_F g * f_c * dw/do_i
-        f_c = table_flat[eidx].reshape(N, L, F)  # regather
+        f_c = corner_feats[:, corner]  # [N, L, F] from the residual
         gf = (g_lf * f_c).sum(-1)  # [N, L]
         for i, bit in enumerate(bits):
             dw_doi = jnp.ones_like(w)

@@ -157,9 +157,16 @@ class NeuRadarModelConfig:
     rest — skips one full re-gather + hash-index pass per chunk in backward
     for ~0.6 GB of saved activations at the reference batch (the wide
     gathers are the bandwidth-dominant ray-proportional cost; TPU cost
-    model -18.6% bytes, docs/PERFORMANCE.md roofline). 'all' = recompute
+    model -18.6% bytes, docs/PERFORMANCE.md roofline). 'save_corners'
+    additionally saves the gathered corner features (tagged
+    'hashgrid_corners' inside the encode VJP) so the backward performs ZERO
+    random-access table reads — the position-gradient corner features come
+    from a sequential [N, 2^d*L*F] residual (~4.6 GB bf16 extra HBM
+    residency across the three encodings at the reference batch; the
+    random 8-byte-row gathers it replaces pay >=32-byte HBM transactions,
+    so the physical saving exceeds the counted bytes). 'all' = recompute
     the whole chunk forward (minimum memory fallback). Numerics-identical
-    either way (tests/test_nff_chunking.py)."""
+    in every mode (tests/test_nff_chunking.py)."""
     hoist_table_cast: bool = True
     """Cast hash tables to compute_dtype ONCE per step (in the pipeline loss
     fn) instead of inside the nff_chunks scan body, where the cast re-executes
@@ -437,13 +444,17 @@ class NeuRadarModel(nn.Module):
             return carry, mdl._nff_core(rb, cand, train)
 
         if cfg.nff_remat:
-            if cfg.nff_remat_policy not in ("save_grid", "all"):
+            if cfg.nff_remat_policy not in ("save_grid", "save_corners", "all"):
                 # a typo must not silently run full recompute while its
                 # reading is banked/compared as a save_grid number
                 raise ValueError(f"unknown nff_remat_policy {cfg.nff_remat_policy!r} "
-                                 "(expected 'save_grid' or 'all')")
-            policy = (jax.checkpoint_policies.save_only_these_names("hashgrid_out")
-                      if cfg.nff_remat_policy == "save_grid" else None)
+                                 "(expected 'save_grid', 'save_corners' or 'all')")
+            policy = {
+                "save_grid": jax.checkpoint_policies.save_only_these_names("hashgrid_out"),
+                "save_corners": jax.checkpoint_policies.save_only_these_names(
+                    "hashgrid_out", "hashgrid_corners"),
+                "all": None,
+            }[cfg.nff_remat_policy]
             body = nn.remat(body, prevent_cse=False, policy=policy)
         scan = nn.scan(
             body,

@@ -15,7 +15,14 @@ Feature parity with the reference viewer beyond orbiting:
     which the trainer converts to ActorEdits,
   * camera-path authoring: "add keyframe" collects poses server-side and
     GET /camera_path returns a nerfstudio-style camera_path.json consumable
-    by `render.py camera-path` and `render_radar.py camera-path`.
+    by `render.py camera-path` and `render_radar.py camera-path`,
+  * server-push streaming (the reference viewer's continuous feel, where
+    viser pushes frames over its websocket): GET /stream is a
+    multipart/x-mixed-replace MJPEG stream — the client fire-and-forgets
+    pose updates to POST /pose and the server's stream loop renders the
+    LATEST pose as fast as the model allows (state-machine scaled while
+    poses keep arriving, settling to full resolution when they stop),
+    instead of one request-response round trip per frame.
 """
 
 from __future__ import annotations
@@ -56,6 +63,8 @@ show <label><input id="olidar" type="checkbox" style="width:auto" onchange="rend
 output <select id="osel" onchange="render()" style="width:auto">
 <option value="rgb">rgb</option><option value="depth">depth</option>
 <option value="accumulation">accumulation</option></select><br/>
+<label><input id="ostream" type="checkbox" style="width:auto"
+  onchange="toggleStream(this.checked)" title="server-push MJPEG stream instead of per-request polling"/>stream</label>
 <button onclick="keyframe()">add keyframe</button>
 <a href="/camera_path" download="camera_path.json" style="color:#8cf">download path</a>
 <span id="kf"></span><br/>
@@ -64,11 +73,26 @@ train <button onclick="control('pause')">&#9646;&#9646;</button>
 <button onclick="control('stop')" title="finish training (saves final checkpoint)">&#9632;</button>
 <span id="trainstate"></span></div>
 <canvas id="view" width="624" height="384"></canvas>
+<img id="mjpeg" width="624" height="384" style="display:none;margin:auto"/>
 <script>
 let az = 0, el = 0.15, dist = 12, cx = 0, cy = 0, cz = 1.5;
 let dragging = false, lx = 0, ly = 0, pending = false;
 const canvas = document.getElementById('view');
 const ctx = canvas.getContext('2d');
+let streaming = false, lastPose = 0;
+function toggleStream(on) {  // server-push MJPEG instead of request/response
+  streaming = on;
+  const img = document.getElementById('mjpeg');
+  img.style.display = on ? 'block' : 'none';
+  canvas.style.display = on ? 'none' : 'block';
+  if (on) { img.src = '/stream'; postPose(true); } else { img.src = ''; render(); }
+}
+function postPose(force) {  // fire-and-forget, ~30 Hz throttle
+  const now = performance.now();
+  if (!force && now - lastPose < 33) return;
+  lastPose = now;
+  fetch('/pose', {method: 'POST', body: JSON.stringify(pose())});
+}
 function pose() {
   const fx = Math.cos(el) * Math.cos(az), fy = Math.cos(el) * Math.sin(az), fz = Math.sin(el);
   const body = {eye: [cx - dist * fx, cy - dist * fy, cz - dist * fz], target: [cx, cy, cz]};
@@ -90,6 +114,7 @@ function pose() {
 }
 let dirty = false, dirtyPreview = false, settleTimer = null, playing = null;
 async function render(preview) {
+  if (streaming) { postPose(preview !== true); return; }  // stream mode: push pose, server renders
   // queue the LATEST request's preview flag, not the in-flight one's: a
   // full-res request queued behind a preview must settle full-res (and a
   // drag queued behind a full-res render must stay on the fast path)
@@ -212,6 +237,12 @@ class ViewerServer:
         self.keyframes: List[np.ndarray] = []
         self.state_machine = RenderStateMachine()
         self._server: Optional[ThreadingHTTPServer] = None
+        # latest-pose mailbox for the /stream push loop: /pose overwrites
+        # (never queues — a lagging renderer must skip, not replay, stale
+        # poses) and notifies every waiting stream
+        self._pose_cond = threading.Condition()
+        self._pose_seq = 0
+        self._pose_req: dict = {}
         import inspect
 
         try:
@@ -257,8 +288,69 @@ class ViewerServer:
                 elif self.path.startswith("/camera_path"):
                     body = json.dumps(viewer.camera_path_json()).encode()
                     self._send(200, "application/json", body)
+                elif self.path.startswith("/stream"):
+                    self._stream()
                 else:
                     self._send(200, "text/html", _PAGE.encode())
+
+            def _stream(self):
+                """Server-push MJPEG loop: render the LATEST /pose payload as
+                fast as the model allows, at the state machine's adaptive
+                scale while poses keep arriving, settling to full resolution
+                (state `high`) when they stop. Ends when the client
+                disconnects (or after a ?frames=N cap, used by tests)."""
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query)
+                max_frames = int(q.get("frames", [0])[0]) or None
+                self.send_response(200)
+                self.send_header("Content-Type", "multipart/x-mixed-replace; boundary=njframe")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                self.close_connection = True
+                served_seq = -1
+                sent = 0
+                while max_frames is None or sent < max_frames:
+                    with viewer._pose_cond:
+                        # wait for a newer pose; on timeout keep sharpening
+                        # the current one until the machine reaches `high`
+                        if viewer._pose_seq == served_seq:
+                            viewer._pose_cond.wait(timeout=0.1)
+                        moved = viewer._pose_seq != served_seq
+                        served_seq = viewer._pose_seq
+                        req = dict(viewer._pose_req)
+                    key = json.dumps({k: req.get(k) for k in
+                                      ("eye", "target", "time", "actor", "overlays", "output")},
+                                     sort_keys=True)
+                    state, scale, pending = viewer.state_machine.action(key, moved, not moved)
+                    if not moved and not pending and state == "high" and max_frames is None:
+                        continue  # fully settled: wait for the next pose
+                    eye = np.asarray(req.get("eye", [0, 0, 2.0]), np.float32)
+                    target = np.asarray(req.get("target", [10, 0, 1.0]), np.float32)
+                    preview = (True if (state == "low_move" and scale == 0.5)
+                               else (False if scale >= 1.0 else scale))
+                    t_render = time.perf_counter()
+                    rgb = viewer._render(_look_at(eye, target), req.get("actor"),
+                                         req.get("overlays"), preview,
+                                         float(req.get("time", 0.0)),
+                                         str(req.get("output", "rgb")))
+                    viewer.state_machine.observe(scale, time.perf_counter() - t_render)
+                    import PIL.Image
+
+                    buf = io.BytesIO()
+                    PIL.Image.fromarray(rgb).save(buf, format="JPEG", quality=85)
+                    frame = buf.getvalue()
+                    try:
+                        self.wfile.write(b"--njframe\r\n")
+                        self.wfile.write(b"Content-Type: image/jpeg\r\n")
+                        self.wfile.write(f"X-Render-State: {state}\r\n".encode())
+                        self.wfile.write(f"Content-Length: {len(frame)}\r\n\r\n".encode())
+                        self.wfile.write(frame)
+                        self.wfile.write(b"\r\n")
+                        self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        return  # client went away — normal stream teardown
+                    sent += 1
 
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", "0"))
@@ -269,6 +361,17 @@ class ViewerServer:
                 if self.path.startswith("/keyframe"):
                     viewer.keyframes.append(c2w)
                     self._send(200, "application/json", json.dumps({"count": len(viewer.keyframes)}).encode())
+                    return
+                if self.path.startswith("/pose"):
+                    # fire-and-forget pose update feeding GET /stream; the
+                    # 204 returns before any render happens
+                    with viewer._pose_cond:
+                        viewer._pose_req = req
+                        viewer._pose_seq += 1
+                        viewer._pose_cond.notify_all()
+                    self.send_response(204)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
                     return
                 if self.path.startswith("/control"):
                     if viewer.control_fn is None:

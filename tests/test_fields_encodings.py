@@ -299,3 +299,40 @@ def test_dense_low_levels_indexing():
     coords = jnp.asarray([[[0, 0, 0]], [[1, 0, 0]], [[0, 1, 0]], [[2, 2, 2]]], jnp.int32)  # [4, L=1, 3]
     rows = corner_index(coords, 1024, jnp.zeros(1, jnp.int32), (6,))
     assert len(set(np.asarray(rows).ravel().tolist())) == 4
+
+
+def test_hash_encode_bwd_gather_count_by_remat_policy():
+    """The encode VJP's position gradient reads corner features from a
+    residual named 'hashgrid_corners' (encodings.py): a remat policy that
+    saves the name leaves ZERO backward table gathers (1 total — the
+    forward); one that doesn't recomputes the residual with exactly ONE wide
+    regather (2 total). Gradients are identical either way."""
+    from neuradar_tpu.field_components.encodings import hash_encode
+
+    L, T, F, d = 4, 2**10, 4, 3
+    table = jnp.full((L * T * F,), 0.01, jnp.float32)
+    pos = jax.random.uniform(jax.random.PRNGKey(0), (64 * d,))
+    scalings = tuple(float(2**i * 4) for i in range(L))
+
+    def enc_loss(p, t):
+        out = hash_encode(p, t, scalings, T, L, F, d, None)
+        return (out**2).sum()
+
+    save = jax.checkpoint_policies.save_only_these_names
+    counts = {}
+    grads = {}
+    for name, policy in (
+        ("all", None),
+        ("save_grid", save("hashgrid_out")),
+        ("save_corners", save("hashgrid_out", "hashgrid_corners")),
+    ):
+        f = jax.checkpoint(enc_loss, policy=policy)
+        counts[name] = str(jax.make_jaxpr(jax.grad(f, argnums=(0, 1)))(pos, table)).count("gather[")
+        grads[name] = jax.jit(jax.grad(f, argnums=(0, 1)))(pos, table)
+
+    assert counts["save_corners"] == 1, counts
+    assert counts["save_grid"] == 2, counts
+    assert counts["all"] == 2, counts
+    for name in ("save_grid", "save_corners"):
+        for a, b in zip(grads["all"], grads[name]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

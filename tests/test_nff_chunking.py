@@ -97,10 +97,12 @@ def test_radar_decode_chunked_matches_unchunked(setup):
     assert np.isfinite(total_abs) and total_abs > 0
 
 
-def test_save_grid_remat_policy_matches_all(setup):
-    """nff_remat_policy='save_grid' (save hashgrid gather outputs, recompute
-    the rest — models/neuradar.py) is a pure scheduling change: loss and
-    gradients must match the default full-recompute policy."""
+@pytest.mark.parametrize("policy_name", ["save_grid", "save_corners"])
+def test_save_grid_remat_policy_matches_all(setup, policy_name):
+    """nff_remat_policy='save_grid' / 'save_corners' (save hashgrid gather
+    outputs / additionally the gathered corner features — models/neuradar.py)
+    are pure scheduling changes: loss and gradients must match the default
+    full-recompute policy."""
     model, variables, layout, bundle, batch, cfg, scene = setup
     params = variables["params"]
     other = {k: v for k, v in variables.items() if k != "params"}
@@ -119,7 +121,7 @@ def test_save_grid_remat_policy_matches_all(setup):
         return loss_fn
 
     l_all, g_all = jax.jit(jax.value_and_grad(make_loss("all")))(params)
-    l_sg, g_sg = jax.jit(jax.value_and_grad(make_loss("save_grid")))(params)
+    l_sg, g_sg = jax.jit(jax.value_and_grad(make_loss(policy_name)))(params)
     np.testing.assert_allclose(float(l_sg), float(l_all), rtol=1e-6)
     for (ka, va), (kb, vb) in zip(
         jax.tree_util.tree_leaves_with_path(g_all), jax.tree_util.tree_leaves_with_path(g_sg)

@@ -508,3 +508,59 @@ def test_render_state_machine_adaptive_preview_scale():
     m3.observe(1.0, 500.0)
     _, scale3, _ = m3.action("p1", moving=True, settle=False)
     assert scale3 == 0.15
+
+
+def test_viewer_mjpeg_stream():
+    """GET /stream is a server-push multipart/x-mixed-replace MJPEG stream
+    (viewer.py: the viser-style continuous path — viser pushes frames over
+    its websocket, cf. reference nerfstudio/viewer/viewer.py): POST /pose is
+    fire-and-forget (204, no body) and the stream loop renders the LATEST
+    pose, low-res while poses keep arriving, settling toward `high`."""
+    from neuradar_tpu.viewer.viewer import ViewerServer
+
+    calls = []
+
+    def render_fn(c2w, actor=None, overlays=None, preview=False, time_s=0.0):
+        calls.append((np.asarray(c2w), preview))
+        return np.full((12, 16, 3), 90, np.uint8)
+
+    port = _free_port()
+    v = ViewerServer(render_fn=render_fn, port=port)
+    v.start()
+    try:
+        # fire-and-forget pose update: 204 before any render happens
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/pose",
+            data=json.dumps({"eye": [0, 0, 2], "target": [5, 0, 1]}).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert r.status == 204
+        # pull 3 frames off the stream (frames=N caps it so the test ends)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stream?frames=3", timeout=30
+        ) as r:
+            assert r.headers["Content-Type"].startswith("multipart/x-mixed-replace")
+            raw = r.read()
+        parts = [p for p in raw.split(b"--njframe") if b"Content-Type" in p]
+        assert len(parts) == 3
+        states = []
+        for p in parts:
+            head, _, body = p.partition(b"\r\n\r\n")
+            assert b"image/jpeg" in head
+            assert body[:2] == b"\xff\xd8"  # JPEG SOI
+            for line in head.split(b"\r\n"):
+                if line.startswith(b"X-Render-State:"):
+                    states.append(line.split(b":")[1].strip().decode())
+        # first frame renders the new pose in motion; with no further pose
+        # updates the machine promotes toward high
+        assert states[0] == "low_move"
+        assert states[-1] in ("low_static", "high")
+        # the rendered pose is the POSTed one (camera -z toward target)
+        c2w, first_preview = calls[0]
+        assert first_preview is True  # in-motion frame is a preview
+        fwd = -c2w[:, 2]
+        want = np.asarray([5, 0, 1.0]) - np.asarray([0, 0, 2.0])
+        want = want / np.linalg.norm(want)
+        np.testing.assert_allclose(fwd / np.linalg.norm(fwd), want, atol=1e-5)
+    finally:
+        v.stop()

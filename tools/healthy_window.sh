@@ -26,6 +26,7 @@ run 4500 python bench.py
 export NEURADAR_BENCH_APPEND_HISTORY=1
 run 2400 python bench.py --worker --chunks 8 --scale full --scan-steps 4 --no-hoist
 run 2400 python bench.py --worker --chunks 8 --scale full --scan-steps 4 --remat-policy all
+run 2400 python bench.py --worker --chunks 8 --scale full --scan-steps 4 --remat-policy save_corners
 run 2400 python bench.py --worker --chunks 8 --scale full --scan-steps 4 --table-moments-dtype bfloat16
 
 # 3. K-sweep at full scale (amortization), then chunk sweep at the best K
