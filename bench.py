@@ -203,8 +203,12 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
     from neuradar_tpu.configs.bench_program import roofline_fields
 
     # self-interpretation vs the HBM roofline (cost-model bytes of this exact
-    # program; dense-counted upper bound — configs/bench_program.py)
-    result.update(roofline_fields(scale, rays_per_batch, rays_per_sec))
+    # program; dense-counted upper bound — configs/bench_program.py). The
+    # constants are modeled for the DEFAULT program: ablation arms
+    # (remat-policy/hoist/moments knobs) change the program's bytes, so
+    # attaching the default's model there would mislabel the arm.
+    if remat_policy == "save_grid" and hoist and not table_moments_dtype:
+        result.update(roofline_fields(scale, rays_per_batch, rays_per_sec))
     print(json.dumps(result))
     if os.environ.get("NEURADAR_BENCH_APPEND_HISTORY"):
         # direct-worker sweeps (chunk/K tuning in a healthy relay window)

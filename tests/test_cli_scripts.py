@@ -139,3 +139,37 @@ def test_viewer_cli(run_dir):
     with urllib.request.urlopen(req, timeout=600) as r:
         body = r.read()
     assert body[:2] == b"\xff\xd8"
+
+
+def test_curve_from_events_tool(tmp_path):
+    """tools/curve_from_events.py rebuilds a validate_learning-format curve
+    doc from an (incrementally-appended, possibly torn) events.jsonl, so a
+    killed curve run still yields its trajectory artifact."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        from curve_from_events import build_curve, find_events
+    finally:
+        sys.path.pop(0)
+
+    run = tmp_path / "run" / "logs"
+    run.mkdir(parents=True)
+    ev = run / "events.jsonl"
+    lines = [
+        {"step": 1, "wall": 0.1, "loss": 1.0, "psnr": 9.0},
+        {"step": 2, "wall": 0.2, "loss": 0.5, "psnr": 11.0, "eval_psnr": 10.5},
+    ]
+    with open(ev, "w") as f:
+        for l in lines:
+            f.write(json.dumps(l) + "\n")
+        f.write('{"step": 3, "loss": 0.25')  # torn final line (killed writer)
+
+    assert find_events(tmp_path) == ev
+    doc = build_curve(ev, {"scale": "tiny"})
+    assert doc["scale"] == "tiny" and doc["n_events"] == 2
+    assert doc["curves"]["loss"] == [(1, 1.0), (2, 0.5)]
+    assert doc["curves"]["psnr"] == [(1, 9.0), (2, 11.0)]
+    assert doc["curves"]["eval_psnr"] == [(2, 10.5)]
+    assert "wall" not in doc["curves"]
