@@ -10,6 +10,18 @@ LOG=${LOG:-/tmp/healthy_window.log}
 exec >>"$LOG" 2>&1
 echo "=== healthy_window $(date -u +%FT%TZ) ==="
 
+# The 1-core host: pause any long-running CPU jobs (curve runs, test
+# suites) for the duration so host contention doesn't skew bench timings;
+# resume them on exit whatever happens.
+PAUSED_PIDS=""
+for pf in /tmp/curve20k.pid /tmp/suite.pid; do
+  if [ -f "$pf" ] && kill -0 "$(cat "$pf")" 2>/dev/null; then
+    kill -STOP "$(cat "$pf")" && PAUSED_PIDS="$PAUSED_PIDS $(cat "$pf")"
+  fi
+done
+[ -n "$PAUSED_PIDS" ] && echo "paused CPU jobs:$PAUSED_PIDS"
+trap '[ -n "$PAUSED_PIDS" ] && kill -CONT $PAUSED_PIDS 2>/dev/null && echo "resumed:$PAUSED_PIDS"' EXIT
+
 run() {
   local t=$1; shift
   echo "--- [$(date -u +%T)] $* (timeout ${t}s)"
