@@ -154,6 +154,10 @@ class Trainer:
         # control_panel) — polled at the top of each dispatch window.
         self._paused = False
         self._stop_requested = False
+        self._pause_parked = False  # True only while the loop is actually
+        # waiting inside its pause gate (observable for the viewer UI and a
+        # deterministic signal for tests — a bare `paused` flag can be set
+        # before the loop has reached the gate)
 
     def control(self, action: str) -> Dict[str, Any]:
         """Viewer /control endpoint: pause/resume/stop/status."""
@@ -164,7 +168,8 @@ class Trainer:
         elif action == "stop":
             self._stop_requested = True
             self._paused = False
-        return {"paused": self._paused, "stop_requested": self._stop_requested, "step": self._step}
+        return {"paused": self._paused, "stop_requested": self._stop_requested, "step": self._step,
+                "parked": self._pause_parked}
 
     @property
     def _run_dir(self) -> Path:
@@ -365,8 +370,12 @@ class Trainer:
                 if self._stop_requested:
                     break
                 t_pause = time.perf_counter()
-                while self._paused and not self._stop_requested:
-                    time.sleep(0.05)  # train_lock stays free: viewer renders keep serving
+                self._pause_parked = True
+                try:
+                    while self._paused and not self._stop_requested:
+                        time.sleep(0.05)  # train_lock stays free: viewer renders keep serving
+                finally:
+                    self._pause_parked = False
                 t_last_log += time.perf_counter() - t_pause  # paused time out of rays/s window
                 if self._stop_requested:
                     break

@@ -324,8 +324,14 @@ def test_viewer_training_controls(trained):
     trainer.control("pause")
     t = threading.Thread(target=trainer.train, args=(1,), daemon=True)
     t.start()
-    time.sleep(0.4)
-    assert t.is_alive() and trainer._step == step0 and not trainer.train_lock.locked()
+    # poll for the loop actually PARKED in its pause gate (deterministic —
+    # a fixed sleep raced thread startup under host contention: observed
+    # 0.4 s was not enough to even reach the gate in a loaded suite run)
+    deadline = time.time() + 120
+    while time.time() < deadline and not trainer._pause_parked:
+        time.sleep(0.05)
+    assert t.is_alive() and trainer._pause_parked
+    assert trainer._step == step0 and not trainer.train_lock.locked()
     state = trainer.control("resume")
     assert state["paused"] is False
     t.join(timeout=120)
