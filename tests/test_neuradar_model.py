@@ -1,7 +1,6 @@
 """End-to-end NeuRadar model tests: forward, loss, gradients — the
 integration coverage the reference lacks (SURVEY.md §4)."""
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -96,21 +95,10 @@ RNGS = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
 
 
 @pytest.fixture(scope="module")
-def model_and_params():
-    layout = make_layout()
-    bundle, batch = make_bundle_and_batch(layout)
-    model = NeuRadarModel(
-        config=small_config(),
-        scene=SceneMeta(static_scale=100.0, duration=5.0, num_sensors=2, num_train_frames=4),
-        trajectories=make_trajectories(),
-    )
-    # jitted init: ~5x faster than eager op-by-op dispatch on the 1-core CI
-    # host, and the compiled program lands in the persistent cache
-    init_fn = jax.jit(
-        functools.partial(model.init, train=True, method=NeuRadarModel.loss_and_metrics),
-        static_argnames=("layout",),
-    )
-    variables = init_fn(RNGS, bundle, batch, layout=layout)
+def model_and_params(small_model_setup):
+    # shared session-scoped init (tests/conftest.py) — suite-trim: this and
+    # test_nff_chunking's setup used to run the identical multi-minute init
+    model, variables, layout, bundle, batch, _cfg, _scene = small_model_setup
     return model, variables, layout, bundle, batch
 
 

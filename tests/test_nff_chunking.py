@@ -2,31 +2,19 @@
 eval mode (no stochastic sampling)."""
 
 import dataclasses
-import functools
 
 import jax
 import numpy as np
 import pytest
 
 from neuradar_tpu.models.neuradar import NeuRadarModel
-from tests.test_neuradar_model import RNGS, make_bundle_and_batch, make_layout, make_trajectories, small_config
+from tests.test_neuradar_model import RNGS, make_trajectories
 
 
 @pytest.fixture(scope="module")
-def setup():
-    layout = make_layout()
-    bundle, batch = make_bundle_and_batch(layout)
-    cfg = small_config()
-    from neuradar_tpu.models.neuradar import SceneMeta
-
-    scene = SceneMeta(static_scale=100.0, duration=5.0, num_sensors=2, num_train_frames=4)
-    model = NeuRadarModel(config=cfg, scene=scene, trajectories=make_trajectories())
-    init_fn = jax.jit(
-        functools.partial(model.init, train=True, method=NeuRadarModel.loss_and_metrics),
-        static_argnames=("layout",),
-    )
-    variables = init_fn(RNGS, bundle, batch, layout=layout)
-    return model, variables, layout, bundle, batch, cfg, scene
+def setup(small_model_setup):
+    # shared session-scoped init (tests/conftest.py)
+    return small_model_setup
 
 
 def test_chunked_matches_unchunked_eval(setup):
