@@ -61,7 +61,9 @@ def test_uint8_image_batch_matches_float():
     loss must match a pre-normalized float batch exactly."""
     pipeline = make_pipeline(num_lidar=0, num_radar_scans=0)
     variables = pipeline.init_variables(0)
-    loss_fn = pipeline.make_train_loss_fn()
+    # jit: eager full-model dispatch is ~5x slower on the 1-core host, and
+    # both arms' compiles land in the persistent cache (suite-trim)
+    loss_fn = jax.jit(pipeline.make_train_loss_fn())
     batch = pipeline.datamanager.sample_train_batch()
     assert batch["image"].dtype == np.uint8
     b_u8 = jax.tree.map(jnp.asarray, batch)

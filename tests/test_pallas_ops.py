@@ -60,12 +60,14 @@ def test_model_flag_use_pallas_composite():
     pipe = __graft_entry__._tiny_pipeline()
     variables = pipe.init_variables(0)
     batch = jax.tree.map(jnp.asarray, pipe.datamanager.sample_train_batch())
-    loss_fn = pipe.make_train_loss_fn()
+    # jit both arms: eager full-model dispatch is ~5x slower on the 1-core
+    # host and the compiles land in the persistent cache (suite-trim)
+    loss_fn = jax.jit(pipe.make_train_loss_fn())
     rng = jax.random.PRNGKey(0)
     total_xla, _ = loss_fn(variables["params"], variables.get("batch_stats", {}), batch, rng)
 
     pipe.config.model.use_pallas_composite = True
-    loss_fn_p = pipe.make_train_loss_fn()
+    loss_fn_p = jax.jit(pipe.make_train_loss_fn())
     total_pal, _ = loss_fn_p(variables["params"], variables.get("batch_stats", {}), batch, rng)
     np.testing.assert_allclose(float(total_pal), float(total_xla), rtol=5e-4)
 
