@@ -148,7 +148,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", choices=("full", "micro"), default="full")
     ap.add_argument("--chunks", type=int, default=8)
-    ap.add_argument("--remat-policy", choices=("all", "save_grid"), default="save_grid")
+    ap.add_argument("--remat-policy", choices=("all", "save_grid", "save_corners"), default="save_grid")
     ap.add_argument("--no-hoist", action="store_true")
     ap.add_argument("--fit", action="store_true",
                     help="compile at chunks 8 and 32, solve the rolled-loop "
