@@ -18,9 +18,9 @@ import json
 import os
 import sys
 import time
-from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo root
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 
 def main() -> None:

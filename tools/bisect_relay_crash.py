@@ -23,9 +23,9 @@ from __future__ import annotations
 import json
 import sys
 import traceback
-from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 sys.path.insert(0, ".")
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 STOP_AFTER = int(sys.argv[sys.argv.index("--stop-after") + 1]) if "--stop-after" in sys.argv else 99
 

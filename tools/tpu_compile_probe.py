@@ -25,9 +25,9 @@ import re
 import sys
 import time
 from collections import Counter
-from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 
 def main(scale: str, chunks: int, hoist: bool, dump: str = "", remat_policy: str = "save_grid") -> None:
@@ -103,6 +103,6 @@ if __name__ == "__main__":
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--no-hoist", action="store_true")
     ap.add_argument("--dump", default="", help="write optimized HLO text to this path")
-    ap.add_argument("--remat-policy", choices=("all", "save_grid"), default="save_grid")
+    ap.add_argument("--remat-policy", choices=("all", "save_grid", "save_corners"), default="save_grid")
     a = ap.parse_args()
     main(a.scale, a.chunks, not a.no_hoist, a.dump, a.remat_policy)
