@@ -238,12 +238,17 @@ def generate_camera_rays(cameras: Cameras, camera_indices: jax.Array, coords: ja
     metadata = {k: v[idx] for k, v in cameras.metadata.items() if k not in ("rolling_shutter_offsets", "velocities")}
     metadata["directions_norm"] = jax.lax.stop_gradient(n0)
 
-    # rolling shutter compensation (cf. cameras.py:922-937, TOP_TO_BOTTOM)
+    # rolling shutter compensation (cf. cameras.py:922-937, TOP_TO_BOTTOM).
+    # The reference computes row/height from PIXEL-CENTER coords (callers go
+    # through get_image_coords' +0.5 offset), so the center offset belongs
+    # here too — executed-reference parity (test_reference_parity.py
+    # test_rolling_shutter) caught the raw-row variant drifting by
+    # velocity * 0.5/height * duration.
     if "rolling_shutter_offsets" in cameras.metadata and "velocities" in cameras.metadata:
         offsets = cameras.metadata["rolling_shutter_offsets"][idx]  # [R, 2]
         duration = offsets[..., 1:2] - offsets[..., 0:1]
         heights = cameras.height[idx].astype(rows.dtype)
-        time_offsets = rows / heights * duration + offsets[..., 0:1]
+        time_offsets = (rows + 0.5) / heights * duration + offsets[..., 0:1]
         origins = origins + cameras.metadata["velocities"][idx] * time_offsets
         if times is not None:
             times = times + time_offsets

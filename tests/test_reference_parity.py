@@ -540,6 +540,58 @@ class TestCameraRayParity:
         assert_close(my_bundle.pixel_area, t2n(ref_bundle.pixel_area), atol=1e-9, rtol=2e-3,
                      msg="fisheye pixel_area")
 
+    def test_rolling_shutter(self):
+        """Rolling-shutter compensation (reference cameras.py:922-937,
+        TOP_TO_BOTTOM): per-row time offsets scale the sensor velocity into
+        the ray origins and shift the ray times."""
+        rcams = ref("nerfstudio.cameras.cameras")
+        rng = np.random.default_rng(21)
+        n_cams, n_rays = 3, 48
+        c2w = _c2w_batch(rng, n_cams)
+        fx = fy = np.full((n_cams, 1), 400.0, np.float32)
+        cx = np.full((n_cams, 1), 320.0, np.float32)
+        cy = np.full((n_cams, 1), 240.0, np.float32)
+        w = np.full((n_cams, 1), 640, np.int64)
+        h = np.full((n_cams, 1), 480, np.int64)
+        times = rng.uniform(0, 5, (n_cams, 1)).astype(np.float32)
+        offsets = np.stack([np.full(n_cams, -0.015), np.full(n_cams, 0.035)], -1).astype(np.float32)
+        velocities = rng.uniform(-10, 10, (n_cams, 3)).astype(np.float32)
+
+        ref_cams = rcams.Cameras(
+            camera_to_worlds=torch.from_numpy(c2w), fx=torch.from_numpy(fx), fy=torch.from_numpy(fy),
+            cx=torch.from_numpy(cx), cy=torch.from_numpy(cy), width=torch.from_numpy(w),
+            height=torch.from_numpy(h), camera_type=rcams.CameraType.PERSPECTIVE,
+            times=torch.from_numpy(times),
+            metadata={"rolling_shutter_offsets": torch.from_numpy(offsets),
+                      "velocities": torch.from_numpy(velocities)},
+        )
+        idx = rng.integers(0, n_cams, (n_rays, 1))
+        coords = np.stack(
+            [rng.integers(0, 480, n_rays), rng.integers(0, 640, n_rays)], axis=-1
+        ).astype(np.float32)
+        ref_bundle = ref_cams.generate_rays(
+            camera_indices=torch.from_numpy(idx), coords=torch.from_numpy(coords + 0.5)
+        )
+
+        from neuradar_tpu.cameras.cameras import Cameras, CameraType
+
+        my_cams = Cameras(
+            camera_to_worlds=jnp.asarray(c2w), fx=jnp.asarray(fx), fy=jnp.asarray(fy),
+            cx=jnp.asarray(cx), cy=jnp.asarray(cy), width=jnp.asarray(w), height=jnp.asarray(h),
+            camera_type=jnp.full((n_cams, 1), CameraType.PERSPECTIVE, jnp.int32),
+            times=jnp.asarray(times),
+            metadata={"rolling_shutter_offsets": jnp.asarray(offsets),
+                      "velocities": jnp.asarray(velocities)},
+        )
+        my_bundle = my_cams.generate_rays(jnp.asarray(idx[:, 0]), jnp.asarray(coords))
+
+        # origins move by velocity * per-row time offset; times shift equally
+        assert_close(my_bundle.origins, t2n(ref_bundle.origins), atol=1e-5, msg="rs origins")
+        assert_close(my_bundle.times, t2n(ref_bundle.times), atol=1e-6, msg="rs times")
+        # the compensation must actually displace something (row-dependent)
+        base = np.take_along_axis(c2w[..., :3, 3], np.repeat(idx, 3, 1), axis=0)
+        assert np.abs(t2n(ref_bundle.origins) - base).max() > 1e-3
+
 
 class TestLidarRayParity:
     def test_rays_from_points(self):
