@@ -235,11 +235,15 @@ def generate_camera_rays(cameras: Cameras, camera_indices: jax.Array, coords: ja
     origins = c2w[..., :3, 3]
     times = cameras.times[idx] if cameras.times is not None else None  # [R, 1]
 
-    metadata = {k: v[idx] for k, v in cameras.metadata.items() if k not in ("rolling_shutter_offsets", "velocities")}
+    metadata = {k: v[idx] for k, v in cameras.metadata.items()
+                if k not in ("rolling_shutter_offsets", "velocities", "rs_horizontal")}
     metadata["directions_norm"] = jax.lax.stop_gradient(n0)
 
-    # rolling shutter compensation (cf. cameras.py:922-937, TOP_TO_BOTTOM).
-    # The reference computes row/height from PIXEL-CENTER coords (callers go
+    # rolling shutter compensation (cf. cameras.py:922-937): row-wise
+    # TOP_TO_BOTTOM (pandaset) by default; cameras flagged `rs_horizontal`
+    # read out column-wise (WOD LEFT_TO_RIGHT/RIGHT_TO_LEFT — the
+    # reference's rs_direction == "Horizontal" branch). The reference
+    # computes row/height (col/width) from PIXEL-CENTER coords (callers go
     # through get_image_coords' +0.5 offset), so the center offset belongs
     # here too — executed-reference parity (test_reference_parity.py
     # test_rolling_shutter) caught the raw-row variant drifting by
@@ -248,7 +252,11 @@ def generate_camera_rays(cameras: Cameras, camera_indices: jax.Array, coords: ja
         offsets = cameras.metadata["rolling_shutter_offsets"][idx]  # [R, 2]
         duration = offsets[..., 1:2] - offsets[..., 0:1]
         heights = cameras.height[idx].astype(rows.dtype)
-        time_offsets = (rows + 0.5) / heights * duration + offsets[..., 0:1]
+        frac = (rows + 0.5) / heights
+        if "rs_horizontal" in cameras.metadata:
+            widths = cameras.width[idx].astype(cols.dtype)
+            frac = jnp.where(cameras.metadata["rs_horizontal"][idx], (cols + 0.5) / widths, frac)
+        time_offsets = frac * duration + offsets[..., 0:1]
         origins = origins + cameras.metadata["velocities"][idx] * time_offsets
         if times is not None:
             times = times + time_offsets

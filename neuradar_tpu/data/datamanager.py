@@ -78,6 +78,8 @@ def build_sensor_tables(out: DataparserOutputs) -> SensorTables:
     if out.camera_velocities is not None and out.rolling_shutter_offsets is not None:
         cam_meta["velocities"] = jnp.asarray(out.camera_velocities)
         cam_meta["rolling_shutter_offsets"] = jnp.asarray(out.rolling_shutter_offsets)
+        if out.rolling_shutter_horizontal is not None:
+            cam_meta["rs_horizontal"] = jnp.asarray(out.rolling_shutter_horizontal)[:, None]
     cameras = Cameras(
         camera_to_worlds=jnp.asarray(out.camera_to_worlds),
         fx=jnp.asarray(out.intrinsics[:, 0:1]),

@@ -55,6 +55,10 @@ class DataparserOutputs:
     scripts/process_nuscenes_masks)."""
     camera_velocities: Optional[np.ndarray] = None  # [Nc, 3]
     rolling_shutter_offsets: Optional[np.ndarray] = None  # [Nc, 2]
+    rolling_shutter_horizontal: Optional[np.ndarray] = None
+    """[Nc] bool — True where the sensor reads out column-by-column (WOD
+    LEFT_TO_RIGHT/RIGHT_TO_LEFT, cf. reference wod_dataparser.py:136);
+    False/absent = row-by-row (pandaset TOP_TO_BOTTOM)."""
 
     # lidars
     lidar_to_worlds: np.ndarray = None  # [Nl, 3, 4]

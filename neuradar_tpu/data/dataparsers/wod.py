@@ -63,7 +63,7 @@ class WodDataParser:
         if not record.exists():  # pragma: no cover
             raise FileNotFoundError(f"WOD tfrecord not found at {record}")
 
-        c2ws, intr, images, cam_times, vels, rs_offsets = [], [], [], [], [], []
+        c2ws, intr, images, cam_times, vels, rs_offsets, rs_horiz = [], [], [], [], [], [], []
         l2ws, lidar_points, lidar_times = [], [], []
         by_track: dict = {}
 
@@ -98,6 +98,9 @@ class WodDataParser:
                     img, "camera_trigger_time", t_frame
                 )
                 rs_offsets.append([-abs(duration) / 2, abs(duration) / 2])
+                # WOD cameras read out column-wise: LEFT_TO_RIGHT=2 /
+                # RIGHT_TO_LEFT=4 (cf. reference wod_dataparser.py:136)
+                rs_horiz.append(getattr(calib, "rolling_shutter_direction", 0) in (2, 4))
 
             # lidar: TOP range image -> points
             (range_images, camera_projections, _, range_image_top_pose) = (
@@ -172,6 +175,7 @@ class WodDataParser:
             images=images,
             camera_velocities=np.asarray(vels, np.float32),
             rolling_shutter_offsets=np.asarray(rs_offsets, np.float32),
+            rolling_shutter_horizontal=np.asarray(rs_horiz, bool),
             lidar_to_worlds=l2ws,
             lidar_times=tsets[1].astype(np.float32),
             lidar_sensor_idxs=np.ones(len(l2ws), np.int64),

@@ -590,6 +590,7 @@ class _WodFrameData:
         self.context = _WodVec(camera_calibrations=[_WodVec(
             name=1, extrinsic=_WodVec(transform=extr.reshape(-1).tolist()),
             intrinsic=[600.0, 601.0, 17.0, 11.0, 0, 0, 0, 0, 0],
+            rolling_shutter_direction=2,  # LEFT_TO_RIGHT (column readout)
         )])
         self.laser_labels = [
             _WodVec(id="veh-1", type=1,
@@ -680,6 +681,9 @@ def test_wod_parser(mock_wod):
     # rolling shutter from trigger/readout times: 40 ms window
     np.testing.assert_allclose(out.rolling_shutter_offsets[0], [-0.02, 0.02], atol=1e-6)
     np.testing.assert_allclose(out.camera_velocities[0], [15.0, 0.0, 0.0])
+    # LEFT_TO_RIGHT (=2) readout: column-wise shutter flag set (reference
+    # wod_dataparser.py:136 'Horizontal')
+    assert out.rolling_shutter_horizontal is not None and bool(out.rolling_shutter_horizontal[0])
     assert out.lidar_points[0].shape == (56, 6)
     # intensity carried from the range image (min-max normalized to [0, 1]),
     # not zero-filled (regression)

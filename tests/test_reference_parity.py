@@ -540,10 +540,12 @@ class TestCameraRayParity:
         assert_close(my_bundle.pixel_area, t2n(ref_bundle.pixel_area), atol=1e-9, rtol=2e-3,
                      msg="fisheye pixel_area")
 
-    def test_rolling_shutter(self):
-        """Rolling-shutter compensation (reference cameras.py:922-937,
-        TOP_TO_BOTTOM): per-row time offsets scale the sensor velocity into
-        the ray origins and shift the ray times."""
+    @pytest.mark.parametrize("horizontal", [False, True])
+    def test_rolling_shutter(self, horizontal):
+        """Rolling-shutter compensation (reference cameras.py:922-937):
+        per-row (TOP_TO_BOTTOM, pandaset) or per-column (rs_direction
+        'Horizontal', WOD) time offsets scale the sensor velocity into the
+        ray origins and shift the ray times."""
         rcams = ref("nerfstudio.cameras.cameras")
         rng = np.random.default_rng(21)
         n_cams, n_rays = 3, 48
@@ -563,7 +565,8 @@ class TestCameraRayParity:
             height=torch.from_numpy(h), camera_type=rcams.CameraType.PERSPECTIVE,
             times=torch.from_numpy(times),
             metadata={"rolling_shutter_offsets": torch.from_numpy(offsets),
-                      "velocities": torch.from_numpy(velocities)},
+                      "velocities": torch.from_numpy(velocities),
+                      **({"rs_direction": "Horizontal"} if horizontal else {})},
         )
         idx = rng.integers(0, n_cams, (n_rays, 1))
         coords = np.stack(
@@ -581,7 +584,8 @@ class TestCameraRayParity:
             camera_type=jnp.full((n_cams, 1), CameraType.PERSPECTIVE, jnp.int32),
             times=jnp.asarray(times),
             metadata={"rolling_shutter_offsets": jnp.asarray(offsets),
-                      "velocities": jnp.asarray(velocities)},
+                      "velocities": jnp.asarray(velocities),
+                      **({"rs_horizontal": jnp.full((n_cams, 1), True)} if horizontal else {})},
         )
         my_bundle = my_cams.generate_rays(jnp.asarray(idx[:, 0]), jnp.asarray(coords))
 
