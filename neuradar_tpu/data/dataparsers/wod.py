@@ -97,10 +97,13 @@ class WodDataParser:
                 duration = getattr(img, "camera_readout_done_time", t_frame) - getattr(
                     img, "camera_trigger_time", t_frame
                 )
-                rs_offsets.append([-abs(duration) / 2, abs(duration) / 2])
                 # WOD cameras read out column-wise: LEFT_TO_RIGHT=2 /
-                # RIGHT_TO_LEFT=4 (cf. reference wod_dataparser.py:136)
-                rs_horiz.append(getattr(calib, "rolling_shutter_direction", 0) in (2, 4))
+                # RIGHT_TO_LEFT=4; direction 4 reverses the offsets so time
+                # decreases with column (cf. reference wod_dataparser.py:131-136)
+                rs_dir = getattr(calib, "rolling_shutter_direction", 0)
+                half = abs(duration) / 2
+                rs_offsets.append([half, -half] if rs_dir == 4 else [-half, half])
+                rs_horiz.append(rs_dir in (2, 4))
 
             # lidar: TOP range image -> points
             (range_images, camera_projections, _, range_image_top_pose) = (

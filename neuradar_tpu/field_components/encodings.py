@@ -176,7 +176,11 @@ def _hash_encode_fwd(positions_flat, table_flat, scalings, table_size, num_level
     # decides its fate: save_only_these_names(... 'hashgrid_corners') stores
     # it (no backward table access); otherwise the backward recompute
     # re-runs the one wide gather (same bytes as the 8 per-corner regathers
-    # it replaces, in a single op).
+    # it replaces, in a single op). NOTE: outside any remat scope (the
+    # nff_remat=False fallback, or a direct jax.grad over hash_encode) this
+    # residual [N, 2^d*L*F] is materialized unconditionally — that path now
+    # trades ~N*2^d*L*F*dtype bytes of activation memory for skipping the
+    # backward regather, versus the pre-r4 regather-in-backward design.
     gathered = checkpoint_name(gathered, "hashgrid_corners")
     n_corners = 2**d
     w_exp = jnp.repeat(w, F, axis=-1) if F > 1 else w  # [N, 2^d*L*F]

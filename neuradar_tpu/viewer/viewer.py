@@ -235,7 +235,13 @@ class ViewerServer:
         # dict (trainer.control); None = frozen viewer, /control returns 501
         self.port = port
         self.keyframes: List[np.ndarray] = []
+        # POST /render poll clients share this machine; each GET /stream
+        # handler gets its OWN instance (_stream below) so concurrent or
+        # mixed poll+stream clients can't interleave action()/observe() and
+        # thrash the adaptive scale. State is a few floats — per-client is
+        # free.
         self.state_machine = RenderStateMachine()
+        self._stream_slots = threading.Semaphore(4)  # cap concurrent streams
         self._server: Optional[ThreadingHTTPServer] = None
         # latest-pose mailbox for the /stream push loop: /pose overwrites
         # (never queues — a lagging renderer must skip, not replay, stale
@@ -303,6 +309,18 @@ class ViewerServer:
 
                 q = parse_qs(urlparse(self.path).query)
                 max_frames = int(q.get("frames", [0])[0]) or None
+                if not viewer._stream_slots.acquire(blocking=False):
+                    self._send(503, "text/plain", b"too many concurrent streams")
+                    return
+                try:
+                    self._stream_loop(max_frames)
+                finally:
+                    viewer._stream_slots.release()
+
+            def _stream_loop(self, max_frames):
+                from neuradar_tpu.viewer.render_state_machine import RenderStateMachine
+
+                state_machine = RenderStateMachine()  # per-client (no sharing)
                 self.send_response(200)
                 self.send_header("Content-Type", "multipart/x-mixed-replace; boundary=njframe")
                 self.send_header("Cache-Control", "no-cache")
@@ -322,7 +340,7 @@ class ViewerServer:
                     key = json.dumps({k: req.get(k) for k in
                                       ("eye", "target", "time", "actor", "overlays", "output")},
                                      sort_keys=True)
-                    state, scale, pending = viewer.state_machine.action(key, moved, not moved)
+                    state, scale, pending = state_machine.action(key, moved, not moved)
                     if not moved and not pending and state == "high" and max_frames is None:
                         continue  # fully settled: wait for the next pose
                     eye = np.asarray(req.get("eye", [0, 0, 2.0]), np.float32)
@@ -334,7 +352,7 @@ class ViewerServer:
                                          req.get("overlays"), preview,
                                          float(req.get("time", 0.0)),
                                          str(req.get("output", "rgb")))
-                    viewer.state_machine.observe(scale, time.perf_counter() - t_render)
+                    state_machine.observe(scale, time.perf_counter() - t_render)
                     import PIL.Image
 
                     buf = io.BytesIO()

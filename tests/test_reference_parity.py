@@ -541,11 +541,14 @@ class TestCameraRayParity:
                      msg="fisheye pixel_area")
 
     @pytest.mark.parametrize("horizontal", [False, True])
-    def test_rolling_shutter(self, horizontal):
+    @pytest.mark.parametrize("reversed_offsets", [False, True])
+    def test_rolling_shutter(self, horizontal, reversed_offsets):
         """Rolling-shutter compensation (reference cameras.py:922-937):
         per-row (TOP_TO_BOTTOM, pandaset) or per-column (rs_direction
         'Horizontal', WOD) time offsets scale the sensor velocity into the
-        ray origins and shift the ray times."""
+        ray origins and shift the ray times. reversed_offsets covers WOD's
+        RIGHT_TO_LEFT direction 4, where the parser flips the offsets to
+        (+rs, -rs) so time decreases with column (wod_dataparser.py:131-134)."""
         rcams = ref("nerfstudio.cameras.cameras")
         rng = np.random.default_rng(21)
         n_cams, n_rays = 3, 48
@@ -557,6 +560,8 @@ class TestCameraRayParity:
         h = np.full((n_cams, 1), 480, np.int64)
         times = rng.uniform(0, 5, (n_cams, 1)).astype(np.float32)
         offsets = np.stack([np.full(n_cams, -0.015), np.full(n_cams, 0.035)], -1).astype(np.float32)
+        if reversed_offsets:
+            offsets = offsets[:, ::-1].copy()
         velocities = rng.uniform(-10, 10, (n_cams, 3)).astype(np.float32)
 
         ref_cams = rcams.Cameras(

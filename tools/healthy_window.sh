@@ -20,7 +20,13 @@ for pf in /tmp/curve20k.pid /tmp/suite.pid; do
   fi
 done
 [ -n "$PAUSED_PIDS" ] && echo "paused CPU jobs:$PAUSED_PIDS"
-trap '[ -n "$PAUSED_PIDS" ] && kill -CONT $PAUSED_PIDS 2>/dev/null && echo "resumed:$PAUSED_PIDS"' EXIT
+# Resume on normal exit AND on INT/TERM (re-raised after CONT so callers see
+# the signal). A SIGKILLed run cannot run any trap: manually `kill -CONT` the
+# pids from the "paused CPU jobs:" line above.
+resume() { [ -n "$PAUSED_PIDS" ] && kill -CONT $PAUSED_PIDS 2>/dev/null && echo "resumed:$PAUSED_PIDS"; }
+trap 'resume' EXIT
+trap 'resume; trap - INT; kill -INT $$' INT
+trap 'resume; trap - TERM; kill -TERM $$' TERM
 
 run() {
   local t=$1; shift
