@@ -100,6 +100,11 @@ class NeuRADProposalFieldConfig:
         )
     )
     hidden_dim: int = 16
+    decoder: str = "mlp"
+    """'mlp' (2-layer, width hidden_dim — our default; the reference's
+    hidden_dim knob is dead code) or 'linear' (the reference's exact
+    bias-free linear readout, neurad_field.py:205 — used by the
+    executed-reference parity suite)."""
 
 
 class NeuRADField(nn.Module):
@@ -198,12 +203,17 @@ class NeuRADProposalField(nn.Module):
             config=self.config.grid, static_scale=self.static_scale, n_actors=self.n_actors,
             compute_dtype=self.compute_dtype,
         )
-        # one hidden layer of config.hidden_dim (cf. the reference proposal
-        # field's MLP; a bias-free linear readout previously ignored the knob)
-        self.density_decoder = MLP(
-            out_dim=1, num_layers=2, layer_width=self.config.hidden_dim,
-            compute_dtype=self.compute_dtype,
-        )
+        # 'mlp': one hidden layer of config.hidden_dim (the reference's
+        # hidden_dim knob is dead code — its readout is a bias-free linear,
+        # neurad_field.py:205 — ours puts the knob to work by default);
+        # 'linear': the reference's exact architecture.
+        if self.config.decoder == "linear":
+            self.density_decoder = nn.Dense(1, use_bias=False, name="density_decoder_linear")
+        else:
+            self.density_decoder = MLP(
+                out_dim=1, num_layers=2, layer_width=self.config.hidden_dim,
+                compute_dtype=self.compute_dtype,
+            )
 
     def __call__(self, ray_samples: RaySamples, candidates: Optional[ActorCandidates]) -> jax.Array:
         gaussians = ray_samples.frustums.get_fast_isotropic_gaussian(num_multisamples=1)

@@ -184,6 +184,8 @@ class RadarDecoder(nn.Module):
 
     d_model: int = 48
     offset_scale: float = 1.5
+    dropout: float = 0.1
+    """Transformer dropout rate (cf. detr Transformer default)."""
     attn_impl: str = "flax"
     """Self-attention implementation (see TransformerEncoderLayer)."""
     dtype: Optional[jnp.dtype] = None
@@ -202,7 +204,8 @@ class RadarDecoder(nn.Module):
             radar_output [N, nr, 7] and angles [N, nr, 2].
         """
         pos = sine_position_embedding(geometry_xyz, self.d_model)
-        decoded = RadarTransformer(d_model=self.d_model, attn_impl=self.attn_impl,
+        decoded = RadarTransformer(d_model=self.d_model, dropout=self.dropout,
+                                   attn_impl=self.attn_impl,
                                    dtype=self.dtype, name="transformer")(features, pos, train)
         decoded = decoded.astype(jnp.float32)  # small heads in f32
 

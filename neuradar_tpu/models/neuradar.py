@@ -175,6 +175,9 @@ class NeuRadarModelConfig:
     tools/hlo_table_traffic.py). Table-gradient accumulation across chunks
     then happens in compute_dtype (Instant-NGP trains tables fully in fp16;
     parity covered by tests/test_table_cast_hoist.py)."""
+    radar_transformer_dropout: float = 0.1
+    """Dropout rate inside the radar transformer (train mode only; the
+    reference detr Transformer default is 0.1). Parity tests set 0."""
     radar_decoder_type: str = "encoder"
     """'encoder' (per-ray heads grounded in NeRF geometry, the reference
     default) or 'set' (DETR-style learnable-query set prediction, the paper's
@@ -286,6 +289,7 @@ class NeuRadarModel(nn.Module):
             self.radar_decoder = SetRadarDecoder(
                 d_model=n_features, num_queries=cfg.num_radar_queries,
                 position_scale=self.scene.static_scale,
+                dropout=cfg.radar_transformer_dropout,
                 attn_impl=attn_impl,
                 aux_loss=cfg.radar_set_aux_loss,
                 dtype=cdt,
@@ -297,7 +301,10 @@ class NeuRadarModel(nn.Module):
             decoder_cls = (
                 nn.remat(RadarDecoder, static_argnums=(3,)) if cfg.radar_decode_chunks > 1 else RadarDecoder
             )
-            self.radar_decoder = decoder_cls(d_model=n_features, attn_impl=attn_impl, dtype=cdt)
+            self.radar_decoder = decoder_cls(
+                d_model=n_features, dropout=cfg.radar_transformer_dropout,
+                attn_impl=attn_impl, dtype=cdt,
+            )
         self.vgg_loss = VGGPerceptualLossPix2Pix()
 
     # -- forward ------------------------------------------------------------
@@ -482,6 +489,11 @@ class NeuRadarModel(nn.Module):
         """
         cfg = self.config
         sky = cfg.sampling.sky_distance
+        # f=f binds round i to proposal field i. The REFERENCE builds these
+        # with late-binding closures (models/neuradar.py:303), so BOTH of its
+        # rounds evaluate proposal_fields[1] and proposal_fields[0] is never
+        # queried or trained — a real upstream bug, found and documented by
+        # tests/test_reference_model_parity.py::test_reference_dead_proposal_field.
         density_fns = [
             (lambda rs, f=f: f(rs, candidates)) for f in self.proposal_fields
         ]

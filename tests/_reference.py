@@ -50,13 +50,41 @@ def install() -> None:
                 raise NotImplementedError("viser stub")
 
         viser.transforms = _stub("viser.transforms", SO3=_SO3)
+        # viewer/viewer_elements.py:31-38 (imported via dynamic_actors ->
+        # viewer.server.viewer_elements); handles are type names only
+        for handle in ("GuiButtonGroupHandle", "GuiButtonHandle", "GuiDropdownHandle",
+                       "GuiInputHandle", "ScenePointerEvent", "ViserServer"):
+            setattr(viser, handle, type(handle, (), {}))
     if "nerfacc" not in sys.modules:
         # ray_samplers.py:25 imports the class; VolumetricSampler (unused
-        # in parity targets) is the only consumer
-        _stub("nerfacc", OccGridEstimator=type("OccGridEstimator", (), {}))
+        # in parity targets) is the only consumer. accumulate_along_rays is
+        # called by models/neurad.py:728 render_depth_simple on the DENSE
+        # path (ray_indices=None) — a two-line weighted sum, implemented
+        # faithfully here so the full-model parity test can execute the
+        # reference depth renderer.
+        def _accumulate_along_rays(weights, values=None, ray_indices=None, n_rays=None):
+            assert ray_indices is None, "stub supports the dense path only"
+            src = weights[..., None] if values is None else weights[..., None] * values
+            return src.sum(dim=-2)
+
+        _stub(
+            "nerfacc",
+            OccGridEstimator=type("OccGridEstimator", (), {}),
+            accumulate_along_rays=_accumulate_along_rays,
+        )
     if "torchvision" not in sys.modules:
         tv = _stub("torchvision")
         tv.models = _stub("torchvision.models")
+        # detr/util/box_ops.py:20 (imported via detr.models.__init__) needs
+        # box_area; never called by parity targets
+        tv.ops = _stub("torchvision.ops")
+        tv.ops.boxes = _stub("torchvision.ops.boxes", box_area=None)
+        # detr/util/misc.py:37 version-gates on these; never called
+        tv.__version__ = "0.15"
+        tv._is_tracing = lambda: False
+        # detr/models/backbone.py:26-27 (ResNet harness; not a parity target)
+        tv.models._utils = _stub("torchvision.models._utils", IntermediateLayerGetter=None)
+        tv.models.resnet50 = None
     if "plotly" not in sys.modules:
         go = _stub("plotly.graph_objects")
         _stub("plotly").graph_objects = go
@@ -64,6 +92,49 @@ def install() -> None:
         # radar_utils.py:20 does `from git import Optional` (an upstream
         # typo for typing.Optional — gitpython re-exports typing names)
         _stub("git", Optional=typing.Optional)
+    if "tyro" not in sys.modules:
+        # cameras/camera_optimizers.py:27 (annotation-only use of
+        # tyro.conf.Suppress[...])
+        class _Suppress:
+            def __class_getitem__(cls, item):
+                return item
+
+        tyro = _stub("tyro")
+        tyro.conf = _stub("tyro.conf", Suppress=_Suppress)
+    if "torchmetrics" not in sys.modules:
+        # models/neuradar.py:33-35 imports these at module level. PSNR is
+        # actually exercised by the full-model parity test's metrics path,
+        # so implement it faithfully (torchmetrics semantics:
+        # 10*log10(data_range^2 / mse)); SSIM/LPIPS are referenced but only
+        # called by eval image metrics, which the parity tests don't hit.
+        import torch
+
+        class _PSNR:
+            def __init__(self, data_range=1.0):
+                self.data_range = data_range
+
+            def __call__(self, pred, target):
+                mse = torch.mean((pred - target) ** 2)
+                return 10.0 * torch.log10(self.data_range**2 / mse)
+
+        class _LPIPS:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, *a, **k):  # pragma: no cover
+                raise NotImplementedError("LPIPS stub")
+
+        def _ssim(*a, **k):  # pragma: no cover
+            raise NotImplementedError("SSIM stub")
+
+        tm = _stub("torchmetrics")
+        tm.functional = _stub(
+            "torchmetrics.functional", structural_similarity_index_measure=_ssim
+        )
+        tm.image = _stub("torchmetrics.image", PeakSignalNoiseRatio=_PSNR)
+        tm.image.lpip = _stub(
+            "torchmetrics.image.lpip", LearnedPerceptualImagePatchSimilarity=_LPIPS
+        )
     _installed = True
 
 

@@ -1,0 +1,574 @@
+"""FULL-MODEL executed-reference parity (VERDICT r4 item 2).
+
+Instantiates the reference NeuRadarModel (/root/reference, torch-fallback
+CPU path) and our JAX model with identical tiny configs, copies EVERY
+parameter across (hash tables, MLPs, CNN+BN, transformer, heads, appearance
+embedding), feeds one identical mixed camera+lidar+radar batch, and asserts:
+
+  * eval-mode get_outputs agreement (depth, accumulation, rgb, intensity,
+    ray-drop logits, radar_output, proposal depths)
+  * train-mode loss-dict agreement across all 12 loss terms + metrics
+    (reference get_metrics_dict/get_loss_dict, models/neuradar.py:588-704)
+  * gradient agreement of the summed loss across every module family
+    (torch autograd vs jax.grad)
+
+Documented reference deviations exercised here:
+
+  * REFERENCE BUG — dead first proposal field: `density_fns` is built from
+    late-binding closures (models/neuradar.py:303: `lambda x:
+    prop_field.get_density(x)[0]` in a list comprehension), so BOTH proposal
+    rounds evaluate `proposal_fields[1]` and `proposal_fields[0]` is never
+    queried or trained (its grad stays None — asserted below). We bind round
+    i to field i. For parity, the reference's field-1 parameters are loaded
+    into BOTH of our proposal fields; gradient equality then holds for the
+    SUM of our two fields' grads vs the reference's tied grad.
+  * SH directions: the reference tcnn path un-maps the [0,1]-mapped
+    directions inside tcnn before evaluating the SH basis; its torch
+    fallback forgets to, evaluating SH on (d+1)/2. We match tcnn (raw unit
+    directions), so the fallback's `get_normalized_directions` is patched to
+    identity here (fields/neurad_field.py:140).
+  * CPU weights stub: the reference returns constant 0.5 weights on CPU
+    (models/neuradar.py:1012-1014); we patch `_render_weights` with the
+    pure-torch `get_weights_and_transmittance_from_alphas` path (itself
+    parity-tested in test_reference_parity.py).
+  * Determinism: reference sampler submodules are put in eval mode and its
+    radar-decoder dropouts zeroed; our sampler is monkeypatched to rng=None
+    and `radar_transformer_dropout=0`. Train-mode control flow (carving
+    masks, weights_list, quantile losses, train BN) is exercised on both
+    sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests._reference import ref
+
+torch = pytest.importorskip("torch")
+
+# layout: [camera patches | lidar | radar scans], cf. SegmentLayout
+NUM_CAM, NUM_LIDAR, NUM_SCANS, RAYS_PER_SCAN = 32, 16, 2, 12
+PATCH = (4, 4)
+UPSAMPLE = 3
+GT_SIZES = (5, 9)
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+# ---------------------------------------------------------------------------
+# Model construction + parameter copy
+# ---------------------------------------------------------------------------
+
+
+def _build_reference_model():
+    rmod = ref("nerfstudio.models.neuradar")
+    rscene = ref("nerfstudio.data.scene_box")
+
+    class _NoVGG(torch.nn.Module):  # populate_modules builds it; vgg_mult=0
+        def forward(self, x, y):  # pragma: no cover
+            raise NotImplementedError
+
+    rmod.VGGPerceptualLossPix2Pix = _NoVGG
+
+    cfg = rmod.NeuRadarModelConfig(implementation="torch")
+    cfg.field.grid.static.log2_hashmap_size = 12
+    cfg.field.grid.actor.log2_hashmap_size = 10
+    for pf in (cfg.sampling.proposal_field_1, cfg.sampling.proposal_field_2):
+        pf.grid.static.log2_hashmap_size = 11
+        pf.grid.actor.log2_hashmap_size = 9
+    cfg.sampling.num_proposal_samples = (16, 8)
+    cfg.sampling.num_nerf_samples = 6
+    cfg.loss.vgg_mult = 0.0
+
+    torch.manual_seed(0)
+    model = rmod.NeuRadarModel(
+        config=cfg,
+        scene_box=rscene.SceneBox(
+            aabb=torch.tensor([[-100.0, -100.0, -100.0], [100.0, 100.0, 100.0]])
+        ),
+        num_train_data=4,
+        metadata=dict(duration=10.0, sensor_idx_to_name={0: "cam"}, trajectories=[]),
+    )
+
+    # CPU weights stub -> real pure-torch path (module docstring)
+    rrays = ref("nerfstudio.cameras.rays")
+    rheads = ref("nerfstudio.field_components.field_heads")
+
+    def real_render_weights(self, outputs, ray_samples):
+        if self.config.field.use_sdf:
+            alphas = outputs[rheads.FieldHeadNames.ALPHA]
+            return rrays.RaySamples.get_weights_and_transmittance_from_alphas(
+                alphas, weights_only=True
+            )[..., 0]
+        density = outputs[rheads.FieldHeadNames.DENSITY][..., 0]
+        dd = (ray_samples.frustums.ends[..., 0] - ray_samples.frustums.starts[..., 0]) * density
+        alphas = 1 - torch.exp(-dd)
+        trans = torch.exp(
+            -torch.cumsum(torch.cat([torch.zeros_like(dd[..., :1]), dd[..., :-1]], -1), -1)
+        )
+        return alphas * trans
+
+    model._render_weights = real_render_weights.__get__(model)
+    # torch SH fallback feeds [0,1]-mapped dirs to the basis; tcnn un-maps
+    # internally — we match tcnn (module docstring)
+    ref("nerfstudio.fields.neurad_field").get_normalized_directions = lambda d: d.contiguous()
+    return model
+
+
+def _build_our_model():
+    from neuradar_tpu.models.neuradar import (
+        NeuRadarModel,
+        NeuRadarModelConfig,
+        SceneMeta,
+        SegmentLayout,
+    )
+    from neuradar_tpu.model_components.dynamic_actors import trajectories_from_dicts
+
+    cfg = NeuRadarModelConfig()
+    cfg.field.grid.static.log2_hashmap_size = 12
+    cfg.field.grid.actor.log2_hashmap_size = 10
+    for pf in (cfg.sampling.proposal_field_1, cfg.sampling.proposal_field_2):
+        pf.grid.static.log2_hashmap_size = 11
+        pf.grid.actor.log2_hashmap_size = 9
+        pf.decoder = "linear"  # the reference's exact readout
+    cfg.sampling.num_proposal_samples = (16, 8)
+    cfg.sampling.num_nerf_samples = 6
+    cfg.loss.vgg_mult = 0.0
+    cfg.loss.radar_assignment = "hungarian"  # match scipy linear_sum_assignment
+    cfg.radar_transformer_dropout = 0.0
+    cfg.camera_optimizer.mode = "off"
+
+    layout = SegmentLayout(
+        num_cam=NUM_CAM, num_lidar=NUM_LIDAR, num_radar_scans=NUM_SCANS,
+        rays_per_scan=RAYS_PER_SCAN, patch_size=PATCH,
+    )
+    model = NeuRadarModel(
+        config=cfg,
+        scene=SceneMeta(static_scale=100.0, duration=10.0, num_sensors=1, num_train_frames=4),
+        trajectories=trajectories_from_dicts([]),
+    )
+    return model, layout
+
+
+def _map_mlp(sd, prefix, n_layers):
+    out = {}
+    for i in range(n_layers):
+        name = f"hidden_{i}" if i < n_layers - 1 else "output"
+        out[name] = {"kernel": sd[f"{prefix}.layers.{i}.weight"].T,
+                     "bias": sd[f"{prefix}.layers.{i}.bias"]}
+    return out
+
+
+def _map_conv(sd, prefix):
+    # torch Conv2d OIHW -> flax HWIO
+    return {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0), "bias": sd[f"{prefix}.bias"]}
+
+
+def _map_basic_block(sd, prefix):
+    params = {
+        "conv1": _map_conv(sd, f"{prefix}.main_branch.0"),
+        "conv2": _map_conv(sd, f"{prefix}.main_branch.3"),
+        "bn1": {"scale": sd[f"{prefix}.main_branch.1.weight"], "bias": sd[f"{prefix}.main_branch.1.bias"]},
+        "bn2": {"scale": sd[f"{prefix}.main_branch.4.weight"], "bias": sd[f"{prefix}.main_branch.4.bias"]},
+    }
+    stats = {
+        "bn1": {"mean": sd[f"{prefix}.main_branch.1.running_mean"],
+                "var": sd[f"{prefix}.main_branch.1.running_var"]},
+        "bn2": {"mean": sd[f"{prefix}.main_branch.4.running_mean"],
+                "var": sd[f"{prefix}.main_branch.4.running_var"]},
+    }
+    return params, stats
+
+
+def _map_attention(sd, prefix, d):
+    # torch MultiheadAttention packs q/k/v into in_proj [3d, d]; flax
+    # DenseGeneral kernels are [d, heads=1, d] = W.T reshaped
+    wq, wk, wv = np.split(sd[f"{prefix}.in_proj_weight"], 3, axis=0)
+    bq, bk, bv = np.split(sd[f"{prefix}.in_proj_bias"], 3, axis=0)
+    return {
+        "query": {"kernel": wq.T.reshape(d, 1, d), "bias": bq.reshape(1, d)},
+        "key": {"kernel": wk.T.reshape(d, 1, d), "bias": bk.reshape(1, d)},
+        "value": {"kernel": wv.T.reshape(d, 1, d), "bias": bv.reshape(1, d)},
+        "out": {"kernel": sd[f"{prefix}.out_proj.weight"].T.reshape(1, d, d),
+                "bias": sd[f"{prefix}.out_proj.bias"]},
+    }
+
+
+def copy_reference_params(ref_model, d_model=48):
+    """Reference state_dict -> our {params, batch_stats} variables."""
+    sd = {k: v.detach().cpu().numpy() for k, v in ref_model.state_dict().items()}
+    p = {
+        "field": {
+            "hashgrid": {"static_grid": {
+                "hash_table": sd["field.hashgrid.static_grid.hash_table"].reshape(-1)}},
+            "mlp_geo": _map_mlp(sd, "field.mlp_geo", 2),
+            "mlp_feature": _map_mlp(sd, "field.mlp_feature", 3),
+            "sdf_to_density": {"beta": sd["field.sdf_to_density.beta"]},
+        },
+        "appearance_embedding": {"embedding": sd["appearance_embedding.weight"]},
+        "lidar_decoder": _map_mlp(sd, "lidar_decoder", 3),
+    }
+    # dead-field reference bug (module docstring): load field 1 into both
+    for i in range(2):
+        p[f"proposal_field_{i}"] = {
+            "hashgrid": {"static_grid": {
+                "hash_table": sd["proposal_fields.1.hashgrid.static_grid.hash_table"].reshape(-1)}},
+            "density_decoder_linear": {"kernel": sd["proposal_fields.1.density_decoder.weight"].T},
+        }
+    # rgb decoder: Sequential indices 0 conv_in / 2,3,5,6 blocks / 4 up / 7 out.
+    # torch ConvTranspose2d is the gradient-of-conv (kernel spatially
+    # flipped relative to flax's fractionally-strided conv): IOHW -> HWIO + flip
+    rgb = {
+        "conv_in": _map_conv(sd, "rgb_decoder.0"),
+        "conv_out": _map_conv(sd, "rgb_decoder.7"),
+        "up": {"kernel": sd["rgb_decoder.4.weight"].transpose(2, 3, 0, 1)[::-1, ::-1].copy(),
+               "bias": sd["rgb_decoder.4.bias"]},
+    }
+    rgb_stats = {}
+    for name, ti in zip(("block1", "block2", "block3", "block4"), (2, 3, 5, 6)):
+        rgb[name], rgb_stats[name] = _map_basic_block(sd, f"rgb_decoder.{ti}")
+    p["rgb_decoder"] = rgb
+    enc = "radar_decoder.encoder.layers.0"
+    p["radar_decoder"] = {
+        "transformer": {
+            "layer_0": {
+                "self_attn": _map_attention(sd, f"{enc}.self_attn", d_model),
+                "linear1": {"kernel": sd[f"{enc}.linear1.weight"].T, "bias": sd[f"{enc}.linear1.bias"]},
+                "linear2": {"kernel": sd[f"{enc}.linear2.weight"].T, "bias": sd[f"{enc}.linear2.bias"]},
+                "norm1": {"scale": sd[f"{enc}.norm1.weight"], "bias": sd[f"{enc}.norm1.bias"]},
+                "norm2": {"scale": sd[f"{enc}.norm2.weight"], "bias": sd[f"{enc}.norm2.bias"]},
+            },
+            "final_norm": {"scale": sd["radar_decoder.encoder.norm.weight"],
+                           "bias": sd["radar_decoder.encoder.norm.bias"]},
+        },
+        "offset_head": _map_mlp(sd, "offset_head", 3),
+        "radar_angle_head": _map_mlp(sd, "radar_angle_head", 3),
+        "radar_uncertainty_head": _map_mlp(sd, "radar_uncertainty_head", 3),
+        "existence_probability_head": _map_mlp(sd, "existence_probability_head", 3),
+    }
+    to_j = lambda t: jax.tree.map(jnp.asarray, t)
+    return {"params": to_j(p), "batch_stats": to_j({"rgb_decoder": rgb_stats})}
+
+
+# ---------------------------------------------------------------------------
+# Shared batch + both-side computation (one expensive pass, many asserts)
+# ---------------------------------------------------------------------------
+
+
+def _make_inputs(layout):
+    rng = np.random.RandomState(11)
+    R = layout.total
+    dirs = rng.randn(R, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    data = dict(
+        dirs=dirs,
+        origins=rng.uniform(-5, 5, (R, 3)).astype(np.float32),
+        times=rng.uniform(0, 5, (R, 1)).astype(np.float32),
+        pixel_area=np.full((R, 1), 1e-4, np.float32),
+        nears=np.zeros((R, 1), np.float32),
+        fars=np.full((R, 1), 100.0, np.float32),
+        sensor_idxs=np.zeros((R, 1), np.int64),
+    )
+    lidar_sl = slice(layout.num_cam, layout.num_cam + layout.num_lidar)
+    directions_norm = np.ones((R, 1), np.float32)
+    lidar_dist = rng.uniform(5, 50, (layout.num_lidar, 1)).astype(np.float32)
+    directions_norm[lidar_sl] = lidar_dist
+    did_return = np.ones((R, 1), bool)
+    did_return[layout.num_cam + 3 : layout.num_cam + 6] = False
+    spher = np.zeros((R, 2), np.float32)
+    spher[layout.num_cam + layout.num_lidar :] = rng.uniform(
+        -0.5, 0.5, (layout.num_radar, 2)
+    ).astype(np.float32)
+    is_lidar = np.zeros((R, 1), bool)
+    is_lidar[lidar_sl] = True
+    is_radar = np.zeros((R, 1), bool)
+    is_radar[layout.num_cam + layout.num_lidar :] = True
+    data.update(directions_norm=directions_norm, lidar_dist=lidar_dist,
+                did_return=did_return, spher=spher, is_lidar=is_lidar, is_radar=is_radar,
+                lidar_sl=lidar_sl)
+    n_patches = layout.num_cam // (PATCH[0] * PATCH[1])
+    data["image"] = rng.rand(n_patches, PATCH[0] * UPSAMPLE, PATCH[1] * UPSAMPLE, 3).astype(np.float32)
+    data["lidar_intensity"] = rng.rand(layout.num_lidar, 1).astype(np.float32)
+    data["radar_gt"] = [rng.randn(g, 3).astype(np.float32) * 10 for g in GT_SIZES]
+    return data
+
+
+def _ref_bundle(rrays, d):
+    return rrays.RayBundle(
+        origins=torch.from_numpy(d["origins"]), directions=torch.from_numpy(d["dirs"]),
+        pixel_area=torch.from_numpy(d["pixel_area"].copy()),
+        camera_indices=torch.zeros((len(d["dirs"]), 1), dtype=torch.long),
+        nears=torch.from_numpy(d["nears"].copy()), fars=torch.from_numpy(d["fars"].copy()),
+        times=torch.from_numpy(d["times"]),
+        metadata={
+            "is_lidar": torch.from_numpy(d["is_lidar"]),
+            "is_radar": torch.from_numpy(d["is_radar"]),
+            "directions_norm": torch.from_numpy(d["directions_norm"]),
+            "did_return": torch.from_numpy(d["did_return"]),
+            "directions_spher": torch.from_numpy(d["spher"]),
+            "sensor_idxs": torch.from_numpy(d["sensor_idxs"]),
+        },
+    )
+
+
+def _my_bundle(d):
+    from neuradar_tpu.cameras.rays import RayBundle
+
+    R = len(d["dirs"])
+    return RayBundle(
+        origins=jnp.asarray(d["origins"]), directions=jnp.asarray(d["dirs"]),
+        pixel_area=jnp.asarray(d["pixel_area"]), nears=jnp.asarray(d["nears"]),
+        fars=jnp.asarray(d["fars"]), times=jnp.asarray(d["times"]),
+        camera_indices=jnp.zeros((R, 1), jnp.int32),
+        metadata={
+            "sensor_idxs": jnp.asarray(d["sensor_idxs"].astype(np.int32)),
+            "directions_norm": jnp.asarray(d["directions_norm"]),
+            "did_return": jnp.asarray(d["did_return"]),
+            "directions_spher": jnp.asarray(d["spher"]),
+        },
+    )
+
+
+@pytest.fixture(scope="module")
+def parity(request):
+    """Everything computed once: both models, outputs, losses, grads."""
+    ref_model = _build_reference_model()
+    mine, layout = _build_our_model()
+    variables = copy_reference_params(ref_model)
+    d = _make_inputs(layout)
+    rrays = ref("nerfstudio.cameras.rays")
+
+    # ---- eval-mode forward
+    ref_model.eval()
+    with torch.no_grad():
+        ref_eval = ref_model.get_outputs(
+            _ref_bundle(rrays, d), patch_size=layout.patch_size,
+            num_radar_scans=layout.num_radar_scans, calc_lidar_losses=False,
+        )
+    my_eval = mine.apply(variables, _my_bundle(d), layout, False)
+
+    # ---- train-mode determinism knobs (module docstring)
+    ref_model.train()
+    ref_model.sampler.eval()
+    for m in ref_model.radar_decoder.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+        if isinstance(m, torch.nn.MultiheadAttention):
+            m.dropout = 0.0
+
+    radar_cat = np.concatenate(d["radar_gt"], 0)
+    radar_indices = np.concatenate(
+        [np.stack([np.full(g, i), np.arange(g)], -1) for i, g in enumerate(GT_SIZES)], 0
+    ).astype(np.int64)
+    ref_batch = {
+        "image": torch.from_numpy(d["image"]),
+        "is_lidar": torch.from_numpy(d["is_lidar"]),
+        "did_return": torch.from_numpy(d["did_return"]),
+        "distance": torch.from_numpy(d["lidar_dist"]),
+        "lidar": torch.from_numpy(
+            np.concatenate([np.zeros((layout.num_lidar, 3), np.float32), d["lidar_intensity"]], -1)
+        ),
+        "radar": torch.from_numpy(radar_cat),
+        "radar_indices": torch.from_numpy(radar_indices),
+        "radar_scan_indices": torch.zeros(layout.num_radar_scans),
+    }
+    ref_model.zero_grad()
+    ref_outputs = ref_model.forward(
+        _ref_bundle(rrays, d), ref_batch, patch_size=layout.patch_size, calc_lidar_losses=True
+    )
+    ref_metrics, _ = ref_model.get_metrics_dict(ref_outputs, ref_batch)
+    ref_losses = ref_model.get_loss_dict(ref_outputs, ref_batch, ref_metrics)
+    sum(ref_losses.values()).backward()
+
+    maxG = max(GT_SIZES)
+    my_batch = {
+        "image": jnp.asarray(d["image"]),
+        "lidar_distance": jnp.asarray(d["lidar_dist"]),
+        "lidar_intensity": jnp.asarray(d["lidar_intensity"]),
+        "did_return": jnp.asarray(d["did_return"][d["lidar_sl"]]),
+        "radar_gt": jnp.asarray(np.stack(
+            [np.concatenate([g, np.zeros((maxG - len(g), 3), np.float32)]) for g in d["radar_gt"]]
+        )),
+        "radar_gt_mask": jnp.asarray(np.stack([np.arange(maxG) < g for g in GT_SIZES])),
+    }
+
+    import neuradar_tpu.models.neuradar as mymod
+
+    orig_pns = mymod.proposal_network_sampler
+
+    def det_sampler(rb, dfs, nps, nns, rng=None, **kw):
+        return orig_pns(rb, dfs, nps, nns, rng=None, **kw)
+
+    def my_loss_and_grads(params):
+        mymod.proposal_network_sampler = det_sampler
+        try:
+            def fn(p):
+                (tot, (losses, metrics, _out)), _ = mine.apply(
+                    {"params": p, "batch_stats": variables["batch_stats"]},
+                    _my_bundle(d), my_batch, layout, True,
+                    method=mine.loss_and_metrics,
+                    rngs={"sampling": jax.random.PRNGKey(0), "flip": jax.random.PRNGKey(1),
+                          "dropout": jax.random.PRNGKey(2)},
+                    mutable=["batch_stats"],
+                )
+                return tot, (losses, metrics)
+
+            (tot, (losses, metrics)), grads = jax.value_and_grad(fn, has_aux=True)(params)
+        finally:
+            mymod.proposal_network_sampler = orig_pns
+        return losses, metrics, grads
+
+    my_losses, my_metrics, my_grads = my_loss_and_grads(variables["params"])
+
+    return dict(
+        ref_model=ref_model, mine=mine, layout=layout, variables=variables,
+        ref_eval=ref_eval, my_eval=my_eval,
+        ref_losses=ref_losses, ref_metrics=ref_metrics,
+        my_losses=my_losses, my_metrics=my_metrics, my_grads=my_grads,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+
+
+class TestEvalForwardParity:
+    @pytest.mark.parametrize(
+        "key,atol",
+        [("depth", 2e-3), ("accumulation", 1e-5), ("rgb", 1e-5), ("intensity", 1e-5),
+         ("ray_drop_logits", 1e-5), ("radar_output", 2e-4),
+         ("prop_depth_0", 2e-3), ("prop_depth_1", 2e-3)],
+    )
+    def test_output(self, parity, key, atol):
+        mine = np.asarray(parity["my_eval"][key])
+        theirs = t2n(parity["ref_eval"][key])
+        assert mine.shape == theirs.shape, f"{key}: {mine.shape} vs {theirs.shape}"
+        np.testing.assert_allclose(mine, theirs, atol=atol, rtol=1e-3, err_msg=key)
+
+
+class TestTrainLossParity:
+    LOSS_KEYS = (
+        "rgb_loss", "interlevel_loss", "distortion_loss", "depth_loss",
+        "intensity_loss", "carving_loss", "ray_drop_loss", "radar_loss",
+        "depth_loss_0", "depth_loss_1", "carving_loss_0", "carving_loss_1",
+    )
+
+    def test_loss_key_sets_match(self, parity):
+        assert set(parity["ref_losses"]) == set(self.LOSS_KEYS)
+        assert set(parity["my_losses"]) == set(self.LOSS_KEYS)
+
+    @pytest.mark.parametrize("key", LOSS_KEYS)
+    def test_loss(self, parity, key):
+        rv = float(parity["ref_losses"][key])
+        mv = float(parity["my_losses"][key])
+        np.testing.assert_allclose(mv, rv, rtol=1e-4, atol=1e-7, err_msg=key)
+
+    @pytest.mark.parametrize(
+        "key", ["psnr", "depth_median_l2", "depth_mean_rel_l2", "intensity_rmse",
+                "ray_drop_accuracy", "distortion", "radar_loss"]
+    )
+    def test_metric(self, parity, key):
+        rv = float(parity["ref_metrics"][key])
+        mv = float(parity["my_metrics"][key])
+        np.testing.assert_allclose(mv, rv, rtol=1e-4, atol=1e-6, err_msg=key)
+
+
+class TestGradParity:
+    def _pairs(self, parity):
+        g = parity["my_grads"]
+        m = parity["ref_model"]
+        tp = lambda t: t.grad.numpy()
+
+        def prop_sum(path):
+            a = np.asarray(eval_path(g["proposal_field_0"], path))
+            b = np.asarray(eval_path(g["proposal_field_1"], path))
+            return a + b
+
+        def eval_path(tree, path):
+            for k in path:
+                tree = tree[k]
+            return tree
+
+        return [
+            ("field.hash_table", g["field"]["hashgrid"]["static_grid"]["hash_table"],
+             tp(m.field.hashgrid.static_grid.hash_table).reshape(-1)),
+            ("field.mlp_geo.0", g["field"]["mlp_geo"]["hidden_0"]["kernel"],
+             tp(m.field.mlp_geo.layers[0].weight).T),
+            ("field.mlp_feature.out", g["field"]["mlp_feature"]["output"]["kernel"],
+             tp(m.field.mlp_feature.layers[2].weight).T),
+            ("field.sdf_beta", g["field"]["sdf_to_density"]["beta"],
+             tp(m.field.sdf_to_density.beta)),
+            # dead-field bug: our two fields' grads sum to the ref's tied grad
+            ("prop.table(sum)", prop_sum(("hashgrid", "static_grid", "hash_table")),
+             tp(m.proposal_fields[1].hashgrid.static_grid.hash_table).reshape(-1)),
+            ("prop.decoder(sum)", prop_sum(("density_decoder_linear", "kernel")),
+             tp(m.proposal_fields[1].density_decoder.weight).T),
+            ("appearance", g["appearance_embedding"]["embedding"],
+             tp(m.appearance_embedding.weight)),
+            ("rgb.conv_in", g["rgb_decoder"]["conv_in"]["kernel"],
+             tp(m.rgb_decoder[0].weight).transpose(2, 3, 1, 0)),
+            ("rgb.up", g["rgb_decoder"]["up"]["kernel"],
+             tp(m.rgb_decoder[4].weight).transpose(2, 3, 0, 1)[::-1, ::-1]),
+            ("rgb.conv_out.b", g["rgb_decoder"]["conv_out"]["bias"], tp(m.rgb_decoder[7].bias)),
+            ("lidar_decoder.0", g["lidar_decoder"]["hidden_0"]["kernel"],
+             tp(m.lidar_decoder.layers[0].weight).T),
+            ("radar.attn_out.b",
+             g["radar_decoder"]["transformer"]["layer_0"]["self_attn"]["out"]["bias"],
+             tp(m.radar_decoder.encoder.layers[0].self_attn.out_proj.bias)),
+            ("radar.linear1", g["radar_decoder"]["transformer"]["layer_0"]["linear1"]["kernel"],
+             tp(m.radar_decoder.encoder.layers[0].linear1.weight).T),
+            ("offset_head.0", g["radar_decoder"]["offset_head"]["hidden_0"]["kernel"],
+             tp(m.offset_head.layers[0].weight).T),
+            ("ep_head.out", g["radar_decoder"]["existence_probability_head"]["output"]["kernel"],
+             tp(m.existence_probability_head.layers[2].weight).T),
+            ("unc_head.0.b", g["radar_decoder"]["radar_uncertainty_head"]["hidden_0"]["bias"],
+             tp(m.radar_uncertainty_head.layers[0].bias)),
+        ]
+
+    def test_gradients(self, parity):
+        failures = []
+        for name, mg, rg in self._pairs(parity):
+            mg = np.asarray(mg)
+            d = np.abs(mg - rg).max()
+            scale = max(np.abs(rg).max(), 1e-12)
+            if d / scale > 1e-4:
+                failures.append(f"{name}: maxabs={d:.3e} scale={scale:.3e} rel={d / scale:.3e}")
+        assert not failures, "gradient mismatches:\n" + "\n".join(failures)
+
+    def test_reference_dead_proposal_field(self, parity):
+        """Documents the reference bug: proposal_fields[0] is never evaluated
+        (late-binding density_fns closures, models/neuradar.py:303), so its
+        parameters receive no gradient. Our rebuild binds round i to field i
+        (models/neuradar.py density_fns, f=f default-arg binding)."""
+        m = parity["ref_model"]
+        assert m.proposal_fields[0].hashgrid.static_grid.hash_table.grad is None
+        assert m.proposal_fields[1].hashgrid.static_grid.hash_table.grad is not None
+
+
+class TestParamTreeBijection:
+    def test_copied_tree_matches_init_exactly(self, parity):
+        """The copied reference tree and our init tree must agree leaf-for-
+        leaf in path and shape — any architecture drift shows up here."""
+        mine, layout = parity["mine"], parity["layout"]
+        d = _make_inputs(layout)
+        init_vars = mine.init(
+            {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+             "flip": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+            _my_bundle(d), layout, False,
+        )
+
+        def paths(t):
+            return {
+                "/".join(str(p.key) for p in path if hasattr(p, "key")): leaf.shape
+                for path, leaf in jax.tree_util.tree_flatten_with_path(t)[0]
+            }
+
+        a, b = paths(init_vars), paths(parity["variables"])
+        assert a == b
