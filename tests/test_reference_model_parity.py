@@ -66,7 +66,11 @@ def t2n(x):
 # ---------------------------------------------------------------------------
 
 
-def _build_reference_model():
+def _build_reference_model(scene_scale=100.0, duration=10.0, num_sensors=1, num_train_data=4,
+                           trajectories=()):
+    """Reference NeuRadarModel with the shared tiny config. Scene kwargs let
+    tools/ref_trajectory_ab.py instantiate the same pairing on a real
+    dataparser's scene; the defaults preserve the parity fixture."""
     rmod = ref("nerfstudio.models.neuradar")
     rscene = ref("nerfstudio.data.scene_box")
 
@@ -87,13 +91,18 @@ def _build_reference_model():
     cfg.loss.vgg_mult = 0.0
 
     torch.manual_seed(0)
+    s = float(scene_scale)
     model = rmod.NeuRadarModel(
         config=cfg,
         scene_box=rscene.SceneBox(
-            aabb=torch.tensor([[-100.0, -100.0, -100.0], [100.0, 100.0, 100.0]])
+            aabb=torch.tensor([[-s, -s, -s], [s, s, s]])
         ),
-        num_train_data=4,
-        metadata=dict(duration=10.0, sensor_idx_to_name={0: "cam"}, trajectories=[]),
+        num_train_data=num_train_data,
+        metadata=dict(
+            duration=float(duration),
+            sensor_idx_to_name={i: f"sensor_{i}" for i in range(num_sensors)},
+            trajectories=list(trajectories),
+        ),
     )
 
     # CPU weights stub -> real pure-torch path (module docstring)
@@ -121,7 +130,8 @@ def _build_reference_model():
     return model
 
 
-def _build_our_model():
+def _build_our_model(scene_scale=100.0, duration=10.0, num_sensors=1, num_train_frames=4,
+                     trajectories=()):
     from neuradar_tpu.models.neuradar import (
         NeuRadarModel,
         NeuRadarModelConfig,
@@ -150,8 +160,9 @@ def _build_our_model():
     )
     model = NeuRadarModel(
         config=cfg,
-        scene=SceneMeta(static_scale=100.0, duration=10.0, num_sensors=1, num_train_frames=4),
-        trajectories=trajectories_from_dicts([]),
+        scene=SceneMeta(static_scale=float(scene_scale), duration=float(duration),
+                        num_sensors=num_sensors, num_train_frames=num_train_frames),
+        trajectories=trajectories_from_dicts(list(trajectories)),
     )
     return model, layout
 
