@@ -38,6 +38,14 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--set-decoder", action="store_true",
                         help="use the DETR-style set radar decoder (radar_decoder_type='set')")
+    parser.add_argument("--eval-chunk", type=int, default=0,
+                        help="override model.eval_num_rays_per_chunk (degraded-relay episodes "
+                             "crash large programs — a small eval chunk keeps the --eval-every "
+                             "renders inside the episode's surviving program size)")
+    parser.add_argument("--radar-assignment", choices=("auction", "hungarian"), default=None,
+                        help="override NeuRadarModelConfig.radar_assignment (curve-level A/B of the "
+                             "on-device auction default vs the reference's exact Hungarian, "
+                             "cf. reference model_components/radar_utils.py:78)")
     parser.add_argument("--eval-every", type=int, default=0,
                         help="N > 0 banks an eval-metric TRAJECTORY: every N iters render one "
                              "eval image (PSNR) + one radar scan (chamfer) and run an eval "
@@ -97,6 +105,10 @@ def main(argv=None) -> int:
         m.nff_chunks = 1
     if args.set_decoder:
         pipe.model.radar_decoder_type = "set"
+    if args.radar_assignment:
+        pipe.model.loss.radar_assignment = args.radar_assignment
+    if args.eval_chunk:
+        pipe.model.eval_num_rays_per_chunk = args.eval_chunk
     cfg = TrainerConfig(
         pipeline=pipe,
         steps_per_dispatch=args.steps_per_dispatch,
@@ -155,6 +167,7 @@ def main(argv=None) -> int:
             "scale": args.scale, "iters": args.iters, "bf16": args.bf16,
             "eval_every": args.eval_every,
             "set_decoder": args.set_decoder,
+            "radar_assignment": args.radar_assignment or pipe.model.loss.radar_assignment,
             "backend": jax.default_backend(),
             "curves": {k: v for k, v in curve.items() if v},
         }

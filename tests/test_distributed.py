@@ -15,6 +15,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from neuradar_tpu.parallel import distributed as dist
 
@@ -84,11 +85,21 @@ def _run_multihost(tmp_path, extra_args=(), timeout=420):
     return results
 
 
-def test_two_process_multihost(tmp_path):
+
+@pytest.fixture(scope="module")
+def multihost_results(tmp_path_factory):
+    """ONE 2-process launch shared by both multihost tests (suite-trim,
+    VERDICT r4 item 8): the --trainer worker runs the plain distributed
+    surface AND the trainer path, so the separate plain launch — a second
+    full spawn + jax.distributed init + compile — added nothing."""
+    return _run_multihost(tmp_path_factory.mktemp("mh"), extra_args=["--trainer"], timeout=900)
+
+
+def test_two_process_multihost(multihost_results):
     """Real 2-process multi-controller run: global mesh of 4 devices,
     shard_batch / shard_local_batch cross-process assembly, the gradient
     all-reduce, dp x tp param placement, and the host barrier."""
-    results = _run_multihost(tmp_path)
+    results = multihost_results
     for i, r in enumerate(results):
         assert r["initialized"] is True
         assert r["world_size"] == 2 and r["rank"] == i
@@ -105,12 +116,12 @@ def test_two_process_multihost(tmp_path):
         assert r["synced"] is True
 
 
-def test_two_process_trainer(tmp_path):
+def test_two_process_trainer(multihost_results):
     """The full Trainer data-parallel path across PROCESSES: a tiny NeuRadar
     config trains 2 steps over a 2-process x 2-device mesh, with batches
     assembled as global arrays (trainer._device_batch) and the gradient
     all-reduce spanning both processes. Both ranks must agree on the loss."""
-    results = _run_multihost(tmp_path, extra_args=["--trainer"], timeout=900)
+    results = multihost_results
     losses = [r["trainer_loss"] for r in results]
     for r in results:
         assert r["trainer_multihost"] is True
