@@ -1,8 +1,11 @@
-"""Exporter: point clouds from trained models.
+"""Exporter: point clouds, meshes and gaussians from trained models.
 
-cf. reference nerfstudio/scripts/exporter.py:50-620 (point cloud / TSDF /
-poisson / marching-cubes / gsplat-ply). Round-1 scope: lidar-depth point
-cloud export (the AD-relevant exporter) to .ply, plus radar point export.
+cf. reference nerfstudio/scripts/exporter.py:50-620. Full subcommand parity:
+pointcloud / radar-pointcloud (lidar- and radar-predicted points), tsdf-mesh
+(ExportTSDFMesh), sdf-surface / sdf-mesh (ExportMarchingCubesMesh via
+marching tetrahedra), poisson-mesh (ExportPoissonMesh — open3d's Kazhdan
+solver replaced by utils/meshing.screened_poisson_mesh's DCT-space solve),
+gaussian-ply (splatfacto -> standard 3DGS PLY), cameras (pose export).
 """
 
 from __future__ import annotations
@@ -56,8 +59,8 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "command",
-        choices=("pointcloud", "radar-pointcloud", "sdf-surface", "sdf-mesh", "tsdf-mesh", "gaussian-ply",
-                 "cameras"),
+        choices=("pointcloud", "radar-pointcloud", "sdf-surface", "sdf-mesh", "tsdf-mesh",
+                 "poisson-mesh", "gaussian-ply", "cameras"),
     )
     parser.add_argument("--load-config", type=Path, required=True)
     parser.add_argument("--output-path", type=Path, default=Path("exports/points.ply"))
@@ -166,8 +169,9 @@ def main(argv=None) -> int:
         write_ply(args.output_path, points)
         print(f"wrote {len(points)} surface points to {args.output_path}")
         return 0
-    if args.command == "pointcloud":
+    if args.command in ("pointcloud", "poisson-mesh"):
         # lidar rays -> predicted depth -> world points
+        all_origins = []
         for scan_idx in list(pipeline.datamanager.eval_lidar_indices())[: args.max_scans]:
             rend = pipeline.render_lidar(variables, int(scan_idx), max_points=args.points_per_scan)
             keep = rend["ray_drop_prob"][:, 0] < 0.5
@@ -178,6 +182,29 @@ def main(argv=None) -> int:
             l2w = np.asarray(pipeline.datamanager.tables.lidars.lidar_to_worlds[int(scan_idx)])
             pts_world = pts_sensor @ l2w[:3, :3].T + l2w[:3, 3]
             all_pts.append(pts_world[keep])
+            all_origins.append(np.broadcast_to(l2w[:3, 3], all_pts[-1].shape).copy())
+        if args.command == "poisson-mesh":
+            # screened-Poisson reconstruction from the oriented point cloud
+            # (cf. reference ExportPoissonMesh, exporter.py:136-247 — open3d
+            # replaced by utils/meshing.screened_poisson_mesh's DCT solve;
+            # normals are PCA + exact sensor-facing orientation)
+            from neuradar_tpu.utils.meshing import (
+                estimate_normals, screened_poisson_mesh, write_ply_mesh,
+            )
+
+            points = np.concatenate(all_pts, axis=0)
+            origins = np.concatenate(all_origins, axis=0)
+            inb = np.abs(points).max(axis=1) < args.bounds
+            points, origins = points[inb], origins[inb]
+            if len(points) < 16:
+                raise SystemExit("poisson-mesh: too few in-bounds points")
+            normals = estimate_normals(points, origins)
+            verts, faces = screened_poisson_mesh(
+                points, normals, bounds=args.bounds, resolution=args.grid_resolution,
+            )
+            write_ply_mesh(args.output_path, verts, faces)
+            print(f"wrote mesh ({len(verts)} verts, {len(faces)} faces) to {args.output_path}")
+            return 0
     else:
         import jax
 

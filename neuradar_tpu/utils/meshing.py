@@ -243,3 +243,103 @@ def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
         np.add.at(normals, faces[:, k], fn)
     norm = np.linalg.norm(normals, axis=1, keepdims=True)
     return normals / np.clip(norm, 1e-12, None)
+
+
+# ---------------------------------------------------------------------------
+# Screened-Poisson surface reconstruction (VERDICT r4 item 7 — the exporter
+# tail). cf. reference ExportPoissonMesh (nerfstudio/scripts/exporter.py:
+# 136-247), which shells out to open3d's Kazhdan Poisson; open3d is absent
+# in this image, so the classic algorithm is implemented on a regular grid
+# with a DCT (Neumann) spectral solve — scipy.fft only.
+# ---------------------------------------------------------------------------
+
+
+def estimate_normals(points: np.ndarray, view_origins: np.ndarray, k: int = 16) -> np.ndarray:
+    """Per-point normals via k-NN PCA, oriented to face the sensor.
+
+    cf. the reference's open3d `estimate_normals` +
+    `orient_normals_towards_camera_location`. view_origins: [N, 3] the
+    sensor position each point was observed from (lidar scans know this
+    exactly; the ambiguity open3d resolves with a heuristic is exact here).
+    """
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(points)
+    _, nbr = tree.query(points, k=min(k, len(points)))
+    nbrs = points[nbr]  # [N, k, 3]
+    centered = nbrs - nbrs.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", centered, centered)
+    # smallest-eigenvalue eigenvector of each 3x3 covariance
+    _, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    normals = vecs[:, :, 0]
+    to_sensor = view_origins - points
+    flip = np.sign(np.einsum("ni,ni->n", normals, to_sensor))
+    flip[flip == 0] = 1.0
+    return normals * flip[:, None]
+
+
+def screened_poisson_mesh(
+    points: np.ndarray,
+    normals: np.ndarray,
+    bounds: float,
+    resolution: int = 128,
+    screen: float = 1e-2,
+    smooth_sigma_vox: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Screened-Poisson reconstruction: solve (lap - screen) chi = div V for
+    the indicator chi, where V is the splatted oriented-normal field, then
+    extract the isosurface at the mean chi over the input samples.
+
+    Regular-grid formulation of Kazhdan et al.: normals are trilinearly
+    splatted (+ gaussian smoothing in the spectral domain), the Poisson
+    solve is exact in DCT-II space (Neumann boundaries — the right BC for an
+    open scene crop), and the mesh comes from the same marching-tetrahedra
+    used everywhere else in this module.
+
+    Returns (verts [V, 3], faces [F, 3]) in world coordinates.
+    """
+    from scipy import fft as sfft
+
+    res, b = resolution, bounds
+    h = 2 * b / (res - 1)
+    # --- trilinear normal splat into V [3, res, res, res]
+    gp = (points + b) / h
+    i0 = np.clip(np.floor(gp).astype(np.int64), 0, res - 2)
+    frac = np.clip(gp - i0, 0.0, 1.0)
+    V = np.zeros((3, res, res, res), np.float64)
+    for corner in range(8):
+        bits = np.array([(corner >> 2) & 1, (corner >> 1) & 1, corner & 1])
+        w = np.prod(np.where(bits[None, :], frac, 1 - frac), axis=1)  # [N]
+        idx = i0 + bits[None, :]
+        flat = (idx[:, 0] * res + idx[:, 1]) * res + idx[:, 2]
+        for axis in range(3):
+            np.add.at(V[axis].reshape(-1), flat, w * normals[:, axis])
+
+    # --- divergence (central differences, Neumann edges)
+    div = np.zeros((res, res, res), np.float64)
+    for axis in range(3):
+        div += np.gradient(V[axis], h, axis=axis)
+
+    # --- spectral solve in DCT-II space: eigenvalues of the 1-D Neumann
+    # Laplacian are (2 cos(pi k / res) - 2) / h^2
+    lam1 = (2.0 * np.cos(np.pi * np.arange(res) / res) - 2.0) / (h * h)
+    lam = lam1[:, None, None] + lam1[None, :, None] + lam1[None, None, :]
+    rhs = sfft.dctn(div, type=2, norm="ortho")
+    if smooth_sigma_vox > 0:
+        # gaussian low-pass (applied spectrally — smooths the splat noise)
+        sig = smooth_sigma_vox * np.pi / res
+        g1 = np.exp(-0.5 * (sig * np.arange(res)) ** 2)
+        rhs = rhs * g1[:, None, None] * g1[None, :, None] * g1[None, None, :]
+    chi_hat = rhs / (lam - screen)  # lam <= 0 so the denominator never hits 0
+    chi = sfft.idctn(chi_hat, type=2, norm="ortho")
+
+    # --- iso level: mean chi at the input samples (Kazhdan's choice)
+    samp = chi[
+        np.clip(np.round(gp[:, 0]).astype(int), 0, res - 1),
+        np.clip(np.round(gp[:, 1]).astype(int), 0, res - 1),
+        np.clip(np.round(gp[:, 2]).astype(int), 0, res - 1),
+    ]
+    level = float(samp.mean())
+    return marching_tetrahedra(
+        (chi - level).astype(np.float32), np.array([-b] * 3, np.float32), h
+    )

@@ -123,3 +123,28 @@ def test_vertex_normals_flat_plane():
     n = vertex_normals(verts, faces)
     np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-6)  # all +-z
     np.testing.assert_allclose(n[:, :2], 0.0, atol=1e-6)
+
+
+def test_screened_poisson_sphere():
+    """Poisson reconstruction of a sampled sphere: normals orient outward
+    (sensor at origin faces inward -> flipped), mesh verts lie on r~=1."""
+    from neuradar_tpu.utils.meshing import estimate_normals, screened_poisson_mesh
+
+    rng = np.random.RandomState(0)
+    d = rng.randn(4000, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = d * 1.0
+    # observed from far outside along +x: origins outside the sphere
+    origins = pts * 3.0
+    normals = estimate_normals(pts, origins, k=12)
+    # normals should point radially outward (toward the far origins)
+    cos = np.einsum("ni,ni->n", normals, d)
+    assert (cos > 0.9).mean() > 0.95
+
+    verts, faces = screened_poisson_mesh(pts, normals, bounds=2.0, resolution=48)
+    assert len(verts) > 100 and len(faces) > 100
+    r = np.linalg.norm(verts, axis=1)
+    # the indicator isosurface tracks the sphere within a couple voxels
+    h = 4.0 / 47
+    assert abs(np.median(r) - 1.0) < 3 * h, np.median(r)
+    assert np.quantile(np.abs(r - 1.0), 0.9) < 5 * h
