@@ -34,7 +34,8 @@ T0 = time.perf_counter()
 
 
 def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks: int = 0,
-         remat_policy: str = "save_grid", hoist: bool = True, table_moments_dtype=None):
+         remat_policy: str = "save_grid", hoist: bool = True, table_moments_dtype=None,
+         packed_cells: bool = False):
     import jax
 
     if os.environ.get("NEURADAR_BENCH_CPU"):
@@ -91,7 +92,7 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
     # tools/bisect_relay_crash.py). ONE definition shared with the cost-model
     # tools so they always analyze the exact measured program.
     pipeline = bench_pipeline(scale=scale, chunks=chunks, remat_policy=remat_policy,
-                              hoist=hoist, radar_chunks=radar_chunks)
+                              hoist=hoist, radar_chunks=radar_chunks, packed_cells=packed_cells)
     layout = pipeline.layout
     rays_per_batch = layout.total
 
@@ -207,7 +208,7 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
     # constants are modeled for the DEFAULT program: ablation arms
     # (remat-policy/hoist/moments knobs) change the program's bytes, so
     # attaching the default's model there would mislabel the arm.
-    if remat_policy == "save_grid" and hoist and not table_moments_dtype:
+    if remat_policy == "save_grid" and hoist and not table_moments_dtype and not packed_cells:
         result.update(roofline_fields(scale, rays_per_batch, rays_per_sec))
     print(json.dumps(result))
     if os.environ.get("NEURADAR_BENCH_APPEND_HISTORY"):
@@ -220,6 +221,7 @@ def main(chunks: int = 8, scale: str = "full", scan_steps: int = 4, radar_chunks
                                 + (["--radar-chunks", str(radar_chunks)] if radar_chunks else [])
                                 + (["--remat-policy", remat_policy] if remat_policy != "save_grid" else [])
                                 + ([] if hoist else ["--no-hoist"])
+                                + (["--packed-cells"] if packed_cells else [])
                                 + (["--table-moments-dtype", table_moments_dtype]
                                    if table_moments_dtype else []),
                                 **result}) + "\n")
@@ -532,6 +534,7 @@ if __name__ == "__main__":
         remat_policy = a[a.index("--remat-policy") + 1] if "--remat-policy" in a else "save_grid"
         tmd = a[a.index("--table-moments-dtype") + 1] if "--table-moments-dtype" in a else None
         main(chunks=chunks, scale=scale, scan_steps=scan_steps, radar_chunks=radar_chunks,
-             remat_policy=remat_policy, hoist="--no-hoist" not in a, table_moments_dtype=tmd)
+             remat_policy=remat_policy, hoist="--no-hoist" not in a, table_moments_dtype=tmd,
+             packed_cells="--packed-cells" in a)
     else:
         main_with_retries()

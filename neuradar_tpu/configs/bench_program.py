@@ -56,12 +56,15 @@ def bench_datamanager_config(scale: str):
 
 def bench_pipeline(scale: str = "full", chunks: int = 8,
                    remat_policy: Optional[str] = None, hoist: Optional[bool] = None,
-                   radar_chunks: int = 0):
+                   radar_chunks: int = 0, packed_cells: bool = False):
     """The exact benchmark pipeline: reference batch + production model
     knobs (bf16, nff chunking; no pretrained VGG in this image).
 
     remat_policy/hoist: None keeps the production default
     (models/neuradar.py); pass explicitly only for A/B ablations.
+    packed_cells: enable the packed-cell dense-level path on every grid
+    (encodings.pack_cells — at production settings only the main static
+    grid's levels 0-2 fit the 2^22-cell budget; the other grids no-op).
     """
     from neuradar_tpu.pipelines.ad_neuradar_pipeline import ADNeuRadarPipeline, ADNeuRadarPipelineConfig
 
@@ -75,6 +78,11 @@ def bench_pipeline(scale: str = "full", chunks: int = 8,
         pipe_cfg.model.nff_remat_policy = remat_policy
     if hoist is not None:
         pipe_cfg.model.hoist_table_cast = hoist
+    if packed_cells:
+        m = pipe_cfg.model
+        for grid in (m.field.grid, m.sampling.proposal_field_1.grid, m.sampling.proposal_field_2.grid):
+            grid.static.packed_dense_cells = True
+            grid.actor.packed_dense_cells = True
     return ADNeuRadarPipeline(pipe_cfg, bench_scene_outputs())
 
 

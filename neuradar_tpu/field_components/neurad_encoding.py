@@ -46,6 +46,12 @@ class StaticSettings:
     """Collision-free dense rows for levels whose grid fits the table
     (tcnn behavior; default matches the reference torch fallback's
     hash-everything — see encodings.HashEncoding)."""
+    packed_dense_cells: bool = False
+    """Serve low-res levels from a per-step packed cell table (one aligned
+    slice read per point-level instead of 2^d sub-transaction reads;
+    bit-identical numerics — encodings.pack_cells). The model hoists the
+    pack out of the nff chunk scan via packed_tables()."""
+    packed_max_cells: int = 2**22
 
 
 @dataclass
@@ -60,6 +66,8 @@ class ActorSettings:
     max_res: int = 1024
     log2_hashmap_size: int = 17
     dense_low_levels: bool = False
+    packed_dense_cells: bool = False
+    packed_max_cells: int = 2**22
 
 
 @dataclass
@@ -108,6 +116,8 @@ class NeuRADHashEncoding(nn.Module):
             n_input_dims=3,
             compute_dtype=self.compute_dtype,
             dense_low_levels=cfg.static.dense_low_levels,
+            packed_dense_cells=cfg.static.packed_dense_cells,
+            packed_max_cells=cfg.static.packed_max_cells,
         )
         if self.has_actors:
             self.actor_grid = HashEncoding(
@@ -119,6 +129,8 @@ class NeuRADHashEncoding(nn.Module):
                 n_input_dims=4,
                 compute_dtype=self.compute_dtype,
                 dense_low_levels=cfg.actor.dense_low_levels,
+                packed_dense_cells=cfg.actor.packed_dense_cells,
+                packed_max_cells=cfg.actor.packed_max_cells,
             )
 
     @property
@@ -128,26 +140,44 @@ class NeuRADHashEncoding(nn.Module):
     def get_out_dim(self) -> int:
         return self.config.static.num_levels * self.config.static.hashgrid_dim
 
+    def packed_tables(self) -> Optional[dict]:
+        """Hoisted packed cell tables for this encoding's grids (None when
+        no grid packs). The model computes this ONCE per step OUTSIDE the
+        nff chunk scan and threads it to __call__ — see encodings.pack_cells
+        for why the hoist is load-bearing."""
+        out = {}
+        p = self.static_grid.packed_cells()
+        if p is not None:
+            out["static"] = p
+        if self.has_actors:
+            p = self.actor_grid.packed_cells()
+            if p is not None:
+                out["actor"] = p
+        return out or None
+
     def __call__(
         self,
         gaussians: GaussiansStd,
         candidates: Optional[ActorCandidates],
         directions: Optional[jax.Array] = None,
+        packed: Optional[dict] = None,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         """Args:
             gaussians: mean [R, S, 3], std [R, S, 1] (single multisample).
             candidates: per-ray actor candidates (None to disable actors).
             directions: [R, S, 3] per-sample directions or None.
+            packed: hoisted packed_tables() output or None.
 
         Returns:
             features [R, S, static_out_dim], directions [R, S, 3] or None.
         """
         cfg = self.config
+        packed = packed or {}
         mean, std = gaussians.mean, gaussians.std
         # ---- static world features
         static_pos = self.static_contraction(GaussiansStd(mean=mean, std=std))
         static_feats = _rescale_grid_features(
-            self.static_grid(static_pos.mean), static_pos.std,
+            self.static_grid(static_pos.mean, packed=packed.get("static")), static_pos.std,
             self.static_grid.scalings, cfg.static.num_levels, cfg.static.hashgrid_dim,
         )  # [R, S, L*F]
 
@@ -174,7 +204,7 @@ class NeuRADHashEncoding(nn.Module):
         id4 = (actor_id.astype(pos_box.dtype) / self.n_actors)[..., None]
         query = jnp.concatenate([actor_pos.mean, id4], axis=-1)  # [R, S, 4]
         actor_feats = _rescale_grid_features(
-            self.actor_grid(query), actor_pos.std,
+            self.actor_grid(query, packed=packed.get("actor")), actor_pos.std,
             self.actor_grid.scalings, cfg.actor.num_levels, cfg.actor.hashgrid_dim,
         )
         pad = self.get_out_dim() - actor_feats.shape[-1]

@@ -137,7 +137,16 @@ class NeuRADField(nn.Module):
         if cfg.use_sdf:
             self.sdf_to_density = SigmoidDensity(init_beta=cfg.sdf_beta, learnable_beta=cfg.learnable_beta)
 
-    def __call__(self, ray_samples: RaySamples, candidates: Optional[ActorCandidates]) -> Dict[str, jax.Array]:
+    def packed_tables(self) -> Optional[dict]:
+        """Hoisted packed-cell tables (encodings.pack_cells) or None."""
+        return self.hashgrid.packed_tables()
+
+    def __call__(
+        self,
+        ray_samples: RaySamples,
+        candidates: Optional[ActorCandidates],
+        packed: Optional[dict] = None,
+    ) -> Dict[str, jax.Array]:
         """Evaluate the field on [R, S] samples.
 
         Returns dict with 'feature' [R, S, D] and either 'sdf' + 'alpha' or
@@ -159,7 +168,7 @@ class NeuRADField(nn.Module):
         features = None
         for m in range(n_ms):
             g_m = GaussiansStd(mean=gaussians.mean[..., m, :], std=gaussians.std[..., m, :])
-            f_m, dirs_m = self.hashgrid(g_m, candidates, dirs if m == 0 else None)
+            f_m, dirs_m = self.hashgrid(g_m, candidates, dirs if m == 0 else None, packed=packed)
             if m == 0:
                 dirs = dirs_m if dirs_m is not None else dirs
             features = f_m if features is None else features + f_m
@@ -215,9 +224,18 @@ class NeuRADProposalField(nn.Module):
                 compute_dtype=self.compute_dtype,
             )
 
-    def __call__(self, ray_samples: RaySamples, candidates: Optional[ActorCandidates]) -> jax.Array:
+    def packed_tables(self) -> Optional[dict]:
+        """Hoisted packed-cell tables (encodings.pack_cells) or None."""
+        return self.hashgrid.packed_tables()
+
+    def __call__(
+        self,
+        ray_samples: RaySamples,
+        candidates: Optional[ActorCandidates],
+        packed: Optional[dict] = None,
+    ) -> jax.Array:
         gaussians = ray_samples.frustums.get_fast_isotropic_gaussian(num_multisamples=1)
         g = GaussiansStd(mean=gaussians.mean[..., 0, :], std=gaussians.std[..., 0, :])
-        features, _ = self.hashgrid(g, candidates, None)
+        features, _ = self.hashgrid(g, candidates, None, packed=packed)
         density = self.density_decoder(features)
         return trunc_exp(density)  # [R, S, 1]

@@ -437,18 +437,29 @@ class NeuRadarModel(nn.Module):
             edits=actor_edits,
         ) if self.trajectories.n_actors > 0 else None
 
+        # packed-cell tables are derived from params ONCE here, OUTSIDE the
+        # chunk scan, and enter the scanned core as broadcast constants: the
+        # scan backward then accumulates their cotangent across chunks and
+        # the pack's fold-back scatter into the canonical tables runs once
+        # per step (encodings.pack_cells — tracing the pack inside the body
+        # would re-run that full-cell-table transpose every chunk)
+        packed = (
+            self.field.packed_tables(),
+            tuple(pf.packed_tables() for pf in self.proposal_fields),
+        )
+
         n_chunks = cfg.nff_chunks if (cfg.nff_chunks > 1 and layout.total % cfg.nff_chunks == 0) else 1
         if n_chunks == 1:
-            return self._nff_core(ray_bundle, candidates, train)
+            return self._nff_core(ray_bundle, candidates, train, packed)
 
         def to_chunks(x):
             return x.reshape(n_chunks, x.shape[0] // n_chunks, *x.shape[1:])
 
         xs = jax.tree.map(to_chunks, (ray_bundle, candidates))
 
-        def body(mdl, carry, x):
+        def body(mdl, carry, x, packed):
             rb, cand = x
-            return carry, mdl._nff_core(rb, cand, train)
+            return carry, mdl._nff_core(rb, cand, train, packed)
 
         if cfg.nff_remat:
             if cfg.nff_remat_policy not in ("save_grid", "save_corners", "all"):
@@ -467,10 +478,10 @@ class NeuRadarModel(nn.Module):
             body,
             variable_broadcast=["params", "batch_stats"],
             split_rngs={"params": False, "sampling": True, "flip": False, "dropout": False},
-            in_axes=0,
+            in_axes=(0, nn.broadcast),
             out_axes=0,
         )
-        _, outs = scan(self, None, xs)
+        _, outs = scan(self, None, xs, packed)
 
         def unchunk(x):
             if x.ndim == 1:  # stacked per-chunk scalars (carving sums)
@@ -480,14 +491,19 @@ class NeuRadarModel(nn.Module):
         return {k: unchunk(v) if isinstance(v, jax.Array) else v for k, v in outs.items()}
 
     def _nff_core(
-        self, ray_bundle: RayBundle, candidates: Optional[ActorCandidates], train: bool
+        self, ray_bundle: RayBundle, candidates: Optional[ActorCandidates], train: bool,
+        packed=None,
     ) -> Dict[str, Any]:
         """Per-ray NFF core: sampling -> fields -> volume rendering -> masks.
 
         Modality handling uses the boolean is_lidar metadata (zero for
         camera/radar rays) so the function is chunk-shape-agnostic.
+
+        ``packed``: (main_packed, per-proposal packed) hoisted packed-cell
+        tables from get_nff_outputs, or None (packing off / direct call).
         """
         cfg = self.config
+        packed_main, packed_props = packed if packed is not None else (None, (None,) * len(self.proposal_fields))
         sky = cfg.sampling.sky_distance
         # f=f binds round i to proposal field i. The REFERENCE builds these
         # with late-binding closures (models/neuradar.py:303), so BOTH of its
@@ -495,7 +511,8 @@ class NeuRadarModel(nn.Module):
         # queried or trained — a real upstream bug, found and documented by
         # tests/test_reference_model_parity.py::test_reference_dead_proposal_field.
         density_fns = [
-            (lambda rs, f=f: f(rs, candidates)) for f in self.proposal_fields
+            (lambda rs, f=f, pk=pk: f(rs, candidates, packed=pk))
+            for f, pk in zip(self.proposal_fields, packed_props)
         ]
         sampling_rng = self.make_rng("sampling") if train else None
         ray_samples, weights_list, samples_list = proposal_network_sampler(
@@ -511,7 +528,7 @@ class NeuRadarModel(nn.Module):
         )
         ray_samples = _apply_sky_sample(ray_samples, sky)
 
-        field_out = self.field(ray_samples, candidates)
+        field_out = self.field(ray_samples, candidates, packed=packed_main)
         use_pallas = (
             cfg.use_pallas_composite
             if cfg.use_pallas_composite is not None

@@ -336,3 +336,107 @@ def test_hash_encode_bwd_gather_count_by_remat_policy():
     for name in ("save_grid", "save_corners"):
         for a, b in zip(grads["all"], grads[name]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Packed-cell dense levels (encodings.pack_cells / hash_encode_packed —
+# VERDICT r4 item 3's XLA formulation of the VMEM-resident low-level path)
+# ---------------------------------------------------------------------------
+
+
+def test_packed_prefix_sides():
+    from neuradar_tpu.field_components.encodings import packed_prefix_sides
+
+    # prefix property: a too-big level zeroes everything after it
+    assert packed_prefix_sides((4.0, 8.0, 100.0, 8.0), 3, 1000) == (5, 9, 0, 0)
+    assert packed_prefix_sides((4.0, 8.0), 3, 10**9) == (5, 9)
+    assert packed_prefix_sides((100.0,), 3, 1000) == (0,)
+    # d=4 cell budget: side^4
+    assert packed_prefix_sides((4.0, 30.0), 4, 5**4) == (5, 0)
+
+
+def test_packed_dense_cells_matches_unpacked():
+    """Forward, table grads and position grads are identical (up to einsum
+    reassociation noise) between the packed-cell path and the plain combined
+    gather, across 3D/4D, F=1/2/4, and dense_low_levels on/off — the packed
+    table holds the same canonical values, collisions included."""
+    for d, L, mn, mx, log2T, F, dense in [
+        (3, 6, 4, 256, 12, 4, False),
+        (3, 4, 16, 64, 10, 2, True),
+        (4, 4, 4, 64, 11, 4, False),
+        (3, 3, 4, 16, 14, 1, False),
+    ]:
+        rng = np.random.RandomState(0)
+        pos = jnp.asarray(rng.rand(257, d).astype(np.float32))
+        kw = dict(num_levels=L, min_res=mn, max_res=mx, log2_hashmap_size=log2T,
+                  features_per_level=F, n_input_dims=d, dense_low_levels=dense)
+        m0 = HashEncoding(**kw)
+        m1 = HashEncoding(**kw, packed_dense_cells=True, packed_max_cells=2**17)
+        v0 = m0.init(jax.random.PRNGKey(0), pos)
+        out0, out1 = m0.apply(v0, pos), m1.apply(v0, pos)
+        scale = float(jnp.abs(out0).max())
+        assert float(jnp.abs(out0 - out1).max()) < 1e-5 * scale, (d, L, F)
+        g0 = jax.grad(lambda p: jnp.sum(m0.apply({"params": p}, pos) ** 2))(v0["params"])
+        g1 = jax.grad(lambda p: jnp.sum(m1.apply({"params": p}, pos) ** 2))(v0["params"])
+        gd = float(jnp.abs(g0["hash_table"] - g1["hash_table"]).max())
+        assert gd < 1e-6, (d, L, F, gd)
+        pg0 = jax.grad(lambda p: jnp.sum(m0.apply(v0, p) ** 2))(pos)
+        pg1 = jax.grad(lambda p: jnp.sum(m1.apply(v0, p) ** 2))(pos)
+        pmax = float(jnp.abs(pg0).max())
+        assert float(jnp.abs(pg0 - pg1).max()) < 1e-5 * max(pmax, 1e-6), (d, L, F)
+
+
+def test_packed_forward_gather_structure():
+    """The packed path's hot read is ONE wide elementwise gather whose
+    addresses are consecutive within each cell row (64 B spans at
+    d=3/F=4/bf16) — and the forward needs exactly TWO table gathers total
+    (packed prefix + hashed tail), not 2^d per-corner reads."""
+    from neuradar_tpu.field_components.encodings import (
+        hash_encode_packed, pack_cells, packed_prefix_sides,
+    )
+
+    d, L, F, T = 3, 4, 4, 2**10
+    scalings = (4.0, 8.0, 16.0, 200.0)  # 3 packed + 1 hashed level
+    W = (2**d) * F
+    ps = packed_prefix_sides(scalings, d, 2**15)
+    assert ps == (5, 9, 17, 0)
+    table = jnp.zeros((L * T * F,), jnp.float32)
+    packed = pack_cells(table, scalings, T, L, F, d, None, ps)
+    pos = jnp.asarray(np.random.RandomState(0).rand(32 * d).astype(np.float32))
+    jaxpr = str(jax.make_jaxpr(
+        lambda p, t, pk: hash_encode_packed(p, t, pk, scalings, T, L, F, d, None, ps)
+    )(pos, table, packed))
+    # forward reads: 1 packed-row gather [N, k*W] + 1 hashed-tail gather
+    assert jaxpr.count("gather[") == 2, jaxpr.count("gather[")
+    # the packed gather is the wide [32, k*W] = [32, 96] elementwise form
+    assert "(32, 96)" in jaxpr.replace("32,96", "32, 96"), jaxpr[:1500]
+
+
+def test_packed_tables_hoist_surface():
+    """NeuRADHashEncoding.packed_tables() exposes the derived packed tables
+    for the model-side hoist; sizes match sum(side^d) * 2^d * F."""
+    from neuradar_tpu.field_components.encodings import packed_prefix_sides
+    from neuradar_tpu.field_components.neurad_encoding import (
+        NeuRADHashEncoding, NeuRADHashEncodingConfig, StaticSettings, ActorSettings,
+    )
+
+    cfg = NeuRADHashEncodingConfig(
+        static=StaticSettings(num_levels=4, base_res=4, max_res=64, log2_hashmap_size=11,
+                              packed_dense_cells=True, packed_max_cells=2**15),
+        actor=ActorSettings(num_levels=3, base_res=4, max_res=16, log2_hashmap_size=9,
+                            packed_dense_cells=True, packed_max_cells=2**15),
+    )
+    enc = NeuRADHashEncoding(config=cfg, static_scale=10.0, n_actors=2)
+    # init through packed_tables so BOTH grids' params materialize (the
+    # __call__(candidates=None) path never touches the actor grid)
+    v = enc.init({"params": jax.random.PRNGKey(0)}, method=NeuRADHashEncoding.packed_tables)
+    packed = enc.apply(v, method=NeuRADHashEncoding.packed_tables)
+    assert set(packed) == {"static", "actor"}
+    sides = packed_prefix_sides(
+        enc.apply(v, method=lambda m: m.static_grid.scalings), 3, 2**15)
+    expect = sum(s**3 for s in sides if s) * 8 * cfg.static.hashgrid_dim
+    assert packed["static"].shape == (expect,)
+    sides4 = packed_prefix_sides(
+        enc.apply(v, method=lambda m: m.actor_grid.scalings), 4, 2**15)
+    expect4 = sum(s**4 for s in sides4 if s) * 16 * cfg.actor.hashgrid_dim
+    assert packed["actor"].shape == (expect4,)

@@ -117,3 +117,46 @@ def test_save_grid_remat_policy_matches_all(setup, policy_name):
         assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
         np.testing.assert_allclose(np.asarray(vb), np.asarray(va), rtol=1e-5, atol=1e-6,
                                    err_msg=jax.tree_util.keystr(ka))
+
+
+def test_packed_dense_cells_matches_unpacked_model(setup):
+    """packed_dense_cells (encodings.pack_cells: per-cell corner rows +
+    hoisted pack threaded through the chunk scan as an nn.broadcast
+    constant) is a pure traffic-shaping change: full-model loss and
+    gradients must match the plain combined-gather path."""
+    import copy
+
+    model, variables, layout, bundle, batch, cfg, scene = setup
+    params = variables["params"]
+    other = {k: v for k, v in variables.items() if k != "params"}
+
+    cfg2 = copy.deepcopy(dataclasses.replace(cfg, nff_chunks=4))
+    for grid in (cfg2.field.grid, cfg2.sampling.proposal_field_1.grid,
+                 cfg2.sampling.proposal_field_2.grid):
+        grid.static.packed_dense_cells = True
+        grid.actor.packed_dense_cells = True
+        grid.static.packed_max_cells = 2**17
+        grid.actor.packed_max_cells = 2**17
+    cfg1 = copy.deepcopy(dataclasses.replace(cfg, nff_chunks=4))
+
+    def make_loss(c):
+        m = NeuRadarModel(config=c, scene=scene, trajectories=make_trajectories())
+
+        def loss_fn(p):
+            (total, _), _ = m.apply(
+                {"params": p, **other}, bundle, batch, layout, train=True,
+                method=NeuRadarModel.loss_and_metrics, rngs=RNGS, mutable=["batch_stats"],
+            )
+            return total
+
+        return loss_fn
+
+    l0, g0 = jax.jit(jax.value_and_grad(make_loss(cfg1)))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(make_loss(cfg2)))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for (ka, va), (kb, vb) in zip(
+        jax.tree_util.tree_leaves_with_path(g0), jax.tree_util.tree_leaves_with_path(g1)
+    ):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_allclose(np.asarray(vb), np.asarray(va), rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(ka))

@@ -14,7 +14,7 @@ echo "=== healthy_window $(date -u +%FT%TZ) ==="
 # suites) for the duration so host contention doesn't skew bench timings;
 # resume them on exit whatever happens.
 PAUSED_PIDS=""
-for pf in /tmp/curve20k.pid /tmp/suite.pid; do
+for pf in /tmp/curve20k.pid /tmp/suite.pid /tmp/ab_runner.pid /tmp/traj.pid; do
   if [ -f "$pf" ] && kill -0 "$(cat "$pf")" 2>/dev/null; then
     kill -STOP "$(cat "$pf")" && PAUSED_PIDS="$PAUSED_PIDS $(cat "$pf")"
   fi
@@ -46,6 +46,8 @@ run 2400 python bench.py --worker --chunks 8 --scale full --scan-steps 4 --no-ho
 run 2400 python bench.py --worker --chunks 8 --scale full --scan-steps 4 --remat-policy all
 run 2400 python bench.py --worker --chunks 8 --scale full --scan-steps 4 --remat-policy save_corners
 run 2400 python bench.py --worker --chunks 8 --scale full --scan-steps 4 --table-moments-dtype bfloat16
+# round-5 arm: packed-cell dense levels (docs/PERFORMANCE.md "Packed-cell")
+run 2400 python bench.py --worker --chunks 8 --scale full --scan-steps 4 --packed-cells
 
 # 3. K-sweep at full scale (amortization), then chunk sweep at the best K
 for K in 1 8 16; do

@@ -51,7 +51,7 @@ def shape_bytes(text: str) -> int:
     return total
 
 
-def compiled_train_step(scale: str, chunks: int):
+def compiled_train_step(scale: str, chunks: int, packed_cells: bool = False):
     import jax.numpy as jnp
     import optax
 
@@ -59,7 +59,7 @@ def compiled_train_step(scale: str, chunks: int):
     from neuradar_tpu.engine.optimizers import build_optimizer, default_optimizer_groups
 
     # exact bench.py configuration — shared single definition
-    pipeline = bench_pipeline(scale=scale, chunks=chunks)
+    pipeline = bench_pipeline(scale=scale, chunks=chunks, packed_cells=packed_cells)
 
     variables = pipeline.init_variables(0)
     params = variables["params"]
@@ -81,8 +81,8 @@ def compiled_train_step(scale: str, chunks: int):
                                      jax.random.PRNGKey(0)).compile()
 
 
-def main(scale: str, chunks: int, min_mb: float) -> None:
-    compiled = compiled_train_step(scale, chunks)
+def main(scale: str, chunks: int, min_mb: float, packed_cells: bool = False) -> None:
+    compiled = compiled_train_step(scale, chunks, packed_cells)
     hlo = compiled.as_text()
 
     # split into computations
@@ -143,5 +143,6 @@ if __name__ == "__main__":
     ap.add_argument("--scale", choices=("full", "micro"), default="micro")
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--min-mb", type=float, default=16.0)
+    ap.add_argument("--packed-cells", action="store_true")
     a = ap.parse_args()
-    main(a.scale, a.chunks, a.min_mb)
+    main(a.scale, a.chunks, a.min_mb, a.packed_cells)

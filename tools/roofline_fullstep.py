@@ -49,7 +49,8 @@ V5E_F32_FLOPS = 98.5e12
 V5E_HBM_BPS = 819e9
 
 
-def main(scale: str, chunks: int, remat_policy: str = "save_grid", hoist: bool = True) -> dict:
+def main(scale: str, chunks: int, remat_policy: str = "save_grid", hoist: bool = True,
+         packed_cells: bool = False) -> dict:
     import jax.numpy as jnp
     import optax
 
@@ -57,7 +58,8 @@ def main(scale: str, chunks: int, remat_policy: str = "save_grid", hoist: bool =
     from neuradar_tpu.engine.optimizers import build_optimizer, default_optimizer_groups
 
     # exact bench.py configuration — shared single definition
-    pipeline = bench_pipeline(scale=scale, chunks=chunks, remat_policy=remat_policy, hoist=hoist)
+    pipeline = bench_pipeline(scale=scale, chunks=chunks, remat_policy=remat_policy, hoist=hoist,
+                              packed_cells=packed_cells)
     rays = pipeline.layout.total
 
     variables = pipeline.init_variables(0)
@@ -150,6 +152,7 @@ if __name__ == "__main__":
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--remat-policy", choices=("all", "save_grid", "save_corners"), default="save_grid")
     ap.add_argument("--no-hoist", action="store_true")
+    ap.add_argument("--packed-cells", action="store_true")
     ap.add_argument("--fit", action="store_true",
                     help="compile at chunks 8 and 32, solve the rolled-loop "
                          "counting caveat, print corrected totals")
@@ -157,4 +160,4 @@ if __name__ == "__main__":
     if a.fit:
         fit(a.scale, a.remat_policy, not a.no_hoist)
     else:
-        main(a.scale, a.chunks, a.remat_policy, not a.no_hoist)
+        main(a.scale, a.chunks, a.remat_policy, not a.no_hoist, a.packed_cells)

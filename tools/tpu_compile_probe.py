@@ -30,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from neuradar_tpu.utils.cache_dirs import jax_cache_dir
 
 
-def main(scale: str, chunks: int, hoist: bool, dump: str = "", remat_policy: str = "save_grid") -> None:
+def main(scale: str, chunks: int, hoist: bool, dump: str = "", remat_policy: str = "save_grid",
+         packed_cells: bool = False) -> None:
     t0 = time.perf_counter()
     import jax
 
@@ -46,7 +47,8 @@ def main(scale: str, chunks: int, hoist: bool, dump: str = "", remat_policy: str
     from neuradar_tpu.engine.optimizers import build_optimizer, default_optimizer_groups
 
     # exact bench.py configuration — shared single definition
-    pipeline = bench_pipeline(scale=scale, chunks=chunks, remat_policy=remat_policy, hoist=hoist)
+    pipeline = bench_pipeline(scale=scale, chunks=chunks, remat_policy=remat_policy, hoist=hoist,
+                              packed_cells=packed_cells)
 
     # abstract init: no device execution at all (eval_shape), so the probe
     # works even when the relay crashes real executions
@@ -104,5 +106,7 @@ if __name__ == "__main__":
     ap.add_argument("--no-hoist", action="store_true")
     ap.add_argument("--dump", default="", help="write optimized HLO text to this path")
     ap.add_argument("--remat-policy", choices=("all", "save_grid", "save_corners"), default="save_grid")
+    ap.add_argument("--packed-cells", action="store_true",
+                    help="enable the packed-cell dense-level path (encodings.pack_cells)")
     a = ap.parse_args()
-    main(a.scale, a.chunks, not a.no_hoist, a.dump, a.remat_policy)
+    main(a.scale, a.chunks, not a.no_hoist, a.dump, a.remat_policy, a.packed_cells)
