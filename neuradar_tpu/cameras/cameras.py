@@ -29,8 +29,17 @@ class CameraType(enum.IntEnum):
     PERSPECTIVE = 1
     FISHEYE = 2
     EQUIRECTANGULAR = 3
+    # render-only stereo types (cf. reference cameras.py:47-50): equirect
+    # directions with per-eye ray origins on the interocular circle/axis
+    OMNIDIRECTIONALSTEREO_L = 4
+    OMNIDIRECTIONALSTEREO_R = 5
     ORTHOPHOTO = 6
     FISHEYE624 = 7
+    VR180_L = 8
+    VR180_R = 9
+
+
+VR_IPD = 0.064  # interpupillary distance in meters (reference cameras.py:712)
 
 
 @struct.dataclass
@@ -175,11 +184,55 @@ def _directions_from_coords(unit_coords: jax.Array, cam_type: jax.Array) -> jax.
     )
     ortho = jnp.stack([jnp.zeros_like(x), jnp.zeros_like(x), -jnp.ones_like(x)], axis=-1)
 
+    # VR180 (cf. cameras.py:736-741): equirect with azimuth range halved to
+    # +-90 deg; the stereo eye offset is applied to the ORIGINS in
+    # generate_camera_rays (_stereo_origin_offsets)
+    theta_v = -jnp.pi * x / 2
+    vr180 = jnp.stack(
+        [-jnp.sin(theta_v) * jnp.sin(phi_e), jnp.cos(phi_e), -jnp.cos(theta_v) * jnp.sin(phi_e)], axis=-1
+    )
+
+    is_ods = (cam_type == CameraType.OMNIDIRECTIONALSTEREO_L) | (
+        cam_type == CameraType.OMNIDIRECTIONALSTEREO_R
+    )
+    is_vr180 = (cam_type == CameraType.VR180_L) | (cam_type == CameraType.VR180_R)
+
     out = persp
     out = jnp.where((cam_type == CameraType.FISHEYE)[..., None], fisheye, out)
-    out = jnp.where((cam_type == CameraType.EQUIRECTANGULAR)[..., None], equirect, out)
+    out = jnp.where(((cam_type == CameraType.EQUIRECTANGULAR) | is_ods)[..., None], equirect, out)
+    out = jnp.where(is_vr180[..., None], vr180, out)
     out = jnp.where((cam_type == CameraType.ORTHOPHOTO)[..., None], ortho, out)
     return out
+
+
+def _stereo_origin_offsets(unit_x: jax.Array, cam_type: jax.Array, rot: jax.Array) -> jax.Array:
+    """World-frame per-ray origin offsets for the stereo camera types.
+
+    cf. reference cameras.py:699-718 (_compute_rays_for_omnidirectional_
+    stereo) and :742-758 (_compute_rays_for_vr180): the eye sits
+    +-VR_IPD/2 from the mount — for ODS on the interocular CIRCLE rotating
+    with azimuth (camera-frame [cos(theta), 0, -sin(theta)]), for VR180 on
+    the fixed interocular x-axis. Returns [R, 3] world offsets (zero for
+    non-stereo types).
+    """
+    eye = jnp.zeros_like(unit_x)
+    eye = jnp.where(cam_type == CameraType.OMNIDIRECTIONALSTEREO_L, -1.0, eye)
+    eye = jnp.where(cam_type == CameraType.OMNIDIRECTIONALSTEREO_R, 1.0, eye)
+    eye_vr = jnp.zeros_like(unit_x)
+    eye_vr = jnp.where(cam_type == CameraType.VR180_L, -1.0, eye_vr)
+    eye_vr = jnp.where(cam_type == CameraType.VR180_R, 1.0, eye_vr)
+
+    theta = -jnp.pi * unit_x  # ODS azimuth, cf. ods_theta (cameras.py:700)
+    half = VR_IPD / 2.0
+    off_cam = jnp.stack(
+        [
+            eye * half * jnp.cos(theta) + eye_vr * half,
+            jnp.zeros_like(unit_x),
+            -eye * half * jnp.sin(theta),
+        ],
+        axis=-1,
+    )
+    return jnp.einsum("rij,rj->ri", rot, off_cam)
 
 
 def generate_camera_rays(cameras: Cameras, camera_indices: jax.Array, coords: jax.Array) -> RayBundle:
@@ -233,6 +286,9 @@ def generate_camera_rays(cameras: Cameras, camera_indices: jax.Array, coords: ja
     pixel_area = (dx * dy)[..., None]
 
     origins = c2w[..., :3, 3]
+    # stereo render types (ODS / VR180): per-eye, per-azimuth origin offsets
+    unit_x = ((cols + 0.5 - cx) / fx)[..., 0]
+    origins = origins + _stereo_origin_offsets(unit_x, cam_type, rot)
     times = cameras.times[idx] if cameras.times is not None else None  # [R, 1]
 
     metadata = {k: v[idx] for k, v in cameras.metadata.items()

@@ -287,7 +287,7 @@ class ADNeuRadarPipeline:
 
     def render_pose(
         self, variables, c2w: np.ndarray, hw: Tuple[int, int] = (96, 156), actor_edits=None,
-        time_s: float = 0.0, output: str = "rgb",
+        time_s: float = 0.0, output: str = "rgb", camera_type: int = 1,
     ) -> np.ndarray:
         """Render an arbitrary camera pose (viewer path): c2w [3, 4] ->
         uint8 [hw[0], hw[1], 3]. Uses the scene's first camera intrinsics
@@ -303,6 +303,12 @@ class ADNeuRadarPipeline:
         H, W = hw[0] // u * u, hw[1] // u * u
         h, w = H // u, W // u
         fx, _, _, _ = self.viewer_intrinsics((H, W))
+        if camera_type != 1:
+            # angular types (equirect / ODS / VR180): unit coord
+            # (col - cx) / fx must span [-1, 1] across the width so the
+            # direction formulas cover their full azimuth range
+            # (cameras.CameraType) — fx = W/2
+            fx = W / 2.0
         cam = Cameras(
             camera_to_worlds=jnp.asarray(c2w, jnp.float32)[None],
             fx=jnp.asarray([[fx]]),
@@ -311,7 +317,7 @@ class ADNeuRadarPipeline:
             cy=jnp.asarray([[H / 2]]),
             width=jnp.asarray([[W]], jnp.int32),
             height=jnp.asarray([[H]], jnp.int32),
-            camera_type=jnp.asarray([[1]], jnp.int32),
+            camera_type=jnp.asarray([[camera_type]], jnp.int32),
             times=jnp.full((1, 1), time_s, jnp.float32),
             metadata={"sensor_idxs": jnp.zeros((1, 1), jnp.int32)},
         )

@@ -121,11 +121,36 @@ def main(argv=None) -> int:
         spec = json.loads(args.camera_path_filename.read_text())
         frames = parse_camera_path(spec)
         hw = (int(spec.get("render_height", 96)), int(spec.get("render_width", 156)))
+        # nerfstudio camera_path.json camera_type names (cf. reference
+        # camera_paths.get_path_from_json:190-199); the stereo types render
+        # one image per eye and combine — ODS left-over-right, VR180
+        # left-beside-right (reference scripts/render.py:471-583, ffmpeg
+        # vstack/hstack replaced by a numpy concatenate)
+        from neuradar_tpu.cameras.cameras import CameraType
+
+        ct_name = str(spec.get("camera_type", "perspective")).lower()
+        ct_map = {
+            "perspective": [CameraType.PERSPECTIVE],
+            "fisheye": [CameraType.FISHEYE],
+            "equirectangular": [CameraType.EQUIRECTANGULAR],
+            "omnidirectional": [CameraType.OMNIDIRECTIONALSTEREO_L, CameraType.OMNIDIRECTIONALSTEREO_R],
+            "vr180": [CameraType.VR180_L, CameraType.VR180_R],
+        }
+        eyes = ct_map.get(ct_name, [CameraType.PERSPECTIVE])
         out_dir = args.output_dir / "camera_path"
         for i, c2w in enumerate(frames):
-            img = pipeline.render_pose(variables, c2w, hw=hw)
-            _save_image(out_dir / f"frame_{i:05d}.png", np.asarray(img, np.float32) / 255.0)
-        (out_dir / "render_info.json").write_text(json.dumps({"command": "camera-path", "frames": len(frames)}))
+            imgs = [
+                np.asarray(pipeline.render_pose(variables, c2w, hw=hw, camera_type=int(ct)), np.float32) / 255.0
+                for ct in eyes
+            ]
+            if len(imgs) == 2:
+                axis = 0 if eyes[0] == CameraType.OMNIDIRECTIONALSTEREO_L else 1
+                img = np.concatenate(imgs, axis=axis)
+            else:
+                img = imgs[0]
+            _save_image(out_dir / f"frame_{i:05d}.png", img)
+        (out_dir / "render_info.json").write_text(json.dumps(
+            {"command": "camera-path", "frames": len(frames), "camera_type": ct_name}))
         print(f"wrote {len(frames)} camera-path frames to {out_dir}")
         return 0
 

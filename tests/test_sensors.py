@@ -159,3 +159,54 @@ def test_undistort_newton_roundtrip():
     fx_ = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
     fy_ = y * radial + 2 * p2 * x * y + p1 * (r2 + 2 * y * y)
     np.testing.assert_allclose(np.asarray(jnp.concatenate([fx_, fy_], -1)), np.asarray(xy), atol=1e-4)
+
+
+def test_ods_vr180_stereo_rays():
+    """ODS/VR180 render-only stereo types (cf. reference cameras.py:699-758):
+    equirect(-style) directions; origins offset +-VR_IPD/2 — for ODS on the
+    interocular circle rotating with azimuth, for VR180 on the fixed
+    camera x-axis."""
+    from neuradar_tpu.cameras.cameras import VR_IPD
+
+    H, W = 48, 64
+    # identity pose, fx = W/2 so unit x spans [-1, 1]
+    def cams(ct):
+        c = make_cameras(n=1, H=H, W=W, cam_type=ct)
+        return c.replace(fx=jnp.full((1, 1), W / 2.0), fy=jnp.full((1, 1), W / 2.0))
+
+    coords = jnp.asarray([[H / 2 - 0.5, W / 2 - 0.5],   # center: u=0
+                          [H / 2 - 0.5, W / 4 - 0.5],   # u=-0.5 (quarter left)
+                          [H / 2 - 0.5, 7.5]])          # u=-0.75
+    idx = jnp.zeros((3,), jnp.int32)
+
+    rb_l = generate_camera_rays(cams(CameraType.OMNIDIRECTIONALSTEREO_L), idx, coords)
+    rb_r = generate_camera_rays(cams(CameraType.OMNIDIRECTIONALSTEREO_R), idx, coords)
+    rb_e = generate_camera_rays(cams(CameraType.EQUIRECTANGULAR), idx, coords)
+
+    # directions identical to equirectangular
+    np.testing.assert_allclose(np.asarray(rb_l.directions), np.asarray(rb_e.directions), atol=1e-6)
+    # origins on the ipd/2 circle in the camera's xz plane, L/R antipodal
+    for rb in (rb_l, rb_r):
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(rb.origins), axis=-1), VR_IPD / 2, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rb_l.origins), -np.asarray(rb_r.origins), atol=1e-8)
+    # center pixel (u=0, theta=0): right-eye offset along +x exactly
+    np.testing.assert_allclose(np.asarray(rb_r.origins[0]), [VR_IPD / 2, 0, 0], atol=1e-7)
+    # the circle ROTATES with azimuth: a different column lands elsewhere
+    assert not np.allclose(np.asarray(rb_r.origins[1]), np.asarray(rb_r.origins[0]))
+
+    rb_vl = generate_camera_rays(cams(CameraType.VR180_L), idx, coords)
+    rb_vr = generate_camera_rays(cams(CameraType.VR180_R), idx, coords)
+    # VR180 origins: fixed interocular axis, all pixels share the offset
+    np.testing.assert_allclose(np.asarray(rb_vr.origins),
+                               np.tile([VR_IPD / 2, 0, 0], (3, 1)), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(rb_vl.origins),
+                               np.tile([-VR_IPD / 2, 0, 0], (3, 1)), atol=1e-7)
+    # VR180 azimuth range is halved: u=-0.5 -> theta=+45deg; direction's
+    # horizontal angle must be half the equirect one at the same column
+    d_vr = np.asarray(rb_vr.directions[1])
+    d_eq = np.asarray(rb_e.directions[1])
+    ang = lambda d: np.arctan2(d[0], -d[2])
+    np.testing.assert_allclose(ang(d_vr), ang(d_eq) / 2, atol=1e-5)
+    # center ray still points forward
+    np.testing.assert_allclose(np.asarray(rb_vr.directions[0]), [0, 0, -1], atol=1e-6)
