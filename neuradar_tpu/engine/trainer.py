@@ -198,7 +198,11 @@ class Trainer:
         if cfg.vis == "viewer":
             from neuradar_tpu.viewer.viewer import ViewerServer
 
-            from neuradar_tpu.viewer.callbacks import make_viewer_render_fn, scene_duration
+            from neuradar_tpu.viewer.callbacks import (
+                make_scene_graph_fn,
+                make_viewer_render_fn,
+                scene_duration,
+            )
 
             viewer_render = make_viewer_render_fn(
                 self.pipeline, self.eval_variables, lock=self.train_lock,
@@ -212,6 +216,7 @@ class Trainer:
                                   "paused": self._paused},
                 port=cfg.viewer_port,
                 control_fn=self.control,
+                scene_fn=make_scene_graph_fn(self.pipeline),
             )
             self._viewer.start()
 

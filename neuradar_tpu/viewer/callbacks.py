@@ -108,3 +108,34 @@ def scene_duration(pipeline) -> float:
     if times is None or not len(np.atleast_1d(times)):
         return 0.0
     return float(np.max(times))
+
+
+def make_scene_graph_fn(pipeline) -> Callable[[], dict]:
+    """Client-side scene-graph data for the viewer minimap (/scene):
+    actor trajectories (sampled polylines + box dims), camera / lidar /
+    radar mount positions. The reference ships a viser 3D scene graph
+    (viewer/viewer.py:58); this dependency-free viewer draws the same
+    entities on a top-down client canvas with click-to-teleport."""
+    out = pipeline.outputs
+
+    def scene() -> dict:
+        actors = []
+        for traj in out.trajectories or []:
+            poses = np.asarray(traj["poses"], np.float32)  # [T, 4, 4]
+            actors.append({
+                "dims": np.asarray(traj["dims"], np.float32).tolist(),
+                "timestamps": np.asarray(traj["timestamps"], np.float32).tolist(),
+                "path": poses[:, :3, 3].tolist(),
+                "heading": np.arctan2(poses[:, 1, 0], poses[:, 0, 0]).tolist(),
+            })
+        doc = {
+            "actors": actors,
+            "cameras": np.asarray(out.camera_to_worlds, np.float32)[:, :3, 3].tolist(),
+        }
+        for name in ("lidar_to_worlds", "radar_to_worlds"):
+            arr = getattr(out, name, None)
+            if arr is not None and len(arr):
+                doc[name.split("_")[0] + "s"] = np.asarray(arr, np.float32)[:, :3, 3].tolist()
+        return doc
+
+    return scene

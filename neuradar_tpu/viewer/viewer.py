@@ -74,6 +74,8 @@ train <button onclick="control('pause')">&#9646;&#9646;</button>
 <span id="trainstate"></span></div>
 <canvas id="view" width="624" height="384"></canvas>
 <img id="mjpeg" width="624" height="384" style="display:none;margin:auto"/>
+<canvas id="map" width="170" height="170" title="scene map: actors (orange), cameras (cyan), lidar (green), radar (magenta); click to teleport"
+ style="position:fixed;right:8px;bottom:8px;background:rgba(0,0,0,0.55);border:1px solid #444"></canvas>
 <script>
 let az = 0, el = 0.15, dist = 12, cx = 0, cy = 0, cz = 1.5;
 let dragging = false, lx = 0, ly = 0, pending = false;
@@ -93,6 +95,60 @@ function postPose(force) {  // fire-and-forget, ~30 Hz throttle
   lastPose = now;
   fetch('/pose', {method: 'POST', body: JSON.stringify(pose())});
 }
+// ---- client-side scene map (top-down world xy; server /scene) ----------
+let sceneDoc = null, mapScale = 1, mapCx = 0, mapCy = 0;
+const map = document.getElementById('map'), mctx = map.getContext('2d');
+function mapXY(p) { return [85 + (p[0] - mapCx) * mapScale, 85 - (p[1] - mapCy) * mapScale]; }
+function drawMap() {
+  if (!sceneDoc) return;
+  mctx.clearRect(0, 0, 170, 170);
+  const t = +document.getElementById('atime').value;
+  mctx.strokeStyle = '#ff9640'; mctx.fillStyle = '#ff9640'; mctx.lineWidth = 1;
+  for (const a of sceneDoc.actors || []) {
+    mctx.beginPath();
+    a.path.forEach((p, i) => { const [x, y] = mapXY(p); i ? mctx.lineTo(x, y) : mctx.moveTo(x, y); });
+    mctx.stroke();
+    // box footprint at scene time t (nearest trajectory sample)
+    let bi = 0; (a.timestamps || []).forEach((ts, i) => { if (Math.abs(ts - t) < Math.abs(a.timestamps[bi] - t)) bi = i; });
+    const c = a.path[bi], h = a.heading[bi], L = a.dims[1] / 2, W = a.dims[0] / 2;
+    const ch = Math.cos(h), sh = Math.sin(h);
+    mctx.beginPath();
+    [[L, W], [L, -W], [-L, -W], [-L, W]].forEach((d, i) => {
+      const [x, y] = mapXY([c[0] + d[0] * ch - d[1] * sh, c[1] + d[0] * sh + d[1] * ch]);
+      i ? mctx.lineTo(x, y) : mctx.moveTo(x, y);
+    });
+    mctx.closePath(); mctx.stroke();
+  }
+  const dots = [['cameras', '#6ee7ff'], ['lidars', '#7CFC00'], ['radars', '#ff6ef0']];
+  for (const [k, col] of dots) {
+    mctx.fillStyle = col;
+    for (const p of sceneDoc[k] || []) { const [x, y] = mapXY(p); mctx.fillRect(x - 1, y - 1, 2, 2); }
+  }
+  // current orbit center + view direction
+  const [x, y] = mapXY([cx, cy]);
+  mctx.strokeStyle = '#fff'; mctx.fillStyle = '#fff';
+  mctx.beginPath(); mctx.arc(x, y, 3, 0, 6.284); mctx.fill();
+  mctx.beginPath(); mctx.moveTo(x, y);
+  mctx.lineTo(x + 9 * Math.cos(az), y - 9 * Math.sin(az)); mctx.stroke();
+}
+fetch('/scene').then(r => r.json()).then(d => {
+  sceneDoc = d;
+  const pts = [].concat(...((d.actors || []).map(a => a.path)), d.cameras || [], d.lidars || [], d.radars || []);
+  if (pts.length) {
+    const xs = pts.map(p => p[0]), ys = pts.map(p => p[1]);
+    mapCx = (Math.min(...xs) + Math.max(...xs)) / 2;
+    mapCy = (Math.min(...ys) + Math.max(...ys)) / 2;
+    const span = Math.max(Math.max(...xs) - Math.min(...xs), Math.max(...ys) - Math.min(...ys), 1);
+    mapScale = 150 / span;
+  }
+  drawMap();
+}).catch(() => {});
+map.onclick = e => {  // teleport the orbit center to the clicked world xy
+  const r = map.getBoundingClientRect();
+  cx = mapCx + (e.clientX - r.left - 85) / mapScale;
+  cy = mapCy - (e.clientY - r.top - 85) / mapScale;
+  drawMap(); render();
+};
 function pose() {
   const fx = Math.cos(el) * Math.cos(az), fy = Math.cos(el) * Math.sin(az), fz = Math.sin(el);
   const body = {eye: [cx - dist * fx, cy - dist * fy, cz - dist * fz], target: [cx, cy, cz]};
@@ -114,6 +170,7 @@ function pose() {
 }
 let dirty = false, dirtyPreview = false, settleTimer = null, playing = null;
 async function render(preview) {
+  drawMap();  // track the orbit marker / actor boxes with every interaction
   if (streaming) { postPose(preview !== true); return; }  // stream mode: push pose, server renders
   // queue the LATEST request's preview flag, not the in-flight one's: a
   // full-res request queued behind a preview must settle full-res (and a
@@ -226,11 +283,12 @@ class ViewerServer:
     """
 
     def __init__(self, render_fn: Callable, stats_fn: Optional[Callable] = None, port: int = 7007,
-                 control_fn: Optional[Callable] = None):
+                 control_fn: Optional[Callable] = None, scene_fn: Optional[Callable] = None):
         from neuradar_tpu.viewer.render_state_machine import RenderStateMachine
 
         self.render_fn = render_fn
         self.stats_fn = stats_fn or (lambda: {})
+        self.scene_fn = scene_fn  # () -> scene-graph dict for the minimap (/scene)
         self.control_fn = control_fn  # live training controls: fn(action) -> state
         # dict (trainer.control); None = frozen viewer, /control returns 501
         self.port = port
@@ -294,6 +352,9 @@ class ViewerServer:
                 elif self.path.startswith("/camera_path"):
                     body = json.dumps(viewer.camera_path_json()).encode()
                     self._send(200, "application/json", body)
+                elif self.path.startswith("/scene"):
+                    doc = viewer.scene_fn() if viewer.scene_fn is not None else {}
+                    self._send(200, "application/json", json.dumps(doc).encode())
                 elif self.path.startswith("/stream"):
                     self._stream()
                 else:

@@ -564,3 +564,44 @@ def test_viewer_mjpeg_stream():
         np.testing.assert_allclose(fwd / np.linalg.norm(fwd), want, atol=1e-5)
     finally:
         v.stop()
+
+
+def test_viewer_scene_graph_endpoint():
+    """/scene serves the client minimap's scene graph (viewer/callbacks.
+    make_scene_graph_fn shape): actor polylines + box dims + sensor mounts;
+    empty dict when no scene_fn is wired."""
+    import urllib.request
+
+    from neuradar_tpu.viewer.viewer import ViewerServer
+
+    def render_fn(c2w):
+        return np.zeros((12, 18, 3), np.uint8)
+
+    scene = {
+        "actors": [{"dims": [2.0, 4.0, 1.5], "timestamps": [0.0, 1.0],
+                    "path": [[0, 0, 0], [1, 0, 0]], "heading": [0.0, 0.0]}],
+        "cameras": [[0.0, 0.0, 1.5]],
+        "lidars": [[0.0, 0.0, 2.0]],
+    }
+    port = _free_port()
+    v = ViewerServer(render_fn=render_fn, port=port, scene_fn=lambda: scene)
+    v.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/scene", timeout=10) as r:
+            doc = json.loads(r.read())
+        assert doc == scene
+        # the page ships the minimap client
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=10) as r:
+            page = r.read().decode()
+        assert "drawMap" in page and "/scene" in page
+    finally:
+        v.stop()
+    # no scene_fn -> empty doc, not an error
+    port = _free_port()
+    v2 = ViewerServer(render_fn=render_fn, port=port)
+    v2.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/scene", timeout=10) as r:
+            assert json.loads(r.read()) == {}
+    finally:
+        v2.stop()
