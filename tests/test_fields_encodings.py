@@ -440,3 +440,35 @@ def test_packed_tables_hoist_surface():
         enc.apply(v, method=lambda m: m.actor_grid.scalings), 4, 2**15)
     expect4 = sum(s**4 for s in sides4 if s) * 16 * cfg.actor.hashgrid_dim
     assert packed["actor"].shape == (expect4,)
+
+
+def test_packed_table_is_forward_only_cache():
+    """The packed table's cotangent is structurally ZERO: the encode VJP
+    scatters the table gradient in canonical coordinates, so no gradient
+    may route through pack_cells' transpose (which XLA:TPU lowers as a huge
+    sort-based scatter — docs/PERFORMANCE.md). Guards the contract that
+    lets packed_cells() sit under stop_gradient."""
+    from neuradar_tpu.field_components.encodings import (
+        hash_encode_packed, pack_cells, packed_prefix_sides,
+    )
+
+    d, L, F, T = 3, 3, 2, 2**9
+    scalings = (4.0, 8.0, 64.0)
+    ps = packed_prefix_sides(scalings, d, 2**10)
+    assert ps == (5, 9, 0)
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(rng.randn(L * T * F).astype(np.float32))
+    packed = pack_cells(table, scalings, T, L, F, d, None, ps)
+    pos = jnp.asarray(rng.rand(64 * d).astype(np.float32))
+
+    g_packed = jax.grad(
+        lambda pk: jnp.sum(hash_encode_packed(pos, table, pk, scalings, T, L, F, d, None, ps) ** 2)
+    )(packed)
+    assert float(jnp.abs(g_packed).max()) == 0.0
+    # while the canonical-table gradient is live for every level, incl. the
+    # packed prefix (rows only the packed levels touch must be nonzero)
+    g_table = jax.grad(
+        lambda t: jnp.sum(hash_encode_packed(pos, t, packed, scalings, T, L, F, d, None, ps) ** 2)
+    )(table)
+    level0 = np.asarray(g_table[: T * F])
+    assert np.abs(level0).max() > 0.0
