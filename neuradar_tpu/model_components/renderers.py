@@ -62,12 +62,22 @@ def render_normals(normals: jax.Array, weights: jax.Array, normalize: bool = Tru
 
 
 def render_rgb_background(
-    rgb: jax.Array, weights: jax.Array, background_color: Optional[jax.Array] = None
+    rgb: jax.Array, weights: jax.Array, background_color: Optional[jax.Array] = None,
+    last_sample_background: bool = False,
 ) -> jax.Array:
     """Weighted rgb accumulation with optional background blend
-    (cf. RGBRenderer used by the nerfacto family)."""
+    (cf. RGBRenderer used by the nerfacto family).
+
+    last_sample_background implements the reference's default
+    background_color="last_sample" (models/nerfacto.py:60): the missing
+    accumulation is filled with the LAST sample's color — found by
+    tests/test_reference_nerfacto_parity.py (a constant/no background left
+    every rendered pixel ~0.05 off)."""
     comp = jnp.sum(weights * rgb, axis=-2)
-    if background_color is not None:
+    if last_sample_background:
+        acc = jnp.sum(weights, axis=-2)
+        comp = comp + rgb[..., -1, :] * (1.0 - acc)
+    elif background_color is not None:
         acc = jnp.sum(weights, axis=-2)
         comp = comp + background_color * (1.0 - acc)
     return jnp.clip(comp, 0.0, 1.0)

@@ -47,6 +47,12 @@ class NerfactoModelConfig:
     features_per_level: int = 2
     num_proposal_samples_per_ray: Tuple[int, ...] = (256, 96)
     num_nerf_samples_per_ray: int = 48
+    proposal_net_args_list: Tuple[Dict[str, Any], ...] = (
+        {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 5, "max_res": 128, "use_linear": False},
+        {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 5, "max_res": 256, "use_linear": False},
+    )
+    """Per-round proposal-network arguments (cf. reference
+    models/nerfacto.py:90-96 proposal_net_args_list; same defaults)."""
     appearance_embedding_dim: int = 32
     interlevel_loss_mult: float = 1.0
     distortion_loss_mult: float = 0.002
@@ -91,9 +97,14 @@ class NerfactoModel(nn.Module):
             appearance_embedding_dim=cfg.appearance_embedding_dim,
             predict_intensity=cfg.predict_lidar,
         )
+        args_list = cfg.proposal_net_args_list
         self.proposal_fields = [
-            HashMLPDensityField(static_scale=self.static_scale, max_res=128, num_levels=5, name="proposal_0"),
-            HashMLPDensityField(static_scale=self.static_scale, max_res=256, num_levels=5, name="proposal_1"),
+            HashMLPDensityField(
+                static_scale=self.static_scale,
+                name=f"proposal_{i}",
+                **{k: v for k, v in args_list[min(i, len(args_list) - 1)].items()},
+            )
+            for i in range(len(cfg.num_proposal_samples_per_ray))
         ]
         self.camera_optimizer = CameraOptimizer(config=cfg.camera_optimizer, num_cameras=self.num_embeds)
 
@@ -111,7 +122,12 @@ class NerfactoModel(nn.Module):
 
     def __call__(self, ray_bundle: RayBundle, train: bool = False, anneal=None) -> Dict[str, Any]:
         cfg = self.config
-        nears = jnp.full_like(ray_bundle.pixel_area, cfg.near_plane)
+        # the reference's NearFarCollider defaults reset_near_plane=True: the
+        # near plane suppresses floaters during TRAINING but is reset to 0
+        # for eval/inference renders (scene_colliders.py:175-189) — found by
+        # tests/test_reference_nerfacto_parity.py
+        near = cfg.near_plane if train else 0.0
+        nears = jnp.full_like(ray_bundle.pixel_area, near)
         fars = jnp.full_like(ray_bundle.pixel_area, cfg.far_plane)
         ray_bundle = ray_bundle.replace(nears=nears, fars=fars)
         if train and cfg.camera_optimizer.mode != "off":
@@ -135,7 +151,9 @@ class NerfactoModel(nn.Module):
         weights = ray_samples.get_weights(field_out["density"])
 
         outputs = {
-            "rgb": render_rgb_background(field_out["rgb"], weights),
+            # the reference's RGBRenderer default background_color =
+            # "last_sample" (models/nerfacto.py:60)
+            "rgb": render_rgb_background(field_out["rgb"], weights, last_sample_background=True),
             "accumulation": render_accumulation(weights),
             "depth": render_depth_expected(weights, ray_samples),
         }
