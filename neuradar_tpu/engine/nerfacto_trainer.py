@@ -130,9 +130,15 @@ class NerfactoTrainer:
             # step counter; eval (step=None) uses the converged exponent
             # (cf. reference models/nerfacto.py:266-272)
             anneal = model.anneal_for_step(step) if (train and step is not None) else None
+            # lidar depth-sigma schedule (reference lidar_nerfacto.py:130-137)
+            depth_sigma = (
+                model.depth_sigma_for_step(step)
+                if (train and step is not None and model.config.predict_lidar)
+                else None
+            )
             total, aux = model.apply(
                 {"params": params}, bundle, gt, train=train,
-                method=model.loss_and_metrics, anneal=anneal,
+                method=model.loss_and_metrics, anneal=anneal, depth_sigma=depth_sigma,
                 rngs={"sampling": rng} if train else {},
             )
             return total, aux

@@ -175,3 +175,62 @@ def masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
 def binary_cross_entropy_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """Elementwise BCE-with-logits (cf. torch BCEWithLogitsLoss)."""
     return jnp.clip(logits, 0, None) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+# ---------------------------------------------------------------------------
+# Lidar depth-supervision losses (the reference LidarNerfacto's family,
+# model_components/losses.py:227-293 — DS-NeRF termination likelihood and
+# Urban Radiance Fields line-of-sight; executed-reference parity in
+# tests/test_reference_nerfacto_parity.py)
+# ---------------------------------------------------------------------------
+
+URF_SIGMA_SCALE_FACTOR = 3.0
+
+
+def ds_nerf_depth_loss(weights: jax.Array, termination_depth: jax.Array, steps: jax.Array,
+                       lengths: jax.Array, sigma) -> jax.Array:
+    """Depth-supervised NeRF loss (Deng et al. 2022; reference :227-249).
+
+    weights/steps/lengths: [R, S, 1]; termination_depth: [R, 1] (<= 0 masks
+    a ray out). NOTE the reference divides by (2 * sigma), treating sigma as
+    a VARIANCE — quirk preserved for parity."""
+    depth_mask = termination_depth > 0
+    loss = -jnp.log(weights + EPS) * jnp.exp(
+        -((steps - termination_depth[:, None]) ** 2) / (2 * sigma)
+    ) * lengths
+    loss = loss.sum(-2) * depth_mask
+    return jnp.mean(loss)
+
+
+def urban_radiance_field_depth_loss(weights: jax.Array, termination_depth: jax.Array,
+                                    predicted_depth: jax.Array, steps: jax.Array, sigma,
+                                    bin_sizes: jax.Array, scaling_factor=1.0) -> jax.Array:
+    """Urban Radiance Fields lidar loss (Rematas et al. 2022; reference
+    :252-293): expected-depth MSE + near-surface line-of-sight Gaussian
+    matching + free-space suppression."""
+    depth_mask = termination_depth > 0
+    expected = (termination_depth - predicted_depth) ** 2
+    s = sigma / URF_SIGMA_SCALE_FACTOR
+    log_prob = -0.5 * ((steps - termination_depth[:, None]) / s) ** 2 - jnp.log(s) - 0.5 * jnp.log(2 * jnp.pi)
+    td = termination_depth[:, None]
+    near_mask = (steps <= td + sigma) & (steps >= td - sigma)
+    near = ((weights / bin_sizes - jnp.exp(log_prob)) ** 2) * bin_sizes
+    near = (near_mask * near).sum(-2)
+    empty = ((steps < td - sigma) * weights**2 / bin_sizes).sum(-2)
+    return jnp.mean((expected + near + empty) * depth_mask)
+
+
+def lidar_depth_loss(weights: jax.Array, ray_samples: RaySamples, termination_depth: jax.Array,
+                     predicted_depth: jax.Array, sigma, loss_type: str = "dsnerf",
+                     scaling_factor=1.0) -> jax.Array:
+    """Dispatcher matching the reference depth_loss (:295-334) for euclidean
+    lidar depths ('dsnerf' | 'urf')."""
+    steps = (ray_samples.frustums.starts + ray_samples.frustums.ends) / 2
+    bins = ray_samples.frustums.ends - ray_samples.frustums.starts
+    if loss_type == "dsnerf":
+        return ds_nerf_depth_loss(weights, termination_depth, steps, bins, sigma)
+    if loss_type == "urf":
+        return urban_radiance_field_depth_loss(
+            weights, termination_depth, predicted_depth, steps, sigma, bins, scaling_factor
+        )
+    raise ValueError(f"unknown lidar depth loss type {loss_type!r}")

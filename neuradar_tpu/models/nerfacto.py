@@ -72,7 +72,20 @@ class NerfactoModelConfig:
     """Full-image eval renders run in chunks of this many rays (cf. reference
     nerfacto method config eval_num_rays_per_chunk, method_configs.py)."""
     predict_lidar: bool = False  # lidar-nerfacto variant
-    depth_loss_mult: float = 0.01
+    depth_loss_type: str = "dsnerf"
+    """Lidar depth supervision: 'dsnerf' (the reference LidarNerfacto's
+    default — DS-NeRF termination likelihood over EVERY sampling round,
+    lidar_nerfacto.py:51,95-108), 'urf' (Urban Radiance Fields), or 'l1'
+    (simple expected-depth L1 — our pre-parity variant)."""
+    depth_loss_mult: float = 1e-3
+    """cf. reference lidar_nerfacto.py:39 (1e-3 for the DS-NeRF default)."""
+    depth_sigma: float = 0.01
+    should_decay_sigma: bool = True
+    starting_depth_sigma: float = 0.2
+    sigma_decay_rate: float = 0.99985
+    """Depth-uncertainty schedule: sigma(step) = max(starting * rate^step,
+    depth_sigma) — the reference's per-call exponential decay
+    (lidar_nerfacto.py:66-77, 130-137) in closed form over the step."""
     intensity_loss_mult: float = 0.1
     ray_drop_loss_mult: float = 0.01
 
@@ -107,6 +120,17 @@ class NerfactoModel(nn.Module):
             for i in range(len(cfg.num_proposal_samples_per_ray))
         ]
         self.camera_optimizer = CameraOptimizer(config=cfg.camera_optimizer, num_cameras=self.num_embeds)
+
+    def depth_sigma_for_step(self, step) -> jax.Array:
+        """Lidar depth-loss sigma at `step` (traced scalar ok) — the
+        reference's exponential decay in closed form (module config)."""
+        cfg = self.config
+        if not cfg.should_decay_sigma:
+            return jnp.asarray(cfg.depth_sigma, jnp.float32)
+        return jnp.maximum(
+            cfg.starting_depth_sigma * cfg.sigma_decay_rate ** jnp.asarray(step, jnp.float32),
+            cfg.depth_sigma,
+        )
 
     def anneal_for_step(self, step) -> Optional[jax.Array]:
         """Proposal-weight exponent at `step` (traced scalar ok): the
@@ -186,7 +210,7 @@ class NerfactoModel(nn.Module):
         return self.field(samples)["rgb"][:, 0]
 
     def loss_and_metrics(self, ray_bundle: RayBundle, batch: Dict[str, jax.Array], train: bool = True,
-                         anneal=None):
+                         anneal=None, depth_sigma=None):
         cfg = self.config
         outputs = self(ray_bundle, train=train, anneal=anneal)
         loss_dict: Dict[str, jax.Array] = {}
@@ -197,9 +221,28 @@ class NerfactoModel(nn.Module):
             metrics["psnr"] = -10 * jnp.log10(jax.lax.stop_gradient(mse))
         if cfg.predict_lidar and "lidar_distance" in batch:
             did_return = batch["did_return"][..., 0]
-            loss_dict["depth_loss"] = cfg.depth_loss_mult * masked_mean(
-                jnp.abs(outputs["depth"] - batch["lidar_distance"])[..., 0], did_return
-            )
+            if cfg.depth_loss_type in ("dsnerf", "urf") and train:
+                # the reference LidarNerfacto's supervision: the likelihood
+                # loss averaged over EVERY sampling round's weights
+                # (lidar_nerfacto.py:95-108); termination depth <= 0 masks
+                # non-returning rays inside the loss
+                from neuradar_tpu.model_components.losses import lidar_depth_loss
+
+                sigma = depth_sigma if depth_sigma is not None else jnp.asarray(cfg.depth_sigma)
+                term = batch["lidar_distance"] * did_return[..., None]
+                wl, rsl = outputs["weights_list"], outputs["ray_samples_list"]
+                # per-round predicted depth (URF's expected-depth term; the
+                # reference overrides its depth renderer to 'expected')
+                dloss = sum(
+                    lidar_depth_loss(w, rs, term, render_depth_expected(w, rs), sigma,
+                                     cfg.depth_loss_type)
+                    for w, rs in zip(wl, rsl)
+                ) / len(wl)
+                loss_dict["depth_loss"] = cfg.depth_loss_mult * dloss
+            else:
+                loss_dict["depth_loss"] = cfg.depth_loss_mult * masked_mean(
+                    jnp.abs(outputs["depth"] - batch["lidar_distance"])[..., 0], did_return
+                )
             loss_dict["intensity_loss"] = cfg.intensity_loss_mult * masked_mean(
                 (outputs["intensity"] - batch["lidar_intensity"])[..., 0] ** 2, did_return
             )

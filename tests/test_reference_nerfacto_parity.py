@@ -269,3 +269,49 @@ class TestGradParity:
         m = parity["ref_model"]
         assert m.proposal_networks[0].mlp_base[0].hash_table.grad is None
         assert m.proposal_networks[1].mlp_base[0].hash_table.grad is not None
+
+
+def test_lidar_depth_losses_match_reference():
+    """ds_nerf / urban-radiance-field depth losses (the LidarNerfacto
+    supervision family) match the executed reference implementations
+    (model_components/losses.py:227-293) on random weights/samples."""
+    rlosses = ref("nerfstudio.model_components.losses")
+    rrays = ref("nerfstudio.cameras.rays")
+    from neuradar_tpu.model_components.losses import lidar_depth_loss
+    from neuradar_tpu.cameras.rays import Frustums, RaySamples
+
+    rng = np.random.RandomState(0)
+    Rn, S = 16, 12
+    starts = np.sort(rng.uniform(0.1, 30.0, (Rn, S, 1)), axis=1).astype(np.float32)
+    ends = starts + rng.uniform(0.05, 0.5, (Rn, S, 1)).astype(np.float32)
+    w = rng.dirichlet(np.ones(S), Rn).astype(np.float32)[..., None] * 0.9
+    term = rng.uniform(0.5, 25.0, (Rn, 1)).astype(np.float32)
+    term[3:5] = 0.0  # masked rays
+    pred = rng.uniform(0.5, 25.0, (Rn, 1)).astype(np.float32)
+    sigma = 0.21
+
+    o = np.zeros((Rn, 3), np.float32)
+    dirs = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (Rn, 1))
+    tf = torch.from_numpy
+    rfr = rrays.Frustums(origins=tf(o)[:, None].expand(Rn, S, 3),
+                         directions=tf(dirs)[:, None].expand(Rn, S, 3),
+                         starts=tf(starts), ends=tf(ends),
+                         pixel_area=torch.ones((Rn, S, 1)))
+    rs_t = rrays.RaySamples(frustums=rfr, deltas=tf(ends - starts))
+
+    myfr = Frustums(origins=jnp.asarray(o), directions=jnp.asarray(dirs),
+                    starts=jnp.asarray(starts), ends=jnp.asarray(ends),
+                    pixel_area=jnp.ones((Rn, 1)))
+    rs_j = RaySamples(frustums=myfr, deltas=jnp.asarray(ends - starts))
+
+    for ltype, rtype in (("dsnerf", rlosses.DepthLossType.DS_NERF),
+                         ("urf", rlosses.DepthLossType.URF)):
+        ref_val = float(rlosses.depth_loss(
+            weights=tf(w), ray_samples=rs_t, termination_depth=tf(term),
+            predicted_depth=tf(pred), sigma=torch.tensor([sigma]),
+            directions_norm=torch.ones((Rn, 1)), is_euclidean=True,
+            depth_loss_type=rtype,
+        ))
+        my_val = float(lidar_depth_loss(jnp.asarray(w), rs_j, jnp.asarray(term),
+                                        jnp.asarray(pred), sigma, ltype))
+        np.testing.assert_allclose(my_val, ref_val, rtol=1e-5, err_msg=ltype)
